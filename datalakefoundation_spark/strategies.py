@@ -1,0 +1,233 @@
+"""Load strategies: Full, Merge (upsert + soft-delete inference), Historic (SCD2).
+
+Reference semantics: Full.scala:19-77, Merge.scala:22-148, Historic.scala:14-168.
+The reference drives Delta Lake's MERGE builder; this environment has no Delta
+jars, so the same clause semantics are expressed as ONE full-outer shuffle join
+per run producing the post-merge state (pure ``(target, source) -> new_state``
+DataFrame functions). This is exactly what a copy-on-write MERGE does
+physically; the storage layer (tables/lake_table.py) adds partition pruning so
+only affected partitions are rewritten.
+
+Scale notes (100 TB):
+* The join shuffles on the PK hash — a sha256 hex string, uniformly
+  distributed, so no key skew by construction.
+* Target is pre-filtered to the source slice's partitions (IN-list pushdown,
+  reference Merge.scala:38-48) before the join; untouched partitions are not
+  read at all.
+* The source slice is typically tiny vs the target; Spark full-outer requires
+  a shuffle join, but AQE coalesces the small side's partitions. A broadcast
+  variant is impossible for full-outer in Spark — the partition-pruned
+  copy-on-write is the scalable plan (it is what Delta/Iceberg MERGE lowers
+  to as well).
+* No Python UDFs; every clause is a ``when`` chain inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datalakefoundation_spark.pipeline import VALID_TO_SENTINEL, ts_lit  # noqa: F401
+
+
+@dataclass
+class MergeResult:
+    """Post-run state + the ProcessingSummary metric fields
+    (log/DatalakeLogManager.scala:13-38)."""
+
+    state: DataFrame
+    metrics: dict[str, int] = field(default_factory=dict)
+
+
+def _nvl_pick(cond: Column, a: Column, b: Column) -> Column:
+    return F.when(cond, a).otherwise(b)
+
+
+def merge_state(
+    target: DataFrame,
+    source: DataFrame,
+    pk: str,
+    prefix: str = "",
+    processing_time: str | None = None,
+    delete_window: Column | None = None,
+    delete_missing: bool = False,
+) -> DataFrame:
+    """Post-merge state of the 4-clause Delta merge J1-J5 (Merge.scala:96-125).
+
+    Clause order (first match wins, like Delta):
+      1. matched & source.deleted            -> target row, deleted=true, lastSeen=src
+      2. matched & SourceHash differs        -> source row (updateAll)
+      3. matched (hash equal)                -> target row, lastSeen=src (touch)
+      4. not matched in target & !src.deleted-> insert source row
+      5. not matched by source & window & !target.deleted & delete_missing
+                                             -> target row, deleted=true, lastSeen=now
+      else                                   -> target row unchanged
+
+    ``delete_window`` is a predicate over TARGET columns scoping delete
+    inference (watermark window + partition IN-list, ProcessStrategy.scala:86-153).
+    """
+    deleted_c = f"{prefix}deleted"
+    lastseen_c = f"{prefix}lastSeen"
+    hash_c = f"{prefix}SourceHash"
+    out_cols = target.columns
+
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col(f"t.{pk}") == F.col(f"s.{pk}"), "full_outer")
+
+    matched = F.col(f"t.{pk}").isNotNull() & F.col(f"s.{pk}").isNotNull()
+    src_only = F.col(f"t.{pk}").isNull()
+    tgt_only = F.col(f"s.{pk}").isNull()
+
+    src_deleted = F.col(f"s.{deleted_c}")
+    hash_differs = F.col(f"s.{hash_c}") != F.col(f"t.{hash_c}")
+
+    if delete_missing:
+        window = delete_window if delete_window is not None else F.lit(True)
+        infer_delete = tgt_only & window & ~F.col(f"t.{deleted_c}")
+    else:
+        infer_delete = F.lit(False)
+
+    keep = (
+        matched
+        | (src_only & ~src_deleted)  # insert clause condition (Merge.scala:109)
+        | tgt_only
+    )
+    joined = joined.where(keep)
+
+    take_source_row = (matched & ~src_deleted & hash_differs) | (src_only & ~src_deleted)
+
+    projections = []
+    for c in out_cols:
+        tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}") if c in source.columns else F.lit(None)
+        if c == deleted_c:
+            col = (
+                F.when(matched & src_deleted, F.lit(True))
+                .when(take_source_row, sc)
+                .when(infer_delete, F.lit(True))
+                .otherwise(tc)
+            )
+        elif c == lastseen_c:
+            col = (
+                F.when(matched, sc)  # all three matched clauses set lastSeen from source
+                .when(take_source_row, sc)
+                .when(infer_delete, ts_lit(processing_time))
+                .otherwise(tc)
+            )
+        else:
+            col = _nvl_pick(take_source_row, sc, tc)
+        projections.append(col.alias(c))
+    return joined.select(*projections)
+
+
+def scd2_state(
+    target: DataFrame,
+    source: DataFrame,
+    pk: str,
+    prefix: str = "",
+    processing_time: str = "1970-01-01 00:00:00",
+    delete_window: Column | None = None,
+    delete_missing: bool = False,
+) -> DataFrame:
+    """Post-run SCD Type 2 state (Historic.scala:14-168, clauses J6-J8).
+
+    Semantics per current target version vs source (on PK):
+      * matched & hash differs  -> close old (ValidTo=pt, IsCurrent=false)
+                                   AND append source as new current version
+      * matched & hash equal    -> unchanged
+      * source-only             -> insert as new current version
+      * target-only & window & delete_missing
+                                -> close + mark deleted (J7)
+      * non-current target rows -> pass through untouched
+
+    The source is expected to already carry the temporal columns from
+    pipeline step P4 (ValidFrom=pt, ValidTo=sentinel, IsCurrent=true).
+    """
+    deleted_c = f"{prefix}deleted"
+    lastseen_c = f"{prefix}lastSeen"
+    hash_c = f"{prefix}SourceHash"
+    vfrom_c = f"{prefix}ValidFrom"
+    vto_c = f"{prefix}ValidTo"
+    iscur_c = f"{prefix}IsCurrent"
+    out_cols = target.columns
+
+    historical = target.where(~F.col(iscur_c))
+    current = target.where(F.col(iscur_c))
+
+    t = current.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col(f"t.{pk}") == F.col(f"s.{pk}"), "full_outer")
+
+    matched = F.col(f"t.{pk}").isNotNull() & F.col(f"s.{pk}").isNotNull()
+    src_only = F.col(f"t.{pk}").isNull()
+    tgt_only = F.col(f"s.{pk}").isNull()
+    hash_differs = F.col(f"s.{hash_c}") != F.col(f"t.{hash_c}")
+
+    if delete_missing:
+        window = delete_window if delete_window is not None else F.lit(True)
+        infer_delete = tgt_only & window & ~F.col(f"t.{deleted_c}")
+    else:
+        infer_delete = F.lit(False)
+
+    close_old = matched & hash_differs
+
+    # Branch A: surviving target-side rows (closed, deleted-closed, or untouched)
+    pt_ts = ts_lit(processing_time)
+    a_proj = []
+    for c in out_cols:
+        tc = F.col(f"t.{c}")
+        if c == vto_c:
+            col = F.when(close_old | infer_delete, pt_ts).otherwise(tc)
+        elif c == iscur_c:
+            col = F.when(close_old | infer_delete, F.lit(False)).otherwise(tc)
+        elif c == deleted_c:
+            col = F.when(infer_delete, F.lit(True)).otherwise(tc)
+        elif c == lastseen_c:
+            col = F.when(infer_delete, pt_ts).otherwise(tc)
+        else:
+            col = tc
+        a_proj.append(col.alias(c))
+    branch_a = joined.where(~src_only).select(*a_proj)
+
+    # Branch B: new current versions from source (insert or new-version append, J8)
+    b_proj = [F.col(f"s.{c}").alias(c) for c in out_cols]
+    branch_b = joined.where(src_only | close_old).select(*b_proj)
+
+    return historical.select(*out_cols).unionByName(branch_a).unionByName(branch_b)
+
+
+def merge_metrics(
+    records_in_slice: int,
+    inserted: int,
+    soft_deletes: int,
+    inferred_deletes: int,
+) -> dict[str, int]:
+    """Merge metric identity: inserted + updated + deleted = recordsInSlice
+    (Merge.scala:124-145, PROCESSING_STRATEGIES.md:124-140)."""
+    updated = records_in_slice - inserted - soft_deletes
+    return {
+        "records_in_slice": records_in_slice,
+        "inserted": inserted,
+        "updated": updated,
+        "deleted": soft_deletes + inferred_deletes,
+        "touched": records_in_slice,
+    }
+
+
+def scd2_metrics(
+    records_in_slice: int,
+    new_versions: int,
+    unchanged: int,
+    inferred_deletes: int,
+) -> dict[str, int]:
+    """Historic identity: inserted + updated + unchanged = recordsInSlice
+    (Historic.scala:106-165, PROCESSING_STRATEGIES.md:203-219)."""
+    return {
+        "records_in_slice": records_in_slice,
+        "updated": new_versions,
+        "unchanged": unchanged,
+        "inserted": records_in_slice - new_versions - unchanged,
+        "deleted": inferred_deletes,
+    }

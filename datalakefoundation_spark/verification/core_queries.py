@@ -1,0 +1,353 @@
+"""Core operator queries (SURVEY.md §2.1, §2.3, §2.5, §2.6) with DuckDB oracles.
+
+Each query exercises the corresponding engine primitive from
+``datalakefoundation_spark.pipeline`` / scans / aggregations over the
+driver's synthetic tables. Doubles are only ever *passed through* or
+combined with exact IEEE ops (one multiply/subtract) so Spark and DuckDB
+produce bit-identical values; cast-to-string hashing is restricted to
+int/string columns (SURVEY.md §7 cast-rendering caveat).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datalakefoundation_spark import pipeline as P
+
+T0 = "2026-01-01 00:00:00"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized parquet
+    reader rejects; read nanos as long (exact — no precision/timezone loss) and
+    expose the column as ``ts_ns``. DuckDB twin: ``epoch_ns(ts) AS ts_ns``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _read(spark, sf_dir, "events").withColumnRenamed("ts", "ts_ns")
+
+
+# ---------------------------------------------------------------- S1
+def q_scan_project(spark, sf_dir):
+    """Parquet slice scan + projection (column pruning reaches the scan)."""
+    return _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+
+
+SQL_SCAN_PROJECT = """
+SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------- S2
+def q_filter_predicate(spark, sf_dir):
+    """Predicate filter; Catalyst pushes both conjuncts into the parquet scan."""
+    return (
+        _read(spark, sf_dir, "orders")
+        .where((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    )
+
+
+SQL_FILTER_PREDICATE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+"""
+
+
+# ---------------------------------------------------------------- P1
+def q_select_expr(spark, sf_dir):
+    """Metadata-driven selectExpr projection (pipeline step P1)."""
+    df = _read(spark, sf_dir, "lineitem")
+    df = P.inject_transformations(
+        df,
+        [[
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice * (1 - l_discount) AS disc_price",
+            "upper(l_returnflag) AS returnflag_u",
+        ]],
+    )
+    return df
+
+
+SQL_SELECT_EXPR = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS disc_price,
+       upper(l_returnflag) AS returnflag_u
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------- P2
+def q_calculated_columns(spark, sf_dir):
+    """Calculated columns via F.expr (pipeline step P2)."""
+    df = _read(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    df = P.add_calculated_columns(
+        df,
+        {
+            "name_upper": "upper(c_name)",
+            "segment_code": "substring(c_mktsegment, 1, 3)",
+            "key_bucket": "cast(c_custkey % 10 as int)",
+        },
+    )
+    return df
+
+
+SQL_CALCULATED_COLUMNS = """
+SELECT c_custkey, c_name, c_mktsegment,
+       upper(c_name) AS name_upper,
+       substring(c_mktsegment, 1, 3) AS segment_code,
+       CAST(c_custkey % 10 AS INTEGER) AS key_bucket
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------- P3
+def q_source_hash(spark, sf_dir):
+    """SourceHash = sha2(concat_ws('', cols cast string), 256) (pipeline P3)."""
+    df = _read(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return df.withColumn(
+        "SourceHash", P.source_hash_column(["c_custkey", "c_name", "c_mktsegment"])
+    )
+
+
+SQL_SOURCE_HASH = """
+SELECT c_custkey, c_name, c_mktsegment,
+       sha256(concat_ws('', CAST(c_custkey AS VARCHAR), c_name, c_mktsegment)) AS SourceHash
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------- P4
+def q_scd2_initial(spark, sf_dir):
+    """Temporal tracking columns on first historic load (pipeline P4)."""
+    df = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return P.add_temporal_tracking_columns(df, T0)
+
+
+SQL_SCD2_INITIAL = f"""
+SELECT s_suppkey, s_name,
+       TIMESTAMP '{T0}' AS ValidFrom,
+       TIMESTAMP '{P.VALID_TO_SENTINEL}' AS ValidTo,
+       true AS IsCurrent
+FROM supplier
+"""
+
+
+# ---------------------------------------------------------------- P6
+def q_business_pk(spark, sf_dir):
+    """PK_<dest> = sha2(concat_ws('_', businesskeys), 256) (pipeline P6)."""
+    df = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    return P.add_primary_key(df, "orders", ["o_orderkey", "o_custkey"], check_duplicates=False)
+
+
+SQL_BUSINESS_PK = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       sha256(concat_ws('_', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR))) AS PK_orders
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------- P6 guard / A3
+def q_duplicate_guard(spark, sf_dir):
+    """Duplicate-businesskey detection: groupBy(keys).count().filter(>1)."""
+    df = _read(spark, sf_dir, "lineitem")
+    return (
+        df.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("l_orderkey", "cnt")
+    )
+
+
+SQL_DUPLICATE_GUARD = """
+SELECT l_orderkey, count(*) AS cnt FROM lineitem
+GROUP BY l_orderkey HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------- P7
+def q_cast_columns(spark, sf_dir):
+    """Metadata-declared casts (pipeline P7). Spark double->int truncates
+    toward zero; the oracle reproduces that with trunc()."""
+    df = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    df = P.cast_columns(df, {"l_quantity": "int", "l_shipdate": "date", "l_orderkey": "string"})
+    return df
+
+
+SQL_CAST_COLUMNS = """
+SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+       l_linenumber,
+       CAST(trunc(l_quantity) AS INTEGER) AS l_quantity,
+       CAST(l_shipdate AS DATE) AS l_shipdate
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------- P8
+def q_rename_project(spark, sf_dir):
+    """Metadata-declared renames (pipeline P8)."""
+    df = _read(spark, sf_dir, "nation")
+    return P.rename_columns(
+        df, {"n_nationkey": "nation_id", "n_name": "nation_name", "n_regionkey": ""}
+    )
+
+
+SQL_RENAME_PROJECT = """
+SELECT n_nationkey AS nation_id, n_name AS nation_name, n_regionkey FROM nation
+"""
+
+
+# ---------------------------------------------------------------- P11
+def q_normalize_names(spark, sf_dir):
+    """Name scrubbing + sys_ drop (pipeline P11 / datalakeNormalize)."""
+    df = read_events(spark, sf_dir).selectExpr(
+        "event_id AS `event id`",
+        "user_id AS `user.id`",
+        "event_type AS `event-type (raw)`",
+        "value AS sys_internal",
+    )
+    from datalakefoundation_spark.core.normalize import datalake_normalize
+
+    return datalake_normalize(df)
+
+
+SQL_NORMALIZE_NAMES = """
+SELECT event_id AS eventid, user_id AS userid, event_type AS "eventtyperaw" FROM events
+"""
+
+
+# ---------------------------------------------------------------- A1
+def q_watermark_max(spark, sf_dir):
+    """Watermark max-agg bookmark capture (Processing.scala:123-135)."""
+    df = _read(spark, sf_dir, "orders")
+    return df.agg(
+        F.max("o_orderkey").alias("max_orderkey"),
+        F.max("o_orderdate").alias("max_orderdate"),
+    )
+
+
+SQL_WATERMARK_MAX = """
+SELECT max(o_orderkey) AS max_orderkey, max(o_orderdate) AS max_orderdate FROM orders
+"""
+
+
+# ---------------------------------------------------------------- A2
+def q_distinct_partitions(spark, sf_dir):
+    """Distinct partition-column values for merge IN-list pushdown."""
+    return _read(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+
+
+SQL_DISTINCT_PARTITIONS = """
+SELECT DISTINCT o_orderstatus FROM orders
+"""
+
+
+# ---------------------------------------------------------------- A4
+def q_count_filter(spark, sf_dir):
+    """Filtered record count (metrics path)."""
+    df = _read(spark, sf_dir, "lineitem")
+    return df.where(F.col("l_returnflag") == "R").agg(F.count(F.lit(1)).alias("n_returned"))
+
+
+SQL_COUNT_FILTER = """
+SELECT count(*) AS n_returned FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+# ---------------------------------------------------------------- O1
+def q_latest_per_key(spark, sf_dir):
+    """Latest watermark row per key — the scale-path formulation
+    (row_number over Window) rather than sort+head (WatermarkData.scala:26-47)."""
+    df = read_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts_us", "event_type")
+    )
+
+
+SQL_LATEST_PER_KEY = """
+SELECT user_id, event_id, ts_us, event_type FROM (
+  SELECT *, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------- flagship-style agg (entry twin)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary over lineitem (the flagship query)."""
+    df = _read(spark, sf_dir, "lineitem")
+    return (
+        df.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------- join (multiway)
+def q_join_agg(spark, sf_dir):
+    """Star join customer⋈nation⋈region + agg; small dims are broadcast."""
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SQL_JOIN_AGG = """
+SELECT r_name, n_name, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+QUERIES = {
+    "q_scan_project": (q_scan_project, SQL_SCAN_PROJECT),
+    "q_filter_predicate": (q_filter_predicate, SQL_FILTER_PREDICATE),
+    "q_select_expr": (q_select_expr, SQL_SELECT_EXPR),
+    "q_calculated_columns": (q_calculated_columns, SQL_CALCULATED_COLUMNS),
+    "q_source_hash": (q_source_hash, SQL_SOURCE_HASH),
+    "q_scd2_initial": (q_scd2_initial, SQL_SCD2_INITIAL),
+    "q_business_pk": (q_business_pk, SQL_BUSINESS_PK),
+    "q_duplicate_guard": (q_duplicate_guard, SQL_DUPLICATE_GUARD),
+    "q_cast_columns": (q_cast_columns, SQL_CAST_COLUMNS),
+    "q_rename_project": (q_rename_project, SQL_RENAME_PROJECT),
+    "q_normalize_names": (q_normalize_names, SQL_NORMALIZE_NAMES),
+    "q_watermark_max": (q_watermark_max, SQL_WATERMARK_MAX),
+    "q_distinct_partitions": (q_distinct_partitions, SQL_DISTINCT_PARTITIONS),
+    "q_count_filter": (q_count_filter, SQL_COUNT_FILTER),
+    "q_latest_per_key": (q_latest_per_key, SQL_LATEST_PER_KEY),
+    "q_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
+}
