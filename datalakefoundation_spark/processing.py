@@ -1,0 +1,329 @@
+"""Processing — the main bronze->silver entry point (Processing.scala:34-351).
+
+Composes: bronze slice read (S1/S2) -> pipeline P1-P11 -> cache ->
+watermark capture/lookup -> strategy dispatch (Full / Merge / Historic) ->
+watermark write -> summary log -> unpersist.
+
+The single lazy transform chain is built once and cached; the (at most) four
+actions — isEmpty, watermark max-agg, distinct partition values, and the
+strategy's own writes/aggregations — reuse the cached slice
+(Processing.scala:93-121 "Combine all transformations ... before any actions").
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import logging
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakefoundation_spark import pipeline as P
+from datalakefoundation_spark import strategies as S
+from datalakefoundation_spark.core.exceptions import DatalakeException
+from datalakefoundation_spark.core.normalize import schema_compare
+from datalakefoundation_spark.logging_ import BufferedLogSink, ProcessingSummary
+from datalakefoundation_spark.metadata.models import Entity, Metadata
+from datalakefoundation_spark.tables.lake_table import LakeTable
+from datalakefoundation_spark.watermark import (
+    WatermarkStore,
+    build_watermark_values,
+    build_window_condition,
+    capture_max_values,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class Processing:
+    def __init__(
+        self,
+        spark: SparkSession,
+        metadata: Metadata,
+        entity: Entity | int,
+        slice_file: str,
+        options: dict[str, Any] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.metadata = metadata
+        self.entity = metadata.get_entity(entity) if isinstance(entity, int) else entity
+        self.slice_file = slice_file
+        self.options = options or {}
+        env = metadata.environment
+
+        self.prefix = env.systemfield_prefix
+        self.pk_name = f"PK_{self.entity.destination}"
+        self.output = self.entity.get_output()
+        settings = self.entity.merged_settings()
+        self.delete_missing = bool(
+            self.options.get("delete_missing", settings.get("delete_missing", False))
+        )
+        # processing.time override: invalid ISO -> error log + now (Processing.scala:58-73)
+        override = self.options.get("processing.time")
+        if override:
+            try:
+                _dt.datetime.fromisoformat(override)
+                self.processing_time = override
+            except ValueError:
+                logger.error("invalid processing.time %r; using now()", override)
+                self.processing_time = _dt.datetime.now().isoformat(sep=" ", timespec="seconds")
+        else:
+            self.processing_time = _dt.datetime.now().isoformat(sep=" ", timespec="seconds")
+
+        self.watermark_store = WatermarkStore(spark, env.root_folder)
+        self.log_sink: BufferedLogSink | None = None
+        if env.root_folder:
+            self.log_sink = BufferedLogSink(spark, f"{env.root_folder}/system/log", threshold=50)
+
+        self._cached_source: DataFrame | None = None
+        self._new_watermarks: dict[str, tuple[str, str | None]] = {}
+        self._stored_watermarks: dict[str, str | None] = {}
+        self._partition_values: list[dict[str, str]] = []
+
+    # ------------------------------------------------------------ source
+    def _read_bronze(self) -> DataFrame:
+        loc = self.output.bronzepath
+        if loc.kind == "table":
+            df = self.spark.read.table(loc.value)
+            return df  # slice filter applied by pipeline P5 (filter_to_slice)
+        return self.spark.read.parquet(f"{loc.value}/{self.slice_file}")
+
+    def get_source(self, historic: bool = False) -> DataFrame:
+        """Build the transform chain once, cache, run the bookkeeping actions,
+        memoize (Processing.scala:84-121)."""
+        if self._cached_source is not None:
+            return self._cached_source
+        e = self.entity
+        df = self._read_bronze()
+        df = P.apply_pipeline(
+            df,
+            destination=e.destination,
+            businesskeys=e.businesskeys,
+            transformations=[t.expressions for t in e.transformations],
+            calculated=e.calculated_columns,
+            casts=e.casts,
+            renames=e.renames,
+            slice_name=self.slice_file,
+            processing_time=self.processing_time,
+            prefix=self.prefix,
+            historic=historic,
+            bronze_is_table=self.output.bronzepath.kind == "table",
+            check_duplicates=bool(self.options.get("check_duplicates", True)),
+        )
+        df = df.cache()
+        if df.isEmpty():
+            logger.warning("slice %s for entity %s is empty", self.slice_file, e.name)
+        wm_cols = [w.column_name for w in e.watermarks]
+        self._new_watermarks = capture_max_values(df, wm_cols)
+        self._stored_watermarks = self.watermark_store.latest(e.id)
+        if e.partition_columns:
+            rows = (
+                df.select(
+                    *[F.col(c).cast("string").alias(c) for c in e.partition_columns]
+                )
+                .distinct()
+                .collect()
+            )
+            self._partition_values = [dict(r.asDict()) for r in rows]
+        self._cached_source = df
+        return df
+
+    # ------------------------------------------------------------ watermark
+    def current_watermarks(self) -> dict[str, str | None]:
+        """The slice's new max per watermark column (future bookmark)."""
+        return {c: v for c, (_t, v) in self._new_watermarks.items()}
+
+    def previous_watermarks(self) -> dict[str, str | None]:
+        return build_watermark_values(self.entity.watermarks, self._stored_watermarks)
+
+    def delete_window(self, qualifier: str = "t."):
+        """Inclusive previous<=col<=current window + partition IN-list for
+        whenNotMatchedBySource scoping (ProcessStrategy.scala:67-153)."""
+        src = self.get_source()
+        cond = build_window_condition(
+            src.schema,
+            self.entity.watermarks,
+            self.previous_watermarks(),
+            self.current_watermarks(),
+            qualifier=qualifier,
+        )
+        pcond = None
+        if self._partition_values:
+            pcond = F.lit(False)
+            for pv in self._partition_values:
+                c = F.lit(True)
+                for k, v in pv.items():
+                    c = c & (F.col(f"{qualifier}{k}").cast("string") == F.lit(v))
+                pcond = pcond | c
+        if cond is None:
+            return pcond
+        return cond if pcond is None else (cond & pcond)
+
+    # ------------------------------------------------------------ silver table
+    def silver_table(self) -> LakeTable:
+        loc = self.output.silverpath
+        env = self.metadata.environment
+        if loc.kind == "table":
+            # catalog output maps to a managed location under the root folder
+            path = f"{env.root_folder}/_catalog/{loc.value.replace('.', '/')}"
+        else:
+            path = loc.value
+        return LakeTable(self.spark, path, self.entity.partition_columns)
+
+    def is_first_run(self) -> bool:
+        """Only a cleanly-absent table counts as first run; a present-but-
+        unreadable manifest re-raises (ProcessStrategy.scala:44-65 — data
+        safety: never accidentally divert to a full overwrite)."""
+        table = self.silver_table()
+        try:
+            return not table.exists()
+        except Exception as exc:  # corrupt manifest etc.
+            raise DatalakeException(
+                f"cannot determine first-run state for {table.path}: {exc}"
+            ) from exc
+
+    # ------------------------------------------------------------ process
+    def process(self, strategy: str | None = None) -> ProcessingSummary:
+        strategy = (strategy or self.entity.process_strategy).lower()
+        if strategy == "delta":
+            strategy = "merge"
+        started = time.time()
+        if self.log_sink:
+            self.log_sink.log(
+                "Processing started",
+                run_id=f"{self.entity.id}",
+                data={"entity": self.entity.to_json(), "slice": self.slice_file},
+            )
+        try:
+            if strategy == "full":
+                summary = self._process_full()
+            elif strategy == "merge":
+                summary = self._process_merge()
+            elif strategy == "historic":
+                summary = self._process_historic()
+            else:
+                raise DatalakeException(f"unknown strategy: {strategy}")
+            summary.duration_ms = (time.time() - started) * 1000
+            self._write_watermarks()
+            if self.log_sink:
+                self.log_sink.log_summary(summary)
+            return summary
+        finally:
+            if self._cached_source is not None:
+                self._cached_source.unpersist()
+            if self.log_sink:
+                self.log_sink.flush()
+
+    def _write_watermarks(self) -> None:
+        # never clobber a stored bookmark with null (empty slice)
+        values = {c: tv for c, tv in self._new_watermarks.items() if tv[1] is not None}
+        if values:
+            self.watermark_store.write(self.entity.id, values)
+
+    # ------------------------------------------------------------ strategies
+    def _process_full(self, historic: bool = False) -> ProcessingSummary:
+        source = self.get_source(historic=historic)
+        n = source.count()
+        table = self.silver_table()
+        table.overwrite(
+            source,
+            dynamic=table.exists() and bool(self.entity.partition_columns),
+            metrics={"records_in_slice": n},
+        )
+        return ProcessingSummary(
+            entity_id=self.entity.id,
+            destination=self.entity.destination,
+            strategy="full",
+            records_in_slice=n,
+            inserted=n,
+            touched=n,
+        )
+
+    def _merge_like(self, historic: bool) -> ProcessingSummary:
+        source = self.get_source(historic=historic)
+        table = self.silver_table()
+        target = table.read()
+        drift = schema_compare(source, target)
+        if drift["added"] or drift["removed"]:
+            logger.warning(
+                "schema drift for %s: added=%s removed=%s",
+                self.entity.destination,
+                drift["added"],
+                drift["removed"],
+            )
+        # partition pruning: only read/rewrite partitions present in the slice
+        pvs = self._partition_values
+        if pvs:
+            target_pruned = target.where(table._partition_filter(pvs))
+        else:
+            target_pruned = target
+        window = self.delete_window() if self.delete_missing else None
+        fn = S.scd2_state if historic else S.merge_state
+        state = fn(
+            target_pruned,
+            source,
+            self.pk_name,
+            prefix=self.prefix,
+            processing_time=self.processing_time,
+            delete_window=window,
+            delete_missing=self.delete_missing,
+            with_action_column=True,
+        ).cache()
+        try:
+            counts = {
+                r["__action"]: r["n"]
+                for r in state.groupBy("__action").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            final = state.drop("__action")
+            if pvs:
+                table.replace_partitions(
+                    final, pvs, operation="historic" if historic else "merge"
+                )
+            else:
+                table.overwrite(final)
+            n = source.count()
+            if historic:
+                return ProcessingSummary(
+                    entity_id=self.entity.id,
+                    destination=self.entity.destination,
+                    strategy="historic",
+                    records_in_slice=n,
+                    updated=counts.get("new_version", 0),
+                    unchanged=counts.get("unchanged", 0),
+                    inserted=n - counts.get("new_version", 0) - counts.get("unchanged", 0),
+                    deleted=counts.get("delete_close", 0),
+                    inferred_deletes=counts.get("delete_close", 0),
+                    touched=n,
+                )
+            soft = counts.get("soft_delete", 0)
+            inserted = counts.get("insert", 0)
+            # identity: inserted + updated + deleted == records_in_slice
+            # (PROCESSING_STRATEGIES.md:124-140); inferred deletes are outside
+            # the slice so they are reported separately.
+            return ProcessingSummary(
+                entity_id=self.entity.id,
+                destination=self.entity.destination,
+                strategy="merge",
+                records_in_slice=n,
+                inserted=inserted,
+                updated=n - inserted - soft,
+                deleted=soft,
+                inferred_deletes=counts.get("infer_delete", 0),
+                touched=n,
+            )
+        finally:
+            state.unpersist()
+
+    def _process_merge(self) -> ProcessingSummary:
+        if self.is_first_run():
+            logger.info("first run for %s -> full load", self.entity.destination)
+            return self._process_full()
+        return self._merge_like(historic=False)
+
+    def _process_historic(self) -> ProcessingSummary:
+        if self.is_first_run():
+            logger.info("first run for %s -> full load (historic)", self.entity.destination)
+            return self._process_full(historic=True)
+        return self._merge_like(historic=True)

@@ -53,6 +53,7 @@ def merge_state(
     processing_time: str | None = None,
     delete_window: Column | None = None,
     delete_missing: bool = False,
+    with_action_column: bool = False,
 ) -> DataFrame:
     """Post-merge state of the 4-clause Delta merge J1-J5 (Merge.scala:96-125).
 
@@ -119,6 +120,16 @@ def merge_state(
         else:
             col = _nvl_pick(take_source_row, sc, tc)
         projections.append(col.alias(c))
+    if with_action_column:
+        projections.append(
+            F.when(matched & src_deleted, F.lit("soft_delete"))
+            .when(matched & hash_differs, F.lit("update"))
+            .when(matched, F.lit("touch"))
+            .when(src_only, F.lit("insert"))
+            .when(infer_delete, F.lit("infer_delete"))
+            .otherwise(F.lit("keep"))
+            .alias("__action")
+        )
     return joined.select(*projections)
 
 
@@ -130,6 +141,7 @@ def scd2_state(
     processing_time: str = "1970-01-01 00:00:00",
     delete_window: Column | None = None,
     delete_missing: bool = False,
+    with_action_column: bool = False,
 ) -> DataFrame:
     """Post-run SCD Type 2 state (Historic.scala:14-168, clauses J6-J8).
 
@@ -189,13 +201,28 @@ def scd2_state(
         else:
             col = tc
         a_proj.append(col.alias(c))
+    if with_action_column:
+        a_proj.append(
+            F.when(close_old, F.lit("close"))
+            .when(infer_delete, F.lit("delete_close"))
+            .when(matched, F.lit("unchanged"))
+            .otherwise(F.lit("keep"))
+            .alias("__action")
+        )
     branch_a = joined.where(~src_only).select(*a_proj)
 
     # Branch B: new current versions from source (insert or new-version append, J8)
     b_proj = [F.col(f"s.{c}").alias(c) for c in out_cols]
+    if with_action_column:
+        b_proj.append(
+            F.when(close_old, F.lit("new_version")).otherwise(F.lit("insert")).alias("__action")
+        )
     branch_b = joined.where(src_only | close_old).select(*b_proj)
 
-    return historical.select(*out_cols).unionByName(branch_a).unionByName(branch_b)
+    hist = historical.select(*out_cols)
+    if with_action_column:
+        hist = hist.withColumn("__action", F.lit("historical"))
+    return hist.unionByName(branch_a).unionByName(branch_b)
 
 
 def merge_metrics(

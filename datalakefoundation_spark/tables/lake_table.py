@@ -1,0 +1,330 @@
+"""LakeTable — a minimal write-once versioned-Parquet lakehouse table.
+
+This environment ships no Delta/Iceberg jars, so the silver layer is backed
+by this self-contained format with the same operational properties the
+strategies need:
+
+  <root>/
+    _manifest/v00000.json ...   (one JSON per committed version; latest wins)
+    data/v00000/ ...            (immutable parquet segments, optionally
+                                 hive-partitioned via partitionBy)
+
+A manifest lists *segments*; each segment owns either the whole table
+(unpartitioned) or an explicit set of partition values. Reads union the
+segments, filtering each to the partitions it still owns — the same
+file-provenance idea Delta's log encodes, at partition granularity.
+
+Why this scales:
+* Writes are never in-place: a merge writes ONLY the touched partitions
+  into a fresh segment directory and flips the manifest — identical I/O
+  shape to Delta's copy-on-write MERGE, and crash-safe via
+  write-temp-then-rename of the manifest file.
+* Reads prune: the per-segment partition filter is an ordinary predicate
+  on hive partition directories, so Spark's partition discovery skips
+  non-owned directories entirely (no data I/O).
+* Dynamic partition overwrite (Full loads) replaces ownership of exactly
+  the partitions present in the incoming slice (Full.scala:38-50 parity).
+* Old versions remain readable (time travel) until `vacuum()`.
+
+Single-writer assumption (same as the reference's per-entity Processing
+run); concurrent writers would need a lock/CAS on the manifest commit,
+which object stores provide via conditional puts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Segment:
+    dir: str
+    # None => owns the whole (unpartitioned) table.
+    # Otherwise: list of partition-value dicts {col: string_value}.
+    partitions: list[dict[str, str]] | None = None
+
+
+@dataclass
+class Manifest:
+    version: int
+    partition_by: list[str] = field(default_factory=list)
+    segments: list[Segment] = field(default_factory=list)
+    operation: str = ""
+    timestamp: float = 0.0
+    metrics: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "partition_by": self.partition_by,
+                "segments": [
+                    {"dir": s.dir, "partitions": s.partitions} for s in self.segments
+                ],
+                "operation": self.operation,
+                "timestamp": self.timestamp,
+                "metrics": self.metrics,
+            },
+            indent=1,
+        )
+
+    @classmethod
+    def from_json(cls, text: str) -> "Manifest":
+        obj = json.loads(text)
+        return cls(
+            version=obj["version"],
+            partition_by=list(obj.get("partition_by", [])),
+            segments=[
+                Segment(dir=s["dir"], partitions=s.get("partitions"))
+                for s in obj.get("segments", [])
+            ],
+            operation=obj.get("operation", ""),
+            timestamp=obj.get("timestamp", 0.0),
+            metrics=obj.get("metrics", {}),
+        )
+
+
+def _pv_key(pv: dict[str, str]) -> tuple:
+    return tuple(sorted(pv.items()))
+
+
+class LakeTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_by: Sequence[str] = (),
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.partition_by = list(partition_by)
+
+    # ------------------------------------------------------------ manifest io
+    @property
+    def _manifest_dir(self) -> str:
+        return f"{self.path}/_manifest"
+
+    def latest_manifest(self) -> Manifest | None:
+        d = self._manifest_dir
+        if not os.path.isdir(d):
+            return None
+        versions = sorted(f for f in os.listdir(d) if f.endswith(".json"))
+        if not versions:
+            return None
+        with open(os.path.join(d, versions[-1])) as fh:
+            return Manifest.from_json(fh.read())
+
+    def manifest_at(self, version: int) -> Manifest:
+        with open(os.path.join(self._manifest_dir, f"v{version:05d}.json")) as fh:
+            return Manifest.from_json(fh.read())
+
+    def exists(self) -> bool:
+        return self.latest_manifest() is not None
+
+    def _commit(self, manifest: Manifest) -> None:
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        final = os.path.join(self._manifest_dir, f"v{manifest.version:05d}.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(manifest.to_json())
+        os.rename(tmp, final)  # atomic manifest flip
+
+    # ------------------------------------------------------------ segment io
+    def _write_segment(self, df: DataFrame) -> str:
+        mf = self.latest_manifest()
+        next_v = (mf.version + 1) if mf else 0
+        seg_rel = f"data/v{next_v:05d}"
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(f"{self.path}/{seg_rel}")
+        return seg_rel
+
+    def _partition_values(self, df: DataFrame) -> list[dict[str, str]]:
+        """Distinct partition values present in df (Processing.scala:144-156).
+        One small distinct-agg job; values come back as strings to match
+        hive partition-dir encoding."""
+        if not self.partition_by:
+            return []
+        rows = (
+            df.select(*[F.col(c).cast("string").alias(c) for c in self.partition_by])
+            .distinct()
+            .collect()
+        )
+        return [dict(r.asDict()) for r in rows]
+
+    def _partition_filter(self, pvs: list[dict[str, str]]) -> Column:
+        cond = F.lit(False)
+        for pv in pvs:
+            c = F.lit(True)
+            for k, v in pv.items():
+                c = c & (F.col(k).cast("string") == F.lit(v))
+            cond = cond | c
+        return cond
+
+    # ------------------------------------------------------------ read
+    def read(self, version: int | None = None) -> DataFrame:
+        mf = self.manifest_at(version) if version is not None else self.latest_manifest()
+        if mf is None:
+            raise FileNotFoundError(f"LakeTable does not exist: {self.path}")
+        parts: list[DataFrame] = []
+        for seg in mf.segments:
+            df = self.spark.read.parquet(f"{self.path}/{seg.dir}")
+            if seg.partitions is not None and self.partition_by:
+                # equality predicates on hive partition dirs -> pure dir pruning
+                df = df.where(self._partition_filter(seg.partitions))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    # ------------------------------------------------------------ write ops
+    def overwrite(self, df: DataFrame, dynamic: bool = False, metrics: dict | None = None) -> None:
+        """Full overwrite, or dynamic partition overwrite (only partitions
+        present in df are replaced — Full.scala:38-50)."""
+        mf = self.latest_manifest()
+        seg_rel = self._write_segment(df)
+        next_v = (mf.version + 1) if mf else 0
+        if not dynamic or not self.partition_by or mf is None:
+            segments = [Segment(seg_rel, None if not self.partition_by else self._read_segment_partitions(seg_rel))]
+        else:
+            new_pvs = self._read_segment_partitions(seg_rel)
+            new_keys = {_pv_key(pv) for pv in new_pvs}
+            segments = []
+            for seg in mf.segments:
+                if seg.partitions is None:
+                    continue  # fully replaced below is wrong; but unpartitioned+dynamic can't happen
+                kept = [pv for pv in seg.partitions if _pv_key(pv) not in new_keys]
+                if kept:
+                    segments.append(Segment(seg.dir, kept))
+            segments.append(Segment(seg_rel, new_pvs))
+        self._commit(
+            Manifest(
+                version=next_v,
+                partition_by=self.partition_by,
+                segments=segments,
+                operation="overwrite_dynamic" if dynamic else "overwrite",
+                timestamp=time.time(),
+                metrics=metrics or {},
+            )
+        )
+
+    def append(self, df: DataFrame, metrics: dict | None = None) -> None:
+        mf = self.latest_manifest()
+        seg_rel = self._write_segment(df)
+        next_v = (mf.version + 1) if mf else 0
+        segments = list(mf.segments) if mf else []
+        segments.append(
+            Segment(seg_rel, None if not self.partition_by else self._read_segment_partitions(seg_rel))
+        )
+        self._commit(
+            Manifest(
+                version=next_v,
+                partition_by=self.partition_by,
+                segments=segments,
+                operation="append",
+                timestamp=time.time(),
+                metrics=metrics or {},
+            )
+        )
+
+    def replace_partitions(
+        self,
+        df: DataFrame,
+        partition_values: list[dict[str, str]],
+        metrics: dict | None = None,
+        operation: str = "merge",
+    ) -> None:
+        """Copy-on-write commit: df becomes the new content of exactly
+        ``partition_values``; every other partition keeps its current segment.
+        This is the merge/SCD2 write path — touched partitions written once."""
+        mf = self.latest_manifest()
+        if mf is None:
+            raise FileNotFoundError(f"LakeTable does not exist: {self.path}")
+        seg_rel = self._write_segment(df)
+        # Rows may land outside the requested partitions (a merge that updates
+        # a partition column). Those extra partitions get co-owned by the new
+        # segment so the rows stay visible (matches the reference's Delta
+        # behavior where a partition-moving update inserts alongside the old
+        # row); the old owners are NOT dropped for them.
+        written = {_pv_key(pv): pv for pv in self._read_segment_partitions(seg_rel)}
+        requested = {_pv_key(pv) for pv in partition_values}
+        extra = [pv for k, pv in written.items() if k not in requested]
+        partition_values = list(partition_values) + extra
+        replaced = requested
+        segments = []
+        for seg in mf.segments:
+            if seg.partitions is None:
+                continue  # unpartitioned tables replace wholesale via overwrite()
+            kept = [pv for pv in seg.partitions if _pv_key(pv) not in replaced]
+            if kept:
+                segments.append(Segment(seg.dir, kept))
+        segments.append(Segment(seg_rel, partition_values))
+        self._commit(
+            Manifest(
+                version=mf.version + 1,
+                partition_by=self.partition_by,
+                segments=segments,
+                operation=operation,
+                timestamp=time.time(),
+                metrics=metrics or {},
+            )
+        )
+
+    # ------------------------------------------------------------ maintenance
+    def _read_segment_partitions(self, seg_rel: str) -> list[dict[str, str]]:
+        """Partition values of a written segment, from its hive directory
+        names — pure filesystem listing, no data read."""
+        base = f"{self.path}/{seg_rel}"
+        out: list[dict[str, str]] = []
+
+        def walk(d: str, acc: dict[str, str], depth: int) -> None:
+            if depth == len(self.partition_by):
+                out.append(dict(acc))
+                return
+            for name in os.listdir(d):
+                if "=" in name and os.path.isdir(os.path.join(d, name)):
+                    k, _, v = name.partition("=")
+                    walk(os.path.join(d, name), {**acc, k: v}, depth + 1)
+
+        walk(base, {}, 0)
+        return out
+
+    def vacuum(self) -> list[str]:
+        """Delete segment dirs + manifests not referenced by the latest version."""
+        mf = self.latest_manifest()
+        if mf is None:
+            return []
+        live = {s.dir for s in mf.segments}
+        removed = []
+        data_dir = f"{self.path}/data"
+        if os.path.isdir(data_dir):
+            for name in os.listdir(data_dir):
+                rel = f"data/{name}"
+                if rel not in live:
+                    shutil.rmtree(f"{self.path}/{rel}", ignore_errors=True)
+                    removed.append(rel)
+        for name in os.listdir(self._manifest_dir):
+            if name.endswith(".json") and name != f"v{mf.version:05d}.json":
+                os.remove(os.path.join(self._manifest_dir, name))
+        return removed
+
+    def history(self) -> list[Manifest]:
+        d = self._manifest_dir
+        if not os.path.isdir(d):
+            return []
+        return [
+            Manifest.from_json(open(os.path.join(d, f)).read())
+            for f in sorted(os.listdir(d))
+            if f.endswith(".json")
+        ]

@@ -1,0 +1,167 @@
+"""Watermark system table + incremental-window builder.
+
+Reference: core/WatermarkData.scala:12-96 (system Delta table
+``<root>/system/watermark`` partitioned by (entity_id, column_name), values
+stored as strings with their type name), Processing.scala:123-142 (max-agg
+capture + stored lookup), ProcessStrategy.scala:86-153 (inclusive
+current-vs-previous window scoping delete inference).
+
+"Watermark" here is a *batch incremental bookmark*, not a streaming
+event-time watermark (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from datalakefoundation_spark.core.expressions import evaluate_watermark_expression
+from datalakefoundation_spark.metadata.models import Watermark
+from datalakefoundation_spark.tables.lake_table import LakeTable
+
+WATERMARK_SCHEMA = T.StructType(
+    [
+        T.StructField("entity_id", T.IntegerType()),
+        T.StructField("column_name", T.StringType()),
+        T.StructField("timestamp", T.TimestampNTZType()),
+        T.StructField("source_type", T.StringType()),
+        T.StructField("value", T.StringType()),  # None encodes a Reset
+    ]
+)
+
+
+class WatermarkStore:
+    """Append-only bookmark table; latest row per (entity, column) wins."""
+
+    def __init__(self, spark: SparkSession, root_folder: str) -> None:
+        self.spark = spark
+        self.table = LakeTable(spark, f"{root_folder}/system/watermark")
+
+    def write(self, entity_id: int, values: dict[str, tuple[str, str | None]]) -> None:
+        """values: column -> (source_type, value-as-string|None)."""
+        now = _dt.datetime.now()
+        rows = [
+            Row(
+                entity_id=entity_id,
+                column_name=col,
+                timestamp=now,
+                source_type=st,
+                value=val,
+            )
+            for col, (st, val) in values.items()
+        ]
+        if not rows:
+            return
+        df = self.spark.createDataFrame(rows, WATERMARK_SCHEMA)
+        if self.table.exists():
+            self.table.append(df)
+        else:
+            self.table.overwrite(df)
+
+    def reset(self, entity_id: int, column_name: str) -> None:
+        """A None-valued row clears the bookmark (WatermarkData.scala:68-96)."""
+        self.write(entity_id, {column_name: ("None", None)})
+
+    def latest(self, entity_id: int) -> dict[str, str | None]:
+        """Latest stored value per column for an entity — window/row_number
+        formulation (scales; the reference sorts+heads per column)."""
+        if not self.table.exists():
+            return {}
+        df = self.table.read().where(F.col("entity_id") == entity_id)
+        w = Window.partitionBy("column_name").orderBy(F.desc("timestamp"))
+        rows = (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("column_name", "value")
+            .collect()
+        )
+        return {r["column_name"]: r["value"] for r in rows}
+
+
+def capture_max_values(df: DataFrame, columns: Sequence[str]) -> dict[str, tuple[str, str | None]]:
+    """One multi-column max-agg action (Processing.scala:123-135)."""
+    present = [c for c in columns if c in df.columns]
+    if not present:
+        return {}
+    row = df.agg(*[F.max(F.col(c)).alias(c) for c in present]).head()
+    out: dict[str, tuple[str, str | None]] = {}
+    for c in present:
+        v = row[c]
+        out[c] = (type(v).__name__, None if v is None else str(v))
+    return out
+
+
+def _strip_quotes(v: str) -> str:
+    v = v.strip()
+    if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+        return v[1:-1]  # ProcessStrategy.scala:126-127
+    return v
+
+
+def build_watermark_values(
+    watermarks: Sequence[Watermark], stored: dict[str, str | None]
+) -> dict[str, str | None]:
+    """Evaluate each watermark's expression against its stored last value.
+    Eval failure or missing bookmark -> None -> filter skipped
+    (Watermark.scala:44-53)."""
+    out: dict[str, str | None] = {}
+    for wm in watermarks:
+        last = stored.get(wm.column_name)
+        if last is None:
+            out[wm.column_name] = None
+            continue
+        val = evaluate_watermark_expression(wm.expression, last)
+        out[wm.column_name] = None if val is None else _strip_quotes(val)
+    return out
+
+
+def build_window_condition(
+    df_schema,
+    watermarks: Sequence[Watermark],
+    previous: dict[str, str | None],
+    current: dict[str, str | None],
+    qualifier: str = "",
+) -> Column | None:
+    """Inclusive window ``col >= previous AND col <= current`` per watermark
+    column, cast to the column's type; columns missing from the schema or
+    with absent bounds are skipped (ProcessStrategy.scala:86-153).
+
+    Groups: conditions inside an operation_group combine with each
+    watermark's ``operation`` (and/or); groups combine with AND.
+    ``qualifier`` prefixes column refs (e.g. "t." inside a join).
+    """
+    fields = {f.name: f.dataType.simpleString() for f in df_schema.fields}
+    groups: dict[int, Column] = {}
+    for wm in watermarks:
+        if wm.column_name not in fields:
+            continue  # missing-column skip (ProcessStrategy.scala:137-139)
+        dtype = fields[wm.column_name]
+        prev_v = previous.get(wm.column_name)
+        cur_v = current.get(wm.column_name)
+        col = F.col(f"{qualifier}{wm.column_name}")
+        conds = []
+        if prev_v is not None:
+            conds.append(col >= F.lit(_strip_quotes(prev_v)).cast(dtype))
+        if cur_v is not None:
+            conds.append(col <= F.lit(_strip_quotes(cur_v)).cast(dtype))
+        if not conds:
+            continue
+        c = conds[0]
+        for extra in conds[1:]:
+            c = c & extra
+        g = wm.operation_group
+        if g in groups:
+            groups[g] = (groups[g] | c) if wm.operation == "or" else (groups[g] & c)
+        else:
+            groups[g] = c
+    if not groups:
+        return None
+    out = None
+    for g in sorted(groups):
+        out = groups[g] if out is None else (out & groups[g])
+    return out

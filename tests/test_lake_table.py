@@ -1,0 +1,77 @@
+from pyspark.sql import functions as F
+
+from datalakefoundation_spark.tables.lake_table import LakeTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, p string, v string")
+
+
+def test_overwrite_and_read(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t1"))
+    assert not t.exists()
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))
+    assert t.exists()
+    assert t.read().count() == 2
+    t.overwrite(_df(spark, [(3, "a", "z")]))
+    assert t.read().count() == 1
+    assert t.latest_manifest().version == 1
+
+
+def test_append(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t2"))
+    t.overwrite(_df(spark, [(1, "a", "x")]))
+    t.append(_df(spark, [(2, "b", "y")]))
+    assert t.read().count() == 2
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t3"), partition_by=["p"])
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "b", "z")]))
+    # dynamic overwrite of partition 'b' only
+    t.overwrite(_df(spark, [(9, "b", "new")]), dynamic=True)
+    out = {(r["k"], r["p"]) for r in t.read().collect()}
+    assert out == {(1, "a"), (9, "b")}
+
+
+def test_replace_partitions_cow(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t4"), partition_by=["p"])
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))
+    t.replace_partitions(_df(spark, [(5, "a", "x2")]), [{"p": "a"}])
+    out = {(r["k"], r["p"]) for r in t.read().collect()}
+    assert out == {(5, "a"), (2, "b")}
+    # the untouched partition still points at the ORIGINAL segment (no rewrite)
+    mf = t.latest_manifest()
+    dirs = {seg.dir for seg in mf.segments}
+    assert "data/v00000" in dirs and "data/v00001" in dirs
+
+
+def test_partition_move_keeps_row_visible(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t5"), partition_by=["p"])
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))
+    # merge result writes a row that moved from partition a to c
+    t.replace_partitions(_df(spark, [(1, "c", "moved")]), [{"p": "a"}])
+    out = {(r["k"], r["p"]) for r in t.read().collect()}
+    assert (1, "c") in out and (2, "b") in out
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t6"))
+    t.overwrite(_df(spark, [(1, "a", "x")]))
+    t.overwrite(_df(spark, [(2, "b", "y")]))
+    assert t.read(version=0).head()["k"] == 1
+    assert t.read().head()["k"] == 2
+    assert len(t.history()) == 2
+    removed = t.vacuum()
+    assert removed == ["data/v00000"]
+    assert t.read().head()["k"] == 2
+
+
+def test_schema_evolution_union(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t7"))
+    t.overwrite(_df(spark, [(1, "a", "x")]))
+    wider = spark.createDataFrame([(2, "b", "y", 1.5)], "k int, p string, v string, extra double")
+    t.append(wider)
+    out = t.read()
+    assert "extra" in out.columns
+    assert out.where(F.col("extra").isNull()).count() == 1

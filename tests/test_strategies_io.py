@@ -1,0 +1,304 @@
+"""End-to-end strategy tests: write bronze slice -> Processing.process ->
+read silver LakeTable -> assert rows/columns/metrics (reference style:
+FullProcessingSpec / MergeProcessingSpec / HistoricProcessingSpec /
+InferDeletesSpec)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakefoundation_spark.core.exceptions import (
+    CalculatedColumnException,
+    DuplicateBusinesskeyException,
+)
+from datalakefoundation_spark.processing import Processing
+from tests.helpers import T0, T1, T2, make_metadata, rows_v1, write_slice
+
+
+def silver(processing):
+    return processing.silver_table().read()
+
+
+def test_full_load(spark, lake_root, prefix):
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(10))
+    p = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    summary = p.process("full")
+    assert summary.records_in_slice == 10
+    assert summary.inserted == 10
+    out = silver(p)
+    assert out.count() == 10
+    cols = set(out.columns)
+    assert f"{prefix}SourceHash" in cols
+    assert f"{prefix}deleted" in cols
+    assert f"{prefix}lastSeen" in cols
+    assert f"{prefix}source_filename" in cols
+    assert "PK_person" in cols
+    assert out.where(F.col(f"{prefix}deleted")).count() == 0
+
+
+def test_full_overwrite_rerun(spark, lake_root, prefix):
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(10))
+    write_slice(spark, md, "s2.parquet", rows_v1(4))
+    Processing(spark, md, 1, "s1.parquet", {"processing.time": T0}).process("full")
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    p2.process("full")
+    assert silver(p2).count() == 4
+
+
+def test_merge_first_run_diverts_to_full(spark, lake_root, prefix):
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(10))
+    p = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    summary = p.process()  # entity processtype=merge
+    assert summary.strategy == "full"
+    assert silver(p).count() == 10
+
+
+def test_merge_upsert_and_touch(spark, lake_root, prefix):
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(10))
+    Processing(spark, md, 1, "s1.parquet", {"processing.time": T0}).process()
+    # slice2: update rows 0-2 (changed data), insert rows 10-11, touch 3-9
+    rows2 = rows_v1(12)
+    for r in rows2[:3]:
+        r["data"] = r["data"] + "_changed"
+    write_slice(spark, md, "s2.parquet", rows2)
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    summary = p2.process()
+    assert summary.strategy == "merge"
+    assert summary.records_in_slice == 12
+    assert summary.inserted == 2
+    assert summary.updated == 10  # 3 hash-changed + 7 touched
+    assert summary.deleted == 0
+    # identity: inserted + updated + deleted == records_in_slice
+    assert summary.inserted + summary.updated + summary.deleted == 12
+    out = silver(p2)
+    assert out.count() == 12
+    changed = out.where(F.col("data").endswith("_changed"))
+    assert changed.count() == 3
+    # every source-matched row got the new lastSeen
+    ls = f"{prefix}lastSeen"
+    touched = out.where(F.col(ls) == F.lit(T1).cast("timestamp_ntz"))
+    assert touched.count() == 12
+
+
+def test_merge_soft_delete(spark, lake_root, prefix):
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(10))
+    Processing(spark, md, 1, "s1.parquet", {"processing.time": T0}).process()
+    rows2 = rows_v1(10)
+    for r in rows2:
+        r[f"{prefix}deleted"] = r["ID"] in (1, 2)
+    write_slice(spark, md, "s2.parquet", rows2)
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    summary = p2.process()
+    assert summary.deleted == 2
+    out = silver(p2)
+    assert out.where(F.col(f"{prefix}deleted")).count() == 2
+    assert out.count() == 10
+
+
+def test_delete_inference_window(spark, lake_root, prefix):
+    """Rows missing from the slice are soft-deleted only inside the
+    watermark window (InferDeletesSpec scenarios 1/4)."""
+    md = make_metadata(lake_root, prefix, delete_missing=True)
+    write_slice(spark, md, "s1.parquet", rows_v1(10))
+    Processing(spark, md, 1, "s1.parquet", {"processing.time": T0}).process()
+    # second slice: only rows 5..9, SeqNr watermark now spans 5..9;
+    # window = [previous_max(9)... wait previous stored max is 9 from slice1
+    # -> window [9,9]; drop row 9? keep rows 5..9 minus... use rows 4..8:
+    rows2 = [r for r in rows_v1(10) if 4 <= r["ID"] <= 8]
+    write_slice(spark, md, "s2.parquet", rows2)
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    p2.process()
+    out = silver(p2)
+    deleted = {r["ID"] for r in out.where(F.col(f"{prefix}deleted")).collect()}
+    # window: SeqNr >= previous stored (9) AND <= current max (8) -> empty window
+    # nothing deleted (strict parity: inclusive bounds produce an empty range)
+    assert deleted == set()
+
+
+def test_delete_inference_basic(spark, lake_root, prefix):
+    """Without a stored previous watermark beyond range, missing rows inside
+    the current window get soft-deleted."""
+    md = make_metadata(lake_root, prefix, delete_missing=True)
+    write_slice(spark, md, "s1.parquet", rows_v1(6))  # SeqNr 0..5, stored max 5
+    Processing(spark, md, 1, "s1.parquet", {"processing.time": T0}).process()
+    # slice2 keeps 0,1,2 and 5..7: missing 3,4 (SeqNr window [5..7] from stored 5
+    # to new max 7) -> 3,4 are OUTSIDE window (SeqNr 3,4 < 5) -> not deleted
+    rows2 = [r for r in rows_v1(8) if r["ID"] in (0, 1, 2, 5, 6, 7)]
+    write_slice(spark, md, "s2.parquet", rows2)
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    p2.process()
+    out = silver(p2)
+    assert out.where(F.col(f"{prefix}deleted")).count() == 0
+
+    # slice3: full range present except 1 and 6; window [7 (stored), 9 (new max)]
+    rows3 = [r for r in rows_v1(10) if r["ID"] not in (1, 6)]
+    write_slice(spark, md, "s3.parquet", rows3)
+    p3 = Processing(spark, md, 1, "s3.parquet", {"processing.time": T2})
+    p3.process()
+    out3 = silver(p3)
+    deleted = {r["ID"] for r in out3.where(F.col(f"{prefix}deleted")).collect()}
+    # row 1 (SeqNr 1) outside window [7,9] -> kept; row 6 (SeqNr 6) also outside
+    assert deleted == set()
+    assert out3.count() == 10
+
+
+def test_delete_inference_inside_window(spark, lake_root, prefix):
+    """Missing row whose watermark value lies inside [previous, current]."""
+    md = make_metadata(lake_root, prefix, delete_missing=True)
+    rows1 = [{"ID": i, "SeqNr": 5, "name": f"n{i}", "data": f"d{i}"} for i in range(6)]
+    write_slice(spark, md, "s1.parquet", rows1)
+    Processing(spark, md, 1, "s1.parquet", {"processing.time": T0}).process()
+    # all rows share SeqNr 5 -> stored max 5. slice2: rows 0..3 with SeqNr 6,
+    # missing 4,5 (their SeqNr 5 >= previous 5? window [5,6] includes 5 -> deleted)
+    rows2 = [{"ID": i, "SeqNr": 6, "name": f"n{i}", "data": f"d{i}x"} for i in range(4)]
+    write_slice(spark, md, "s2.parquet", rows2)
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    summary = p2.process()
+    out = silver(p2)
+    deleted = {r["ID"] for r in out.where(F.col(f"{prefix}deleted")).collect()}
+    assert deleted == {4, 5}
+    assert summary.inferred_deletes == 2
+    assert summary.inserted + summary.updated + summary.deleted == summary.records_in_slice
+    # already-deleted rows are not re-deleted on the next run (scenario 3)
+    rows3 = [{"ID": i, "SeqNr": 7, "name": f"n{i}", "data": f"d{i}y"} for i in range(4)]
+    write_slice(spark, md, "s3.parquet", rows3)
+    p3 = Processing(spark, md, 1, "s3.parquet", {"processing.time": T2})
+    s3 = p3.process()
+    assert s3.inferred_deletes == 0
+
+
+def test_historic_scd2_chain(spark, lake_root, prefix):
+    md = make_metadata(lake_root, prefix, processtype="historic")
+    write_slice(spark, md, "s1.parquet", rows_v1(6))
+    p1 = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    s1 = p1.process()
+    assert s1.strategy == "full"
+    out1 = silver(p1)
+    assert out1.where(F.col(f"{prefix}IsCurrent")).count() == 6
+
+    rows2 = rows_v1(7)
+    rows2[0]["data"] = "data0_v2"
+    rows2[1]["data"] = "data1_v2"
+    write_slice(spark, md, "s2.parquet", rows2)
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    s2 = p2.process()
+    assert s2.strategy == "historic"
+    assert s2.updated == 2      # new versions
+    assert s2.unchanged == 4
+    assert s2.inserted == 1     # row 6
+    assert s2.inserted + s2.updated + s2.unchanged == s2.records_in_slice == 7
+
+    out = silver(p2)
+    assert out.count() == 9  # 6 original + 2 new versions + 1 insert
+    cur = out.where(F.col(f"{prefix}IsCurrent"))
+    assert cur.count() == 7
+    # version chaining: old ValidTo == new ValidFrom == T1 for changed IDs
+    vf, vt = f"{prefix}ValidFrom", f"{prefix}ValidTo"
+    old0 = out.where((F.col("ID") == 0) & ~F.col(f"{prefix}IsCurrent")).head()
+    new0 = out.where((F.col("ID") == 0) & F.col(f"{prefix}IsCurrent")).head()
+    assert str(old0[vt]) == str(new0[vf])
+    assert new0["data"] == "data0_v2"
+
+
+def test_historic_delete_inference_only_current(spark, lake_root, prefix):
+    md = make_metadata(lake_root, prefix, processtype="historic", delete_missing=True)
+    rows1 = [{"ID": i, "SeqNr": 5, "name": f"n{i}", "data": f"d{i}"} for i in range(5)]
+    write_slice(spark, md, "s1.parquet", rows1)
+    Processing(spark, md, 1, "s1.parquet", {"processing.time": T0}).process()
+    rows2 = [{"ID": i, "SeqNr": 6, "name": f"n{i}", "data": f"d{i}v2"} for i in range(3)]
+    write_slice(spark, md, "s2.parquet", rows2)
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    s2 = p2.process()
+    out = silver(p2)
+    # IDs 3,4 missing, SeqNr 5 inside [5,6] -> closed + deleted
+    dele = out.where(F.col(f"{prefix}deleted"))
+    assert {r["ID"] for r in dele.collect()} == {3, 4}
+    assert dele.where(F.col(f"{prefix}IsCurrent")).count() == 0
+    assert s2.deleted == 2
+    # changed rows got new versions; deleted rows did not
+    assert out.count() == 8  # 5 + 3 new versions
+
+
+def test_partitioned_merge_prunes(spark, lake_root, prefix):
+    """Partitioned entity: merge rewrites only partitions present in slice."""
+    md = make_metadata(lake_root, prefix, partitioned=True)
+    write_slice(spark, md, "s1.parquet", rows_v1(10))
+    p1 = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    p1.process()
+    table = p1.silver_table()
+    v1 = table.latest_manifest().version
+    # slice with only even IDs -> partition Administration=0 only
+    rows2 = [r for r in rows_v1(10) if r["ID"] % 2 == 0]
+    for r in rows2:
+        r["data"] += "_v2"
+    write_slice(spark, md, "s2.parquet", rows2)
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    summary = p2.process()
+    assert summary.updated == 5
+    out = silver(p2)
+    assert out.count() == 10
+    assert out.where(F.col("data").endswith("_v2")).count() == 5
+    # odd partition rows untouched (lastSeen still T0)
+    odd = out.where(F.col("Administration") == 1)
+    assert odd.where(F.col(f"{prefix}lastSeen") == F.lit(T0).cast("timestamp_ntz")).count() == 5
+    mf = table.latest_manifest()
+    assert mf.version == v1 + 1
+    # the old segment still owns the odd partition, new segment owns even
+    owners = {
+        frozenset(tuple(pv.items()) for pv in seg.partitions or []) for seg in mf.segments
+    }
+    assert len(mf.segments) == 2
+
+
+def test_duplicate_businesskey_raises(spark, lake_root, prefix):
+    md = make_metadata(lake_root, prefix)
+    rows = rows_v1(5) + [dict(rows_v1(5)[0])]
+    write_slice(spark, md, "s1.parquet", rows)
+    p = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    with pytest.raises(DuplicateBusinesskeyException):
+        p.process()
+
+
+def test_invalid_calculated_column_fatal(spark, lake_root, prefix):
+    md = make_metadata(lake_root, prefix)
+    entity = md.get_entity(1)
+    entity.columns.append(
+        type(entity.columns[0])(
+            name="", newname="bad", fieldroles=["calculated"], expression="nonexistent_fn(1"
+        )
+    )
+    write_slice(spark, md, "s1.parquet", rows_v1(3))
+    p = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    with pytest.raises(CalculatedColumnException) as exc:
+        p.process()
+    assert "bad" in str(exc.value)
+
+
+def test_empty_slice(spark, lake_root, prefix):
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(5))
+    Processing(spark, md, 1, "s1.parquet", {"processing.time": T0}).process()
+    empty = [r for r in rows_v1(5) if False]
+    df = spark.createDataFrame([], "ID bigint, SeqNr bigint, name string, data string")
+    entity = md.get_entity(1)
+    df.write.mode("overwrite").parquet(f"{entity.get_output().bronzepath.value}/s2.parquet")
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    summary = p2.process()
+    assert summary.records_in_slice == 0
+    assert silver(p2).count() == 5
+
+
+def test_watermark_persistence(spark, lake_root, prefix):
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(10))
+    p = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    p.process()
+    stored = p.watermark_store.latest(1)
+    assert stored["SeqNr"] == "9"
+    # reset writes a None row that clears the bookmark
+    p.watermark_store.reset(1, "SeqNr")
+    assert p.watermark_store.latest(1)["SeqNr"] is None
