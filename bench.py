@@ -1,0 +1,127 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Queries are forced end-to-end with the noop sink (full computation of every
+column, no sink cost). Also mirrors the reference's own benchmark shape
+(BenchmarkSpec.scala: warm-up, then timed Full / Merge / Historic loads of a
+10k-row slice) under keys load_full_10k / load_merge_10k / load_historic_10k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datalakefoundation_spark.session import get_spark  # noqa: E402
+from datalakefoundation_spark.verification import all_queries  # noqa: E402
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_join_agg",
+    "q_latest_per_key",
+    "q_source_hash",
+    "q_merge_upsert",
+    "q_delete_inference",
+    "q_scd2_versions",
+    "q_text_stats",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_knn_topk",
+    "q_ann_lsh",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    registry = all_queries()
+    times: dict[str, float] = {}
+    # warm-up: JIT + parquet footer caches (reference BenchmarkSpec.scala:13-18)
+    _force(registry["q_pricing_summary"][0](spark, sf_dir))
+    for name in HEADLINE:
+        fn = registry[name][0]
+        start = time.time()
+        _force(fn(spark, sf_dir))
+        times[name] = round(time.time() - start, 3)
+    return times
+
+
+def bench_loads(spark, sf_dir: str) -> dict[str, float]:
+    """Reference-shaped load benchmarks: 10k-row slice through the full
+    bronze->silver Processing path (pipeline + write + watermarks)."""
+    from datalakefoundation_spark.processing import Processing
+    from tests.helpers import make_metadata
+
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="dlf_bench_")
+    times: dict[str, float] = {}
+    try:
+        orders = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(
+                F.col("o_orderkey").alias("ID"),
+                F.col("o_orderkey").alias("SeqNr"),
+                F.col("o_orderstatus").alias("name"),
+                F.col("o_orderpriority").alias("data"),
+            )
+            .limit(10000)
+        )
+        for strategy in ("full", "merge", "historic"):
+            md = make_metadata(f"{root}/{strategy}", processtype=strategy)
+            bronze = md.get_entity(1).get_output().bronzepath.value
+            orders.write.mode("overwrite").parquet(f"{bronze}/s1.parquet")
+            slice2 = orders.withColumn(
+                "data",
+                F.when(F.col("ID") % 3 == 0, F.concat(F.col("data"), F.lit("_v2"))).otherwise(
+                    F.col("data")
+                ),
+            )
+            slice2.write.mode("overwrite").parquet(f"{bronze}/s2.parquet")
+            # first run (target creation) is setup, not the measured op
+            Processing(spark, md, 1, "s1.parquet", {"processing.time": "2026-01-01 00:00:00"}).process()
+            start = time.time()
+            Processing(spark, md, 1, "s2.parquet", {"processing.time": "2026-02-01 00:00:00"}).process()
+            times[f"load_{strategy}_10k"] = round(time.time() - start, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("dlf-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = bench_queries(spark, sf_dir)
+    queries.update(bench_loads(spark, sf_dir))
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

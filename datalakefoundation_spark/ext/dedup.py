@@ -1,0 +1,240 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (100 TB corpus):
+* exact         — one shuffle on the content hash (map-side partial agg).
+* MinHash+LSH   — shingle -> k minhashes -> band keys -> candidate pairs via
+                  an equi-join on (band_idx, band_key). Only same-bucket pairs
+                  are ever materialized; the full O(n^2) space is never built.
+* SimHash       — 64-bit signature per doc in one explode+groupBy pass
+                  (map-side combine on doc_id).
+* n-gram Jaccard— exact verification for candidate pairs (bounded join).
+* embedding     — cosine over a bounded candidate set; the all-pairs form is
+                  for verification at small SF, the scale path goes through
+                  similarity.lsh_bucket prefiltering.
+
+All expressions are JVM higher-order functions (transform / aggregate /
+array_min) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datalakefoundation_spark.ext.text import tokens
+
+
+# ---------------------------------------------------------------- exact
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-hash groups: survivor (min id) + copy count per distinct content."""
+    return (
+        df.withColumn("text_hash", F.sha2(F.col(text_col), 256))
+        .groupBy("text_hash")
+        .agg(
+            F.min(F.col(id_col)).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct content (the min-id survivor)."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------- shingles
+def shingles(text_col: str | Column, n: int = 3, sep: str = " ") -> Column:
+    """Word n-gram shingles. Docs shorter than n words yield one shingle
+    (the whole text)."""
+    w = tokens(text_col, sep)
+    upper = F.greatest(F.size(w) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), upper),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """k seeded minhashes per document.
+
+    Hash h_i(s) = sha256(\"<i>|\" + s); the minimum is taken lexicographically
+    over the hex strings — deterministic, uniform, and reproducible in any
+    engine with sha256 (the DuckDB oracle uses the identical construction).
+    """
+    def _seeded_hash(seed: int):
+        # NB: the lambda must take exactly ONE arg — a second parameter would
+        # make F.transform pass the array index into it.
+        prefix = f"{seed}|"
+        return lambda s: F.sha2(F.concat(F.lit(prefix), s), 256)
+
+    sh = F.array_distinct(shingles(text_col, shingle_size))
+    out = df.select(F.col(id_col), sh.alias("__sh"))
+    for i in range(num_hashes):
+        out = out.withColumn(
+            f"h{i}", F.array_min(F.transform(F.col("__sh"), _seeded_hash(i)))
+        )
+    return out.drop("__sh")
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Band the signature (bands of ``band_size`` rows), bucket-join on the
+    band key, emit distinct candidate pairs (a < b).
+
+    The self-join shuffles on (band_idx, band_key) — uniformly distributed
+    sha-derived keys, so no skew; only same-bucket pairs materialize.
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.sha2(
+                    F.concat_ws("|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]),
+                    256,
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band_idx", "b.band_key"
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_size: int = 3,
+) -> DataFrame:
+    return lsh_candidate_pairs(
+        minhash_signature(df, text_col, id_col, num_hashes, shingle_size),
+        id_col,
+        num_hashes,
+        band_size,
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash as a bit-string column ``simhash``.
+
+    Per token: 64 bits from the first 16 hex chars of sha256(token); per
+    document: majority vote per bit position (ties -> 0). One explode +
+    one groupBy(doc) with 64 conditional-sum aggregates — a single shuffle
+    on doc_id with map-side partial aggregation.
+
+    The bit-string representation avoids 64-bit signed-integer pitfalls and
+    is directly comparable across engines.
+    """
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+        .withColumn("__h", F.substring(F.sha2(F.col("__t"), 256), 1, 16))
+    )
+    aggs = []
+    for b in range(bits):
+        nibble = f"substring(__h, {b // 4 + 1}, 1)"
+        val = f"cast(conv({nibble}, 16, 10) as int)"
+        bit = f"pmod(shiftright({val}, {3 - b % 4}), 2)"
+        aggs.append(F.expr(f"sum({bit})").alias(f"s{b}"))
+    agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *aggs)
+    chars = [
+        F.when(2 * F.col(f"s{b}") > F.col("n"), F.lit("1")).otherwise(F.lit("0"))
+        for b in range(bits)
+    ]
+    return agg.select(F.col(id_col), F.concat(*chars).alias("simhash"))
+
+
+# ---------------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for given (doc_a, doc_b)
+    candidate pairs. |A∪B| computed as |A|+|B|-|A∩B| so the arithmetic is
+    engine-portable."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_size)).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    j = candidates.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return j.select(
+        "doc_a", "doc_b", (inter / union).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------- embedding cosine
+def cosine_similarity(vec_a: Column, vec_b: Column) -> Column:
+    """Cosine over array<double> via sequential folds — bit-identical to
+    DuckDB's list_dot_product/list_cosine_similarity (verified empirically)."""
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(vec_a, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(vec_b, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs with cosine >= threshold. Without ``candidates`` this is the
+    all-pairs verification form (small SF only); at scale pass the LSH-bucket
+    candidate pairs from similarity.lsh_bucket so the join is bounded."""
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    if candidates is not None:
+        j = candidates.join(a, "id_a").join(b, "id_b")
+    else:
+        j = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return j.select("id_a", "id_b", sim.alias("cosine")).where(F.col("cosine") >= threshold)

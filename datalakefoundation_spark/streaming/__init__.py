@@ -1,0 +1,6 @@
+from datalakefoundation_spark.streaming.ops import (  # noqa: F401
+    read_event_stream,
+    sessionize,
+    stream_to_lake,
+    windowed_counts,
+)

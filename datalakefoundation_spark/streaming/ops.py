@@ -1,0 +1,150 @@
+"""Structured Streaming operators.
+
+The reference has NO streaming surface (SURVEY.md §2.11 — its "watermark" is
+a batch bookmark); this module is part of the 100 TB extension goals:
+ingest an event stream, windowed aggregation with event-time watermarks for
+late data, stateful sessionization via applyInPandasWithState, and a
+bronze-append sink compatible with the batch Processing pipeline.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """File-source stream over a parquet directory (the local stand-in for a
+    Kafka topic; swap format('kafka') + from_json in production)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling/sliding event-time window aggregation with a late-data
+    watermark; partial aggregation happens before the shuffle."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+_STATE_SCHEMA = "start timestamp, last timestamp, n long"
+
+
+def _session_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gap-based sessionization (30 min inactivity closes a session)."""
+    gap = _dt.timedelta(minutes=30)
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [{"user_id": key[0], "session_start": start, "session_end": last,
+              "n_events": n, "closed": True}]
+        )
+        return
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    ts = rows["ts"].sort_values()
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start, last, n = ts.iloc[0], ts.iloc[0], 0
+    for t in ts:
+        if t - last > gap:
+            yield pd.DataFrame(
+                [{"user_id": key[0], "session_start": start, "session_end": last,
+                  "n_events": n, "closed": True}]
+            )
+            start, n = t, 0
+        last = max(last, t)
+        n += 1
+    state.update((start, last, n))
+    state.setTimeoutDuration(30 * 60 * 1000)
+    yield pd.DataFrame(
+        [{"user_id": key[0], "session_start": start, "session_end": last,
+          "n_events": n, "closed": False}]
+    )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (Arrow-batched;
+    state is per-user, shuffled once on user_id)."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def stream_to_lake(
+    events: DataFrame, bronze_path: str, checkpoint: str, trigger_available_now: bool = True
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Append the stream into a bronze parquet directory that the batch
+    Processing pipeline can slice."""
+    writer = (
+        events.writeStream.format("parquet")
+        .option("path", bronze_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

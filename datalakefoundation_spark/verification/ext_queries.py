@@ -1,8 +1,249 @@
-"""Extension-operator queries (dedup / similarity / text analysis) — SURVEY §7.11.
+"""Extension-operator queries (dedup / similarity / text analysis) with
+DuckDB oracles over the ``documents`` and ``embeddings`` tables.
 
-Filled in as the ext/ operators land.
+The SimHash and LSH oracles are *generated* from the same Python constants
+as the Spark implementations (hash layouts, hyperplane signs), so both
+engines execute the identical specification.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
+from pyspark.sql import functions as F
+
+from datalakefoundation_spark.ext import dedup as D
+from datalakefoundation_spark.ext import similarity as SIM
+from datalakefoundation_spark.ext import text as TX
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- text stats
+def q_text_stats(spark, sf_dir):
+    df = TX.quality_stats(_docs(spark, sf_dir))
+    return df.select("doc_id", "n_chars_m", "n_tokens", "distinct_ratio", "stopword_ratio")
+
+
+_SW = ", ".join(f"'{s}'" for s in TX.EN_STOPWORDS)
+
+SQL_TEXT_STATS = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       length((SELECT text FROM documents d WHERE d.doc_id = w.doc_id)) AS n_chars_m,
+       len(w) AS n_tokens,
+       len(list_distinct(w)) / len(w) AS distinct_ratio,
+       len(list_filter(w, t -> list_contains([{_SW}], t))) / len(w) AS stopword_ratio
+FROM w
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return TX.lang_id(_docs(spark, sf_dir)).select("doc_id", "lang", "predicted_lang")
+
+
+SQL_LANG_ID = f"""
+SELECT doc_id, lang,
+       CASE WHEN len(list_filter(string_split(text, ' '), t -> list_contains([{_SW}], t)))
+                 / len(string_split(text, ' ')) > 0.02
+            THEN 'en' ELSE 'und' END AS predicted_lang
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return TX.add_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- exact dedup
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+SELECT sha256(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+
+
+# ---------------------------------------------------------------- MinHash LSH
+_SHINGLE_CTE = """
+WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+iw AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM w0),
+sh AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM iw)
+"""
+
+_MINHASH_AGGS = ", ".join(
+    f"min(sha256(concat('{i}|', s))) AS h{i}" for i in range(8)
+)
+_BAND_SELECTS = "\nUNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, sha256(concat_ws('|', h{2*b}, h{2*b+1})) AS band_key FROM sig"
+    for b in range(4)
+)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return D.minhash_dedup_candidates(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_MINHASH = f"""{_SHINGLE_CTE},
+sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SELECTS})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------- SimHash
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def _simhash_oracle_sql(bits: int = 64) -> str:
+    sums = []
+    for b in range(bits):
+        nibble = f"substring(h, {b // 4 + 1}, 1)"
+        val = f"(instr('0123456789abcdef', {nibble}) - 1)"
+        sums.append(f"sum(({val} >> {3 - b % 4}) % 2) AS s{b}")
+    chars = ", ".join(
+        f"CASE WHEN 2 * s{b} > n THEN '1' ELSE '0' END" for b in range(bits)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+hh AS (SELECT doc_id, substring(sha256(t), 1, 16) AS h FROM tok),
+agg AS (SELECT doc_id, count(*) AS n, {', '.join(sums)} FROM hh GROUP BY doc_id)
+SELECT doc_id, concat({chars}) AS simhash FROM agg
+"""
+
+
+# ---------------------------------------------------------------- n-gram Jaccard
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    cand = (
+        docs.alias("a")
+        .join(
+            docs.alias("b"),
+            (F.col("b.doc_id") > F.col("a.doc_id"))
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + 5),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return D.ngram_jaccard_pairs(docs, cand)
+
+
+SQL_NGRAM_JACCARD = f"""{_SHINGLE_CTE},
+ds AS (SELECT doc_id, list_distinct(list(s)) AS sh FROM sh GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.sh, b.sh))
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM ds a JOIN ds b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+"""
+
+
+# ---------------------------------------------------------------- embeddings
+_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    return D.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.45)
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_COS} >= 0.45
+"""
+
+
+def q_knn_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    return SIM.brute_force_topk(queries, embs, k=5)
+
+
+SQL_KNN_TOPK = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_dot_product(q.v, b.v) /
+           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM q JOIN v b ON b.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    return SIM.lsh_topk(_embs(spark, sf_dir), k=3)
+
+
+def _ann_lsh_oracle_sql() -> str:
+    planes = SIM.hyperplane_signs(8, 64)
+    bucket_chars = ", ".join(
+        f"CASE WHEN list_dot_product(v, {plane!r}) >= 0 THEN '1' ELSE '0' END".replace(
+            "[", "["
+        )
+        for plane in planes
+    )
+    return f"""
+WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+vb AS (SELECT vec_id, v, concat({bucket_chars}) AS bucket FROM v0),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM vb a JOIN vb b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------- multimodal
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched binary-column feature extraction (mapInPandas plumbing;
+    deterministic fake decoder — codecs unavailable). Rows-only check: the
+    pipeline is not SQL-expressible in DuckDB."""
+    from datalakefoundation_spark.ext import multimodal as MM
+
+    media = MM.from_text_fixture(_docs(spark, sf_dir))
+    return MM.extract_features(media).select(
+        "media_id", "media_type", "n_bytes", "content_sha"
+    )
+
+
+QUERIES = {
+    "q_multimodal_features": (q_multimodal_features, None),
+    "q_text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "q_lang_id": (q_lang_id, SQL_LANG_ID),
+    "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "q_dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "q_dedup_simhash": (q_dedup_simhash, _simhash_oracle_sql()),
+    "q_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "q_embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "q_knn_topk": (q_knn_topk, SQL_KNN_TOPK),
+    "q_ann_lsh": (q_ann_lsh, _ann_lsh_oracle_sql()),
+}

@@ -1,0 +1,138 @@
+"""Tests for dedup / similarity / text / multimodal operators over the
+driver's synthetic tables (sf0.001 for speed)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakefoundation_spark.ext import dedup as D
+from datalakefoundation_spark.ext import multimodal as MM
+from datalakefoundation_spark.ext import similarity as SIM
+from datalakefoundation_spark.ext import text as TX
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_with_planted_dupes(spark, docs):
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    with_dupes = docs.unionByName(dup)
+    groups = D.exact_dedup_groups(with_dupes)
+    assert groups.where(F.col("n_copies") > 1).count() == 5
+    survivors = D.exact_dedup(with_dupes)
+    assert survivors.count() == docs.count()
+    # survivor is always the min id (the original)
+    assert survivors.where(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_finds_planted_near_dupes(spark, docs):
+    # plant near-dupes: copy 3 docs with one word changed
+    base = docs.limit(3).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" tailword"))
+    ).withColumn("doc_id", F.col("doc_id") + 100000)
+    with_dupes = docs.unionByName(base)
+    pairs = D.minhash_dedup_candidates(with_dupes).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    for i in range(3):
+        assert (i, i + 100000) in found
+
+
+def test_simhash_near_identical_docs(spark, docs):
+    near = docs.limit(2).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" x"))
+    ).withColumn("doc_id", F.col("doc_id") + 100000)
+    sh = D.simhash(docs.unionByName(near))
+    rows = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    for i in range(2):
+        a, b = rows[i], rows[i + 100000]
+        hamming = sum(1 for x, y in zip(a, b) if x != y)
+        assert hamming <= 8  # near-identical content -> close fingerprints
+        assert len(a) == 64 and set(a) <= {"0", "1"}
+
+
+def test_ngram_jaccard_bounds(spark, docs):
+    cand = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    out = D.ngram_jaccard_pairs(docs, cand).collect()
+    assert len(out) == 2
+    for r in out:
+        assert 0.0 <= r["jaccard"] <= 1.0
+    # identical docs -> jaccard 1.0
+    self_pair = spark.createDataFrame([(0, 0)], "doc_a long, doc_b long")
+    assert D.ngram_jaccard_pairs(docs, self_pair).head()["jaccard"] == 1.0
+
+
+def test_embedding_near_dup_planted(spark, embs):
+    clone = embs.limit(2).withColumn("vec_id", F.col("vec_id") + 100000)
+    pairs = D.embedding_near_dup_pairs(embs.unionByName(clone), threshold=0.999)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100000) in found and (1, 100001) in found
+
+
+def test_brute_force_topk_self_excluded(spark, embs):
+    q = embs.where(F.col("vec_id") < 3)
+    out = SIM.brute_force_topk(q, embs, k=4)
+    rows = out.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert 1 <= r["rank"] <= 4
+    # clone of vec 0 must be its rank-1 neighbor
+    clone = embs.where(F.col("vec_id") == 0).withColumn("vec_id", F.lit(999999))
+    out2 = SIM.brute_force_topk(
+        embs.where(F.col("vec_id") == 0), embs.unionByName(clone), k=1
+    ).head()
+    assert out2["neighbor_id"] == 999999
+    assert out2["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_recall(spark, embs):
+    """Bucketed ANN finds the planted exact clone (same vector -> same bucket)."""
+    clone = embs.limit(3).withColumn("vec_id", F.col("vec_id") + 100000)
+    out = SIM.lsh_topk(embs.unionByName(clone), k=3)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out.where(F.col("rank") == 1).collect()}
+    for i in range(3):
+        assert top1.get(i) == i + 100000
+
+
+def test_text_quality_and_langid(spark, docs):
+    stats = TX.quality_stats(docs)
+    r = stats.head()
+    assert r["n_tokens"] > 0 and 0 < r["distinct_ratio"] <= 1.0
+    lang = TX.lang_id(docs)
+    assert lang.where(F.col("predicted_lang") == "en").count() > 0
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = MM.from_text_fixture(docs)
+    feats = MM.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    r0 = rows[0]
+    assert len(r0["features"]) == MM.FEATURE_DIM
+    assert r0["n_bytes"] > 0 and len(r0["content_sha"]) == 64
+    # deterministic: same payload -> same features
+    feats2 = {r["media_id"]: r["features"] for r in MM.extract_features(media).collect()}
+    assert feats2[r0["media_id"]] == r0["features"]
+
+
+def test_multimodal_strict_raises(spark, docs):
+    media = MM.from_text_fixture(docs.limit(1))
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        MM.extract_features(media, strict=True).collect()
+
+
+def test_frame_sample(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"xx"), "video", (0, 0, 3500, "h264"))],
+        MM.MEDIA_SCHEMA,
+    )
+    out = MM.frame_sample(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000, 3000]

@@ -1,0 +1,108 @@
+"""Structured Streaming tests: file-source stream -> windowed agg / stateful
+sessionization -> memory sink, driven with availableNow triggers."""
+
+import datetime as dt
+
+from datalakefoundation_spark.streaming import (
+    read_event_stream,
+    sessionize,
+    stream_to_lake,
+    windowed_counts,
+)
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2026, 8, 1, 10, minute, second)
+
+
+def test_windowed_counts(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, _ts(0, 10), 1, "click", 1.0),
+            (2, _ts(0, 50), 2, "click", 2.0),
+            (3, _ts(1, 10), 1, "view", 3.0),
+            (4, _ts(3, 10), 3, "click", 4.0),
+        ],
+    )
+    stream = read_event_stream(spark, src)
+    q = (
+        windowed_counts(stream, window="1 minute")
+        .writeStream.format("memory")
+        .queryName("wc_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; rerun with new late-enough data
+    _write_events(spark, src, [(9, _ts(20, 0), 9, "click", 1.0)])
+    q2 = (
+        windowed_counts(stream, window="1 minute")
+        .writeStream.format("memory")
+        .queryName("wc_test2")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = {
+        (r["window_start"].minute, r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM wc_test2").collect()
+    }
+    assert rows[(0, "click")] == 2
+    assert rows[(1, "view")] == 1
+    assert rows[(3, "click")] == 1
+
+
+def test_sessionize(spark, tmp_path):
+    src = str(tmp_path / "events2")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, _ts(0), 1, "click", 1.0),
+            (2, _ts(5), 1, "click", 1.0),
+            (3, _ts(50), 1, "click", 1.0),  # >30min gap -> new session
+            (4, _ts(2), 2, "view", 1.0),
+        ],
+    )
+    stream = read_event_stream(spark, src)
+    q = (
+        sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions_test").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    closed_u1 = [r for r in by_user[1] if r["closed"]]
+    assert len(closed_u1) == 1  # the first session closed by the 50-min event
+    assert closed_u1[0]["n_events"] == 2
+    open_u1 = [r for r in by_user[1] if not r["closed"]]
+    assert open_u1 and open_u1[-1]["n_events"] == 1
+    assert len(by_user[2]) == 1 and by_user[2][0]["n_events"] == 1
+
+
+def test_stream_to_lake_bronze_append(spark, tmp_path):
+    src = str(tmp_path / "events3")
+    bronze = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(spark, src, [(i, _ts(i % 60), i, "click", 1.0) for i in range(20)])
+    q = stream_to_lake(read_event_stream(spark, src), bronze, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(bronze).count() == 20
