@@ -72,19 +72,19 @@ def minhash_signature(
     over the hex strings — deterministic, uniform, and reproducible in any
     engine with sha256 (the DuckDB oracle uses the identical construction).
     """
-    def _seeded_hash(seed: int):
-        # NB: the lambda must take exactly ONE arg — a second parameter would
-        # make F.transform pass the array index into it.
-        prefix = f"{seed}|"
-        return lambda s: F.sha2(F.concat(F.lit(prefix), s), 256)
-
-    sh = F.array_distinct(shingles(text_col, shingle_size))
-    out = df.select(F.col(id_col), sh.alias("__sh"))
-    for i in range(num_hashes):
-        out = out.withColumn(
-            f"h{i}", F.array_min(F.transform(F.col("__sh"), _seeded_hash(i)))
-        )
-    return out.drop("__sh")
+    # Explode + groupBy rather than k array_min(transform(...)) columns:
+    # Catalyst's CollapseProject would inline the shingle construction into
+    # every hash column (k-fold recompute); the explode computes shingles
+    # ONCE and the k min-aggregates get map-side partial aggregation, so the
+    # only shuffle moves k hashes per doc.
+    ex = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("__s")
+    )
+    aggs = [
+        F.min(F.sha2(F.concat(F.lit(f"{i}|"), F.col("__s")), 256)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(

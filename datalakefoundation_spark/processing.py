@@ -172,6 +172,23 @@ class Processing:
             path = loc.value
         return LakeTable(self.spark, path, self.entity.partition_columns)
 
+    def register_silver_in_catalog(self) -> None:
+        """Catalog output (K2, Full.scala:51-66): CREATE DATABASE IF NOT
+        EXISTS + expose the silver table under its catalog name. Without a
+        Hive metastore + Delta this registers a session view over the
+        LakeTable's current version — ``spark.read.table('db.tbl')`` works
+        for the session, same observable surface as the reference."""
+        loc = self.output.silverpath
+        if loc.kind != "table":
+            return
+        parts = loc.value.split(".")
+        db = parts[0] if len(parts) > 1 else "default"
+        tbl = parts[-1]
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        self.spark.sql(
+            f"CREATE OR REPLACE VIEW {db}.{tbl} AS {self.silver_table().to_view_sql()}"
+        )
+
     def is_first_run(self) -> bool:
         """Only a cleanly-absent table counts as first run; a present-but-
         unreadable manifest re-raises (ProcessStrategy.scala:44-65 — data
@@ -207,6 +224,7 @@ class Processing:
                 raise DatalakeException(f"unknown strategy: {strategy}")
             summary.duration_ms = (time.time() - started) * 1000
             self._write_watermarks()
+            self.register_silver_in_catalog()
             if self.log_sink:
                 self.log_sink.log_summary(summary)
             return summary
@@ -283,7 +301,21 @@ class Processing:
                 )
             else:
                 table.overwrite(final)
-            n = source.count()
+            # records_in_slice is fully determined by the action counts —
+            # no extra count() job over the source.
+            if historic:
+                n = (
+                    counts.get("new_version", 0)
+                    + counts.get("insert", 0)
+                    + counts.get("unchanged", 0)
+                )
+            else:
+                n = (
+                    counts.get("update", 0)
+                    + counts.get("touch", 0)
+                    + counts.get("soft_delete", 0)
+                    + counts.get("insert", 0)
+                )
             if historic:
                 return ProcessingSummary(
                     entity_id=self.entity.id,

@@ -281,6 +281,28 @@ class LakeTable:
             )
         )
 
+    def to_view_sql(self) -> str:
+        """A self-contained SELECT over the current version's segments —
+        usable to register a persistent catalog view (no temp-object refs).
+        Partition-ownership filters are inlined as WHERE clauses."""
+        mf = self.latest_manifest()
+        if mf is None:
+            raise FileNotFoundError(f"LakeTable does not exist: {self.path}")
+        selects = []
+        for seg in mf.segments:
+            sql = f"SELECT * FROM parquet.`{self.path}/{seg.dir}`"
+            if seg.partitions is not None and self.partition_by:
+                ors = []
+                for pv in seg.partitions:
+                    ands = " AND ".join(
+                        f"CAST({k} AS STRING) = '{v}'" for k, v in pv.items()
+                    )
+                    ors.append(f"({ands})")
+                if ors:
+                    sql += " WHERE " + " OR ".join(ors)
+            selects.append(sql)
+        return " UNION ALL ".join(selects)
+
     # ------------------------------------------------------------ maintenance
     def _read_segment_partitions(self, seg_rel: str) -> list[dict[str, str]]:
         """Partition values of a written segment, from its hive directory
