@@ -9,6 +9,12 @@
   within a bucket. The planes are derived from sha256 in *Python* at
   plan-build time, so the identical constants are usable by any oracle
   engine.
+* ``ivf_assign`` / ``ivf_topk`` — inverted-file index: a deterministic
+  centroid subset (every ``stride``-th vector), each vector assigned to
+  its nearest centroid (broadcast join — the centroid set is tiny), then
+  candidate search only within the query's cell (nprobe=1). At 100 TB the
+  corpus shuffles once on ``cluster_id`` and each cell is scanned
+  independently; the centroid table never shuffles.
 """
 
 from __future__ import annotations
@@ -68,6 +74,66 @@ def brute_force_topk(
         "query_id",
         "neighbor_id",
         cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 37,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (cosine, ties -> lowest
+    centroid id). Centroids are the deterministic subset ``id % stride == 0``
+    — in production they'd come from k-means; the index structure (tiny
+    broadcast centroid table, one row_number per vector) is identical.
+
+    Returns (vec_id, v, cluster_id)."""
+    v = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cent = v.where(F.col("vec_id") % centroid_stride == 0).select(
+        F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "cluster_id",
+        cosine_similarity(F.col("v"), F.col("cv")).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cluster_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "cluster_id")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 37,
+    query_stride: int = 50,
+) -> DataFrame:
+    """Approximate top-k via IVF (nprobe=1): queries (``id % query_stride``)
+    search only their own centroid cell. One shuffle on cluster_id; cells
+    scan in parallel and never see each other's vectors."""
+    assigned = ivf_assign(df, id_col, vec_col, centroid_stride)
+    q = assigned.where(F.col("vec_id") % query_stride == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cluster_id"
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cluster_id"
+    )
+    j = c.join(q, "cluster_id").where(F.col("neighbor_id") != F.col("query_id"))
+    scored = j.select(
+        "query_id", "neighbor_id", cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -25,6 +25,23 @@ def token_count(text_col: str | Column) -> Column:
     return F.size(tokens(text_col))
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+# The alternation is valid in both Java regex (Spark) and RE2 (DuckDB), so
+# the oracle runs the *same pattern*.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def bpe_tokens(text_col: str | Column, pattern: str = BPE_PATTERN) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
+
+
+def bpe_token_count(text_col: str | Column, pattern: str = BPE_PATTERN) -> Column:
+    """BPE-style pre-tokenization count (GPT-2-ish word/number/symbol split).
+    An upper bound on true BPE token count; pure JVM regex — no Python."""
+    return F.size(bpe_tokens(text_col, pattern))
+
+
 def stopword_ratio(text_col: str | Column, stopwords=EN_STOPWORDS) -> Column:
     toks = tokens(text_col)
     sw = F.array(*[F.lit(s) for s in stopwords])

@@ -42,6 +42,23 @@ FROM w
 """
 
 
+def q_token_count(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        TX.token_count("text").alias("n_ws_tokens"),
+        TX.bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{TX.BPE_PATTERN}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return TX.lang_id(_docs(spark, sf_dir)).select("doc_id", "lang", "predicted_lang")
 
@@ -197,6 +214,38 @@ def q_ann_lsh(spark, sf_dir):
     return SIM.lsh_topk(_embs(spark, sf_dir), k=3)
 
 
+def q_ann_ivf(spark, sf_dir):
+    return SIM.ivf_topk(_embs(spark, sf_dir), k=3)
+
+
+SQL_ANN_IVF = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cluster_id, v AS cv FROM v WHERE vec_id % 37 = 0),
+assigned AS (
+  SELECT vec_id, v, cluster_id FROM (
+    SELECT v.vec_id, v.v, cent.cluster_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.v, cent.cv) /
+                      (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                      cent.cluster_id ASC) AS rn
+    FROM v CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, cluster_id FROM assigned WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.qv, c.v) /
+           (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM assigned c JOIN q ON c.cluster_id = q.cluster_id AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def _ann_lsh_oracle_sql() -> str:
     planes = SIM.hyperplane_signs(8, 64)
     bucket_chars = ", ".join(
@@ -237,6 +286,7 @@ def q_multimodal_features(spark, sf_dir):
 QUERIES = {
     "q_multimodal_features": (q_multimodal_features, None),
     "q_text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "q_token_count": (q_token_count, SQL_TOKEN_COUNT),
     "q_lang_id": (q_lang_id, SQL_LANG_ID),
     "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
@@ -246,4 +296,5 @@ QUERIES = {
     "q_embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "q_knn_topk": (q_knn_topk, SQL_KNN_TOPK),
     "q_ann_lsh": (q_ann_lsh, _ann_lsh_oracle_sql()),
+    "q_ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
 }

@@ -102,6 +102,36 @@ def test_lsh_topk_recall(spark, embs):
         assert top1.get(i) == i + 100000
 
 
+def test_ivf_topk_finds_clone(spark, embs):
+    """A cloned vector lands in the same IVF cell and ranks first for its
+    original (query ids are multiples of 50, so clone base ids must be too)."""
+    clone = (
+        embs.where(F.col("vec_id").isin(0, 50, 100))
+        .withColumn("vec_id", F.col("vec_id") * 100000 + 7)  # non-query, non-centroid ids
+    )
+    out = SIM.ivf_topk(embs.unionByName(clone), k=3)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out.where(F.col("rank") == 1).collect()}
+    for i in (0, 50, 100):
+        assert top1.get(i) == i * 100000 + 7
+    # every reported neighbor has cosine <= 1 and ranks are dense from 1
+    assert out.where((F.col("cosine") > 1.000001) | (F.col("rank") < 1)).count() == 0
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world42, it's x-y!"), (2, "abc")], ["doc_id", "text"]
+    )
+    out = df.select(
+        "doc_id",
+        TX.token_count("text").alias("ws"),
+        TX.bpe_token_count("text").alias("bpe"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # hello|world|42|,|it|'|s|x|-|y|! = 11
+    assert by_id[1]["ws"] == 4 and by_id[1]["bpe"] == 11
+    assert by_id[2]["ws"] == 1 and by_id[2]["bpe"] == 1
+
+
 def test_text_quality_and_langid(spark, docs):
     stats = TX.quality_stats(docs)
     r = stats.head()
