@@ -93,11 +93,17 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
 ) -> DataFrame:
-    """Band the signature (bands of ``band_size`` rows), bucket-join on the
-    band key, emit distinct candidate pairs (a < b).
+    """Band the signature (bands of ``band_size`` rows), group docs by band
+    key, emit distinct candidate pairs (a < b) from each bucket.
 
-    The self-join shuffles on (band_idx, band_key) — uniformly distributed
-    sha-derived keys, so no skew; only same-bucket pairs materialize.
+    Formulated as groupBy(bucket) + in-bucket pair expansion, NOT a
+    self-join: a self-join re-computes the (expensive) signature lineage for
+    both sides — Spark's exchange reuse does not fire across the join's two
+    shuffles here. This form computes signatures once, shuffles only
+    (band_key, id) pairs, and expands pairs bucket-locally with
+    higher-order array functions. Bucket sizes are LSH-bounded, so the
+    per-group state is small; hot buckets (mass near-duplicates) cost
+    O(|bucket|^2) pairs in either formulation.
     """
     n_bands = num_hashes // band_size
     bands = F.array(
@@ -115,18 +121,24 @@ def lsh_candidate_pairs(
     exploded = sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, "b.band_idx", "b.band_key"
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    buckets = (
+        exploded.groupBy("band_idx", "band_key")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -165,13 +177,21 @@ def simhash(
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
         .withColumn("__h", F.substring(F.sha2(F.col("__t"), 256), 1, 16))
     )
-    aggs = []
-    for b in range(bits):
-        nibble = f"substring(__h, {b // 4 + 1}, 1)"
-        val = f"cast(conv({nibble}, 16, 10) as int)"
-        bit = f"pmod(shiftright({val}, {3 - b % 4}), 2)"
-        aggs.append(F.expr(f"sum({bit})").alias(f"s{b}"))
-    agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *aggs)
+    # Materialize the 16 nibble ints once per token (separate projection —
+    # Catalyst keeps it below the partial aggregate), so each of the 64
+    # bit-sums is a shift+mod instead of re-running substring+conv.
+    nibbles = tok.select(
+        F.col(id_col),
+        *[
+            F.expr(f"cast(conv(substring(__h, {k + 1}, 1), 16, 10) as int)").alias(f"__n{k}")
+            for k in range(bits // 4)
+        ],
+    )
+    aggs = [
+        F.expr(f"sum(pmod(shiftright(__n{b // 4}, {3 - b % 4}), 2))").alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = nibbles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *aggs)
     chars = [
         F.when(2 * F.col(f"s{b}") > F.col("n"), F.lit("1")).otherwise(F.lit("0"))
         for b in range(bits)

@@ -54,7 +54,12 @@ LOG_SCHEMA = T.StructType(
 
 class BufferedLogSink:
     """Buffered batch appender: rows accumulate in memory and flush as ONE
-    parquet append per threshold/flush — never a write per log call."""
+    parquet append per threshold/flush — never a write per log call.
+
+    The flush itself is a driver-side pyarrow write (log rows are tiny
+    control-plane metadata; a Spark job per flush would add a scheduler
+    round-trip to every Processing run). The output directory stays an
+    ordinary Spark-readable parquet dataset."""
 
     def __init__(self, spark: SparkSession, path: str, threshold: int = 100) -> None:
         self.spark = spark
@@ -99,6 +104,21 @@ class BufferedLogSink:
     def _flush_locked(self) -> None:
         if not self._buffer:
             return
-        df = self.spark.createDataFrame(self._buffer, LOG_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        import os
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = self._buffer
+        arrow = pa.table(
+            {
+                "timestamp": pa.array([r["timestamp"] for r in rows], pa.timestamp("us")),
+                "level": pa.array([r["level"] for r in rows], pa.string()),
+                "logger": pa.array([r["logger"] for r in rows], pa.string()),
+                "message": pa.array([r["message"] for r in rows], pa.string()),
+                "run_id": pa.array([r["run_id"] for r in rows], pa.string()),
+                "data": pa.array([r["data"] for r in rows], pa.string()),
+            }
+        )
+        os.makedirs(self.path, exist_ok=True)
+        pq.write_table(arrow, f"{self.path}/part-{uuid.uuid4().hex}.parquet")
         self._buffer = []

@@ -17,7 +17,7 @@ import logging
 import time
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from datalakefoundation_spark import pipeline as P
@@ -31,7 +31,6 @@ from datalakefoundation_spark.watermark import (
     WatermarkStore,
     build_watermark_values,
     build_window_condition,
-    capture_max_values,
 )
 
 logger = logging.getLogger(__name__)
@@ -78,6 +77,7 @@ class Processing:
             self.log_sink = BufferedLogSink(spark, f"{env.root_folder}/system/log", threshold=50)
 
         self._cached_source: DataFrame | None = None
+        self._slice_count: int = 0
         self._new_watermarks: dict[str, tuple[str, str | None]] = {}
         self._stored_watermarks: dict[str, str | None] = {}
         self._partition_values: list[dict[str, str]] = []
@@ -113,20 +113,32 @@ class Processing:
             check_duplicates=bool(self.options.get("check_duplicates", True)),
         )
         df = df.cache()
-        if df.isEmpty():
+        # ONE bookkeeping action over the cached slice: row count (empty
+        # check + Full metrics), watermark max per column, and the distinct
+        # partition-value set — the reference runs these as three separate
+        # jobs (Processing.scala:109,123-135,144-156); at 100 TB fusing them
+        # means a single scan.
+        wm_cols = [w.column_name for w in e.watermarks if w.column_name in df.columns]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        aggs += [F.max(F.col(c)).alias(f"__wm_{c}") for c in wm_cols]
+        if e.partition_columns:
+            aggs.append(
+                F.collect_set(
+                    F.struct(*[F.col(c).cast("string").alias(c) for c in e.partition_columns])
+                ).alias("__pvs")
+            )
+        row = df.agg(*aggs).head()
+        self._slice_count = row["__n"]
+        if self._slice_count == 0:
             logger.warning("slice %s for entity %s is empty", self.slice_file, e.name)
-        wm_cols = [w.column_name for w in e.watermarks]
-        self._new_watermarks = capture_max_values(df, wm_cols)
+        self._new_watermarks = {
+            c: (type(row[f"__wm_{c}"]).__name__,
+                None if row[f"__wm_{c}"] is None else str(row[f"__wm_{c}"]))
+            for c in wm_cols
+        }
         self._stored_watermarks = self.watermark_store.latest(e.id)
         if e.partition_columns:
-            rows = (
-                df.select(
-                    *[F.col(c).cast("string").alias(c) for c in e.partition_columns]
-                )
-                .distinct()
-                .collect()
-            )
-            self._partition_values = [dict(r.asDict()) for r in rows]
+            self._partition_values = [pv.asDict() for pv in row["__pvs"]]
         self._cached_source = df
         return df
 
@@ -243,7 +255,7 @@ class Processing:
     # ------------------------------------------------------------ strategies
     def _process_full(self, historic: bool = False) -> ProcessingSummary:
         source = self.get_source(historic=historic)
-        n = source.count()
+        n = self._slice_count  # from the fused bookkeeping agg — no extra job
         table = self.silver_table()
         table.overwrite(
             source,
@@ -288,65 +300,70 @@ class Processing:
             delete_window=window,
             delete_missing=self.delete_missing,
             with_action_column=True,
-        ).cache()
-        try:
-            counts = {
-                r["__action"]: r["n"]
-                for r in state.groupBy("__action").agg(F.count(F.lit(1)).alias("n")).collect()
-            }
-            final = state.drop("__action")
-            if pvs:
-                table.replace_partitions(
-                    final, pvs, operation="historic" if historic else "merge"
-                )
-            else:
-                table.overwrite(final)
-            # records_in_slice is fully determined by the action counts —
-            # no extra count() job over the source.
-            if historic:
-                n = (
-                    counts.get("new_version", 0)
-                    + counts.get("insert", 0)
-                    + counts.get("unchanged", 0)
-                )
-            else:
-                n = (
-                    counts.get("update", 0)
-                    + counts.get("touch", 0)
-                    + counts.get("soft_delete", 0)
-                    + counts.get("insert", 0)
-                )
-            if historic:
-                return ProcessingSummary(
-                    entity_id=self.entity.id,
-                    destination=self.entity.destination,
-                    strategy="historic",
-                    records_in_slice=n,
-                    updated=counts.get("new_version", 0),
-                    unchanged=counts.get("unchanged", 0),
-                    inserted=n - counts.get("new_version", 0) - counts.get("unchanged", 0),
-                    deleted=counts.get("delete_close", 0),
-                    inferred_deletes=counts.get("delete_close", 0),
-                    touched=n,
-                )
-            soft = counts.get("soft_delete", 0)
-            inserted = counts.get("insert", 0)
-            # identity: inserted + updated + deleted == records_in_slice
-            # (PROCESSING_STRATEGIES.md:124-140); inferred deletes are outside
-            # the slice so they are reported separately.
+        )
+        # Per-action counts are collected DURING the write via df.observe —
+        # the merged state is computed exactly once and never cached. (The
+        # reference reads Delta's merge operationMetrics, Merge.scala:124-127;
+        # this is the same no-second-pass idea for a plain writer, and at
+        # 100 TB it avoids materializing the post-merge state.)
+        action_names = (
+            ["new_version", "insert", "unchanged", "delete_close"]
+            if historic
+            else ["update", "touch", "soft_delete", "insert", "infer_delete"]
+        )
+        obs = Observation()
+        state = state.observe(
+            obs,
+            *[
+                F.sum((F.col("__action") == a).cast("long")).alias(a)
+                for a in action_names
+            ],
+        )
+        final = state.drop("__action")
+        if pvs:
+            table.replace_partitions(
+                final, pvs, operation="historic" if historic else "merge"
+            )
+        else:
+            table.overwrite(final)
+        counts = {k: (v or 0) for k, v in obs.get.items()}
+        # records_in_slice is fully determined by the action counts —
+        # no extra count() job over the source.
+        if historic:
+            n = (
+                counts.get("new_version", 0)
+                + counts.get("insert", 0)
+                + counts.get("unchanged", 0)
+            )
             return ProcessingSummary(
                 entity_id=self.entity.id,
                 destination=self.entity.destination,
-                strategy="merge",
+                strategy="historic",
                 records_in_slice=n,
-                inserted=inserted,
-                updated=n - inserted - soft,
-                deleted=soft,
-                inferred_deletes=counts.get("infer_delete", 0),
+                updated=counts.get("new_version", 0),
+                unchanged=counts.get("unchanged", 0),
+                inserted=n - counts.get("new_version", 0) - counts.get("unchanged", 0),
+                deleted=counts.get("delete_close", 0),
+                inferred_deletes=counts.get("delete_close", 0),
                 touched=n,
             )
-        finally:
-            state.unpersist()
+        soft = counts.get("soft_delete", 0)
+        inserted = counts.get("insert", 0)
+        n = counts.get("update", 0) + counts.get("touch", 0) + soft + inserted
+        # identity: inserted + updated + deleted == records_in_slice
+        # (PROCESSING_STRATEGIES.md:124-140); inferred deletes are outside
+        # the slice so they are reported separately.
+        return ProcessingSummary(
+            entity_id=self.entity.id,
+            destination=self.entity.destination,
+            strategy="merge",
+            records_in_slice=n,
+            inserted=inserted,
+            updated=n - inserted - soft,
+            deleted=soft,
+            inferred_deletes=counts.get("infer_delete", 0),
+            touched=n,
+        )
 
     def _process_merge(self) -> ProcessingSummary:
         if self.is_first_run():

@@ -13,12 +13,13 @@ event-time watermark (SURVEY.md §2.11).
 from __future__ import annotations
 
 import datetime as _dt
+import os
+import time
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, Row, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
 from datalakefoundation_spark.core.expressions import evaluate_watermark_expression
 from datalakefoundation_spark.metadata.models import Watermark
@@ -36,51 +37,82 @@ WATERMARK_SCHEMA = T.StructType(
 
 
 class WatermarkStore:
-    """Append-only bookmark table; latest row per (entity, column) wins."""
+    """Append-only bookmark table; latest row per (entity, column) wins.
+
+    Bookmarks are *control-plane* metadata — a handful of rows per run — so
+    reads and writes go through pyarrow on the driver instead of Spark jobs
+    (3 fewer job round-trips per Processing run; at 100 TB the bookmark
+    table is still KB-sized). The on-disk layout is the same LakeTable
+    format (manifest + parquet segments), so ``spark.read.parquet`` and
+    ``LakeTable.read`` over it keep working for consumers."""
 
     def __init__(self, spark: SparkSession, root_folder: str) -> None:
         self.spark = spark
-        self.table = LakeTable(spark, f"{root_folder}/system/watermark")
+        self.path = f"{root_folder}/system/watermark".rstrip("/")
+        self.table = LakeTable(spark, self.path)
 
     def write(self, entity_id: int, values: dict[str, tuple[str, str | None]]) -> None:
         """values: column -> (source_type, value-as-string|None)."""
-        now = _dt.datetime.now()
-        rows = [
-            Row(
-                entity_id=entity_id,
-                column_name=col,
-                timestamp=now,
-                source_type=st,
-                value=val,
-            )
-            for col, (st, val) in values.items()
-        ]
-        if not rows:
+        if not values:
             return
-        df = self.spark.createDataFrame(rows, WATERMARK_SCHEMA)
-        if self.table.exists():
-            self.table.append(df)
-        else:
-            self.table.overwrite(df)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from datalakefoundation_spark.tables.lake_table import Manifest, Segment
+
+        now = _dt.datetime.now()
+        cols = list(values.keys())
+        arrow = pa.table(
+            {
+                "entity_id": pa.array([entity_id] * len(cols), pa.int32()),
+                "column_name": pa.array(cols, pa.string()),
+                "timestamp": pa.array([now] * len(cols), pa.timestamp("us")),
+                "source_type": pa.array([values[c][0] for c in cols], pa.string()),
+                "value": pa.array([values[c][1] for c in cols], pa.string()),
+            }
+        )
+        mf = self.table.latest_manifest()
+        next_v = (mf.version + 1) if mf else 0
+        seg_rel = f"data/v{next_v:05d}"
+        os.makedirs(f"{self.path}/{seg_rel}", exist_ok=True)
+        pq.write_table(arrow, f"{self.path}/{seg_rel}/part-00000.parquet")
+        segments = (list(mf.segments) if mf else []) + [Segment(seg_rel, None)]
+        self.table._commit(
+            Manifest(
+                version=next_v,
+                partition_by=[],
+                segments=segments,
+                operation="append",
+                timestamp=time.time(),
+            )
+        )
 
     def reset(self, entity_id: int, column_name: str) -> None:
         """A None-valued row clears the bookmark (WatermarkData.scala:68-96)."""
         self.write(entity_id, {column_name: ("None", None)})
 
     def latest(self, entity_id: int) -> dict[str, str | None]:
-        """Latest stored value per column for an entity — window/row_number
-        formulation (scales; the reference sorts+heads per column)."""
-        if not self.table.exists():
+        """Latest stored value per column for an entity. Driver-side pyarrow
+        scan of the (tiny) segment files; later segments win ties."""
+        import pyarrow.parquet as pq
+
+        mf = self.table.latest_manifest()
+        if mf is None:
             return {}
-        df = self.table.read().where(F.col("entity_id") == entity_id)
-        w = Window.partitionBy("column_name").orderBy(F.desc("timestamp"))
-        rows = (
-            df.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("column_name", "value")
-            .collect()
-        )
-        return {r["column_name"]: r["value"] for r in rows}
+        best: dict[str, tuple[_dt.datetime, str | None]] = {}
+        for seg in mf.segments:  # manifest order == commit order
+            seg_dir = f"{self.path}/{seg.dir}"
+            for fname in sorted(os.listdir(seg_dir)):
+                if not fname.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(seg_dir, fname))
+                for row in t.to_pylist():
+                    if row["entity_id"] != entity_id:
+                        continue
+                    c, ts = row["column_name"], row["timestamp"]
+                    if c not in best or ts >= best[c][0]:
+                        best[c] = (ts, row["value"])
+        return {c: v for c, (_ts, v) in best.items()}
 
 
 def capture_max_values(df: DataFrame, columns: Sequence[str]) -> dict[str, tuple[str, str | None]]:
