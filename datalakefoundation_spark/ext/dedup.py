@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datalakefoundation_spark.ext.text import tokens
+from datalakefoundation_spark.ext.util import ensure_compute_parallelism
 
 
 # ---------------------------------------------------------------- exact
@@ -66,25 +67,30 @@ def minhash_signature(
     num_hashes: int = 8,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """k seeded minhashes per document.
+    """k minhashes per document.
 
-    Hash h_i(s) = sha256(\"<i>|\" + s); the minimum is taken lexicographically
-    over the hex strings — deterministic, uniform, and reproducible in any
-    engine with sha256 (the DuckDB oracle uses the identical construction).
+    ONE sha256 per shingle; hash function h_i is the i-th disjoint
+    8-hex-char (32-bit) slice of the digest, minimized lexicographically.
+    Disjoint bits of a single sha256 are independent uniform hashes, so this
+    is statistically standard MinHash at 1/k the hashing cost; 32-bit slices
+    make per-pair collisions ~n/2^32 — negligible. Deterministic and
+    reproducible in any engine with sha256 (the DuckDB oracle uses the
+    identical construction).
     """
     # Explode + groupBy rather than k array_min(transform(...)) columns:
     # Catalyst's CollapseProject would inline the shingle construction into
     # every hash column (k-fold recompute); the explode computes shingles
     # ONCE and the k min-aggregates get map-side partial aggregation, so the
     # only shuffle moves k hashes per doc.
-    ex = df.select(
+    ex = ensure_compute_parallelism(df).select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("__s")
     )
+    hashed = ex.select(F.col(id_col), F.sha2(F.col("__s"), 256).alias("__h"))
     aggs = [
-        F.min(F.sha2(F.concat(F.lit(f"{i}|"), F.col("__s")), 256)).alias(f"h{i}")
+        F.min(F.substring(F.col("__h"), 8 * i + 1, 8)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return ex.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -174,7 +180,8 @@ def simhash(
     is directly comparable across engines.
     """
     tok = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+        ensure_compute_parallelism(df)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
         .withColumn("__h", F.substring(F.sha2(F.col("__t"), 256), 1, 16))
     )
     # Materialize the 16 nibble ints once per token (separate projection —
@@ -210,7 +217,7 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over distinct shingle sets for given (doc_a, doc_b)
     candidate pairs. |A∪B| computed as |A|+|B|-|A∩B| so the arithmetic is
     engine-portable."""
-    sh = df.select(
+    sh = ensure_compute_parallelism(df).select(
         F.col(id_col), F.array_distinct(shingles(text_col, shingle_size)).alias("sh")
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))

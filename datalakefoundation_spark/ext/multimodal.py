@@ -115,6 +115,36 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.mapInPandas(_extract, FEATURES_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame, width: int, height: int, strict: bool = False
+) -> DataFrame:
+    """Image resize in the real Arrow-batched shape: streams (payload, meta)
+    batches through ``mapInPandas`` and rewrites the metadata dimensions.
+    The pixel transform itself is STUBBED (no codecs in this environment —
+    payload passes through unchanged; plug PIL's ``Image.resize`` into the
+    marked line in a real deployment); ``strict=True`` raises instead."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "image codecs unavailable; decode+resize payload here (PIL)"
+                )
+            meta = pdf["meta"].map(
+                lambda m: {**(dict(m) if m is not None else {}), "width": width, "height": height}
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": pdf["content"],  # <- real decoder resizes here
+                    "media_type": pdf["media_type"],
+                    "meta": meta,
+                }
+            )
+
+    return df.mapInPandas(_resize, MEDIA_SCHEMA)
+
+
 def media_repartition(df: DataFrame, target_bytes: int = 128 * 1024 * 1024) -> DataFrame:
     """Byte-aware repartition: estimate total payload size from the binary
     column and choose a partition count targeting ``target_bytes`` each.

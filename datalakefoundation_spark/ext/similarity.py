@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from datalakefoundation_spark.ext.dedup import cosine_similarity
+from datalakefoundation_spark.ext.util import ensure_compute_parallelism
 
 
 def hyperplane_signs(num_planes: int = 8, dim: int = 64) -> list[list[float]]:
@@ -66,7 +67,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    c = corpus.select(
+    c = ensure_compute_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
     j = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
@@ -95,7 +96,7 @@ def ivf_assign(
     broadcast centroid table, one row_number per vector) is identical.
 
     Returns (vec_id, v, cluster_id)."""
-    v = df.select(
+    v = ensure_compute_parallelism(df).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     cent = v.where(F.col("vec_id") % centroid_stride == 0).select(
@@ -154,7 +155,7 @@ def lsh_topk(
     """Approximate top-k: candidates restricted to the same LSH bucket.
     The join shuffles on the bucket key only — at scale this replaces the
     O(n·q) cross join with per-bucket work."""
-    with_bucket = df.select(
+    with_bucket = ensure_compute_parallelism(df).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"),
         lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
     )

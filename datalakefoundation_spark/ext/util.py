@@ -1,0 +1,32 @@
+"""Shared helpers for the extension operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_compute_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the input has fewer partitions than the
+    cluster can use.
+
+    Compute-heavy operators (minhash shingling, simhash, cosine scoring) do
+    10-100x more work per row than the scan; their parallelism must not be
+    capped by the file layout. Parquet row groups are the split unit — a
+    single-row-group file (or any layout with fewer splits than cores) would
+    run the whole operator on that few tasks. When the source already has
+    enough partitions (the normal case for a 100 TB table), this is a no-op
+    and costs nothing; when it fires, the one extra shuffle of raw input is
+    amortized against the much larger per-row compute.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # inputFiles() is a cheap file-listing probe (~ms); df.rdd would force
+    # full physical planning on the driver (~1 s per call). File count
+    # under-estimates splits for large multi-row-group files, which only
+    # makes this MORE of a no-op at scale — exactly when it should be.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < target:
+        return df.repartition(target)
+    return df

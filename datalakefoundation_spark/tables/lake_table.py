@@ -189,7 +189,13 @@ class LakeTable:
         return out
 
     # ------------------------------------------------------------ write ops
-    def overwrite(self, df: DataFrame, dynamic: bool = False, metrics: dict | None = None) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        dynamic: bool = False,
+        metrics: dict | None = None,
+        operation: str | None = None,
+    ) -> None:
         """Full overwrite, or dynamic partition overwrite (only partitions
         present in df are replaced — Full.scala:38-50)."""
         mf = self.latest_manifest()
@@ -213,10 +219,48 @@ class LakeTable:
                 version=next_v,
                 partition_by=self.partition_by,
                 segments=segments,
-                operation="overwrite_dynamic" if dynamic else "overwrite",
+                operation=operation or ("overwrite_dynamic" if dynamic else "overwrite"),
                 timestamp=time.time(),
                 metrics=metrics or {},
             )
+        )
+
+    def optimize(
+        self,
+        cluster_by: Sequence[str] = (),
+        target_partitions: int | None = None,
+    ) -> None:
+        """Table maintenance (the OPTIMIZE / ZORDER BY analog for a parquet
+        lakehouse): rewrite the current version into one fresh compacted
+        segment, optionally range-clustered on ``cluster_by``.
+
+        * Compaction folds the many small segments that accumulate from
+          incremental merges into one — fewer files to list/open, full-size
+          row groups.
+        * ``cluster_by`` range-repartitions + sorts within partitions on the
+          given columns, so each output file/row-group covers a narrow value
+          range — parquet min/max stats then skip most of the table for
+          selective predicates on those columns (the data-skipping effect
+          Z-ORDER provides; for a single clustering dimension range-sort is
+          strictly better, for 2+ it is the practical linear-order stand-in).
+
+        Runs as one shuffle + one write; old versions stay readable until
+        ``vacuum()``.
+        """
+        df = self.read()
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            if target_partitions:
+                df = df.repartitionByRange(target_partitions, *cols)
+            else:
+                df = df.repartitionByRange(*cols)
+            df = df.sortWithinPartitions(*cols)
+        elif target_partitions:
+            df = df.repartition(target_partitions)
+        self.overwrite(
+            df,
+            operation="optimize",
+            metrics={"cluster_by": list(cluster_by)},
         )
 
     def append(self, df: DataFrame, metrics: dict | None = None) -> None:

@@ -102,7 +102,7 @@ sh AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM iw
 """
 
 _MINHASH_AGGS = ", ".join(
-    f"min(sha256(concat('{i}|', s))) AS h{i}" for i in range(8)
+    f"min(substring(sha256(s), {8 * i + 1}, 8)) AS h{i}" for i in range(8)
 )
 _BAND_SELECTS = "\nUNION ALL ".join(
     f"SELECT doc_id, {b} AS band_idx, sha256(concat_ws('|', h{2*b}, h{2*b+1})) AS band_key FROM sig"
@@ -148,14 +148,12 @@ SELECT doc_id, concat({chars}) AS simhash FROM agg
 # ---------------------------------------------------------------- n-gram Jaccard
 def q_ngram_jaccard(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    cand = (
-        docs.alias("a")
-        .join(
-            docs.alias("b"),
-            (F.col("b.doc_id") > F.col("a.doc_id"))
-            & (F.col("b.doc_id") <= F.col("a.doc_id") + 5),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # neighbor-window candidates as an explode+equi-join, NOT a range-theta
+    # join (which Spark can only plan as a nested-loop join); nonexistent
+    # doc_b ids drop out in the inner join inside ngram_jaccard_pairs
+    cand = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.explode(F.sequence(F.col("doc_id") + 1, F.col("doc_id") + 5)).alias("doc_b"),
     )
     return D.ngram_jaccard_pairs(docs, cand)
 

@@ -159,6 +159,16 @@ def test_multimodal_strict_raises(spark, docs):
         MM.extract_features(media, strict=True).collect()
 
 
+def test_resize_images(spark, docs):
+    media = MM.from_text_fixture(docs)
+    out = MM.resize_images(media, 224, 224)
+    rows = out.limit(5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["meta"]["width"] == 224 and r["meta"]["height"] == 224
+        assert r["content"] is not None  # payload passes through the stub
+
+
 def test_frame_sample(spark):
     media = spark.createDataFrame(
         [(1, bytearray(b"xx"), "video", (0, 0, 3500, "h264"))],

@@ -75,3 +75,30 @@ def test_schema_evolution_union(spark, tmp_path):
     out = t.read()
     assert "extra" in out.columns
     assert out.where(F.col("extra").isNull()).count() == 1
+
+
+def test_optimize_compacts_and_preserves_content(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t8"), partition_by=["p"])
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))
+    t.append(_df(spark, [(3, "a", "z")]))
+    t.append(_df(spark, [(4, "b", "w")]))
+    before = {(r["k"], r["p"], r["v"]) for r in t.read().collect()}
+    assert len(t.latest_manifest().segments) == 3
+    t.optimize(cluster_by=["k"])
+    mf = t.latest_manifest()
+    assert mf.operation == "optimize" and len(mf.segments) == 1
+    after = {(r["k"], r["p"], r["v"]) for r in t.read().collect()}
+    assert after == before
+    # old versions still readable until vacuum
+    assert t.read(version=mf.version - 1).count() == 4
+    t.vacuum()
+    assert {(r["k"], r["p"], r["v"]) for r in t.read().collect()} == before
+
+
+def test_optimize_unpartitioned(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t9"))
+    t.overwrite(_df(spark, [(i, "a", "x") for i in range(10)]))
+    t.append(_df(spark, [(100 + i, "b", "y") for i in range(10)]))
+    t.optimize(cluster_by=["k"], target_partitions=2)
+    assert t.read().count() == 20
+    assert len(t.latest_manifest().segments) == 1
