@@ -1,6 +1,7 @@
 from datalakefoundation_spark.streaming.ops import (  # noqa: F401
     read_event_stream,
     sessionize,
+    stream_dedup,
     stream_to_lake,
     windowed_counts,
 )

@@ -134,6 +134,21 @@ def sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exactly-once-by-key deduplication: drop repeats of the same
+    key arriving within the event-time watermark horizon. State is bounded
+    by the watermark (old keys age out), so this scales to unbounded streams
+    — the streaming twin of the batch exact-dedup operator, and the standard
+    guard in front of a training-data ingest (at-least-once sources replay)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def stream_to_lake(
     events: DataFrame, bronze_path: str, checkpoint: str, trigger_available_now: bool = True
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821

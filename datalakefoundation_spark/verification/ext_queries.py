@@ -268,6 +268,32 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+# ---------------------------------------------------------------- skew
+def q_salted_agg(spark, sf_dir):
+    """Skew-proof two-stage aggregation over lineitem's 3-value (maximally
+    hot) l_returnflag key — identical rows to the plain groupBy."""
+    from datalakefoundation_spark.ext.skew import salted_agg
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return salted_agg(
+        df,
+        ["l_returnflag"],
+        {
+            "n_rows": ("count", "l_returnflag"),
+            "sum_qty": ("sum", "l_quantity"),
+            "min_orderkey": ("min", "l_orderkey"),
+            "max_orderkey": ("max", "l_orderkey"),
+        },
+    )
+
+
+SQL_SALTED_AGG = """
+SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+       min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------- multimodal
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched binary-column feature extraction (mapInPandas plumbing;
@@ -295,4 +321,5 @@ QUERIES = {
     "q_knn_topk": (q_knn_topk, SQL_KNN_TOPK),
     "q_ann_lsh": (q_ann_lsh, _ann_lsh_oracle_sql()),
     "q_ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "q_salted_agg": (q_salted_agg, SQL_SALTED_AGG),
 }

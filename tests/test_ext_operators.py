@@ -176,3 +176,48 @@ def test_frame_sample(spark):
     )
     out = MM.frame_sample(media, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000, 3000]
+
+
+def test_salted_agg_matches_plain(spark):
+    from datalakefoundation_spark.ext.skew import salted_agg
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    salted = salted_agg(
+        df, ["l_returnflag"],
+        {"n": ("count", "l_returnflag"), "s": ("sum", "l_quantity"),
+         "mn": ("min", "l_orderkey"), "mx": ("max", "l_orderkey")},
+        salt_buckets=8,
+    )
+    plain = df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"),
+        F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx"),
+    )
+    a = {tuple(r) for r in salted.collect()}
+    b = {tuple(r) for r in plain.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    from datalakefoundation_spark.ext.skew import write_bucketed
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    od = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "bkt_lineitem", ["l_orderkey"], num_buckets=8)
+    write_bucketed(od.withColumnRenamed("o_orderkey", "l_orderkey"), "bkt_orders",
+                   ["l_orderkey"], num_buckets=8)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # at test scale the planner would broadcast instead (also shuffle-free,
+    # but it bypasses the bucketing path under test) — force the merge join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_lineitem").join(spark.table("bkt_orders"), "l_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located bucketed join: merge join with no shuffle on either side
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")

@@ -106,3 +106,32 @@ def test_stream_to_lake_bronze_append(spark, tmp_path):
     q = stream_to_lake(read_event_stream(spark, src), bronze, ckpt)
     q.awaitTermination(120)
     assert spark.read.parquet(bronze).count() == 20
+
+
+def test_stream_dedup(spark, tmp_path):
+    from datalakefoundation_spark.streaming import stream_dedup
+
+    src = str(tmp_path / "events4")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, _ts(0), 1, "click", 1.0),
+            (1, _ts(0, 30), 1, "click", 1.0),  # replayed within watermark -> dropped
+            (2, _ts(1), 2, "view", 2.0),
+            (2, _ts(1), 2, "view", 2.0),       # exact replay -> dropped
+            (3, _ts(2), 3, "click", 3.0),
+        ],
+    )
+    q = (
+        stream_dedup(read_event_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM dedup_test").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3]
