@@ -236,6 +236,7 @@ class Processing:
                 raise DatalakeException(f"unknown strategy: {strategy}")
             summary.duration_ms = (time.time() - started) * 1000
             self._write_watermarks()
+            self._maybe_auto_optimize()
             self.register_silver_in_catalog()
             if self.log_sink:
                 self.log_sink.log_summary(summary)
@@ -245,6 +246,30 @@ class Processing:
                 self._cached_source.unpersist()
             if self.log_sink:
                 self.log_sink.flush()
+
+    def _maybe_auto_optimize(self) -> None:
+        """Opt-in table maintenance inside the ingestion loop: when repeated
+        incremental runs have accumulated more than
+        ``maintenance.auto_optimize`` segments (entity setting or run
+        option), compact them (and vacuum) so read-side file listing and
+        row-group sizes stay healthy without a separate maintenance job."""
+        settings = self.entity.merged_settings()
+        threshold = self.options.get(
+            "maintenance.auto_optimize", settings.get("maintenance.auto_optimize")
+        )
+        if not threshold:
+            return
+        table = self.silver_table()
+        mf = table.latest_manifest()
+        if mf is None or len(mf.segments) <= int(threshold):
+            return
+        cluster = [c for c in (settings.get("maintenance.cluster_by") or [])]
+        logger.info(
+            "auto-optimize %s: %d segments > %s", self.entity.destination,
+            len(mf.segments), threshold,
+        )
+        table.optimize(cluster_by=cluster)
+        table.vacuum()
 
     def _write_watermarks(self) -> None:
         # never clobber a stored bookmark with null (empty slice)

@@ -302,3 +302,34 @@ def test_watermark_persistence(spark, lake_root, prefix):
     # reset writes a None row that clears the bookmark
     p.watermark_store.reset(1, "SeqNr")
     assert p.watermark_store.latest(1)["SeqNr"] is None
+
+
+def test_auto_optimize_compacts_after_threshold(spark, tmp_path):
+    """maintenance.auto_optimize compacts accumulated partitioned segments
+    (and vacuums) inside the ingestion loop."""
+    from datalakefoundation_spark.processing import Processing
+    from tests.helpers import T0, T1, make_metadata, rows_v1, write_slice
+
+    md = make_metadata(str(tmp_path / "root"), partitioned=True, watermark=False)
+    write_slice(spark, md, "s0.parquet", rows_v1(8))
+    p = Processing(spark, md, 1, "s0.parquet", {"processing.time": T0})
+    p.process()  # first run -> full load, 1 segment owning both partitions
+    # merge touching only the even partition -> COW leaves 2 segments
+    write_slice(
+        spark, md, "s1.parquet",
+        [{"ID": j, "SeqNr": j, "name": f"name{j}", "data": f"new{j}"} for j in range(0, 8, 2)],
+    )
+    p = Processing(
+        spark, md, 1, "s1.parquet",
+        {"processing.time": T1, "maintenance.auto_optimize": 1},
+    )
+    p.process()
+    table = p.silver_table()
+    mf = table.latest_manifest()
+    assert mf.operation == "optimize"
+    assert len(mf.segments) == 1
+    out = table.read()
+    assert out.count() == 8
+    # merged payload survives compaction; odd partition untouched
+    assert out.where(out["data"] == "new0").count() == 1
+    assert out.where(out["data"] == "data1").count() == 1
