@@ -28,6 +28,8 @@ from datalakefoundation_spark.verification import all_queries  # noqa: E402
 HEADLINE = [
     "q_pricing_summary",
     "q_join_agg",
+    "q_shipping_priority",
+    "q_region_volume",
     "q_latest_per_key",
     "q_source_hash",
     "q_merge_upsert",

@@ -332,6 +332,77 @@ GROUP BY r_name, n_name
 """
 
 
+# ---------------------------------------------------------------- TPC-H-style multiway joins
+def q_shipping_priority(spark, sf_dir):
+    """Q3-style: top-10 unshipped orders by revenue — fact⋈fact join on the
+    shuffle key + broadcast dim, then a bounded top-k sort."""
+    cust = _read(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_region_volume(spark, sf_dir):
+    """Q5-style: revenue by nation for one region — 5-way join where every
+    dimension broadcasts; only the lineitem⋈orders join shuffles."""
+    region = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+SQL_REGION_VOLUME = """
+SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "q_scan_project": (q_scan_project, SQL_SCAN_PROJECT),
     "q_filter_predicate": (q_filter_predicate, SQL_FILTER_PREDICATE),
@@ -350,4 +421,6 @@ QUERIES = {
     "q_latest_per_key": (q_latest_per_key, SQL_LATEST_PER_KEY),
     "q_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
+    "q_shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "q_region_volume": (q_region_volume, SQL_REGION_VOLUME),
 }
