@@ -332,6 +332,67 @@ GROUP BY r_name, n_name
 """
 
 
+# ---------------------------------------------------------------- windows: batch sessionization
+def q_sessionize_batch(spark, sf_dir):
+    """Gap-based sessionization as pure window functions (lag + running sum)
+    — the batch twin of streaming/ops.sessionize: one shuffle on user_id,
+    sessions numbered per user by 30-minute inactivity gaps."""
+    # µs precision on both engines (DuckDB timestamps are µs; parquet is ns)
+    df = read_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    new_session = (
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > F.lit(gap_us), 1)
+        .otherwise(0)
+    )
+    with_sess = df.withColumn(
+        "session_idx",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return with_sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE_BATCH = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+flagged AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+# ---------------------------------------------------------------- rollup / grouping sets
+def q_rollup_sales(spark, sf_dir):
+    """Hierarchical totals via ROLLUP (returnflag -> linestatus -> grand
+    total) — partial aggregation handles all grouping sets in one shuffle."""
+    df = _read(spark, sf_dir, "lineitem")
+    return (
+        df.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_ROLLUP_SALES = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 # ---------------------------------------------------------------- TPC-H-style multiway joins
 def q_shipping_priority(spark, sf_dir):
     """Q3-style: top-10 unshipped orders by revenue — fact⋈fact join on the
@@ -423,4 +484,6 @@ QUERIES = {
     "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
     "q_shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "q_region_volume": (q_region_volume, SQL_REGION_VOLUME),
+    "q_sessionize_batch": (q_sessionize_batch, SQL_SESSIONIZE_BATCH),
+    "q_rollup_sales": (q_rollup_sales, SQL_ROLLUP_SALES),
 }
