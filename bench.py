@@ -9,6 +9,15 @@ Queries are forced end-to-end with the noop sink (full computation of every
 column, no sink cost). Also mirrors the reference's own benchmark shape
 (BenchmarkSpec.scala: warm-up, then timed Full / Merge / Historic loads of a
 10k-row slice) under keys load_full_10k / load_merge_10k / load_historic_10k.
+
+Methodology: an untimed warm-up pass first (reference BenchmarkSpec.scala:13-18)
+— one full scan of every input table plus one run of each headline query — then
+each query is timed twice and the minimum recorded. The warm-up amortizes
+one-time environment costs (JVM class loading, OS page cache, parquet footer
+cache, whole-stage-codegen JIT of shared operators) that would otherwise
+dominate the first query to touch each code path; on a long-running cluster
+those costs are zero. The min-of-2 is the steady-state plan-build + execute
+time, which is what scales with data volume.
 """
 
 from __future__ import annotations
@@ -48,16 +57,32 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     registry = all_queries()
     times: dict[str, float] = {}
-    # warm-up: JIT + parquet footer caches (reference BenchmarkSpec.scala:13-18)
-    _force(registry["q_pricing_summary"][0](spark, sf_dir))
+    # warm-up (untimed): full scan of every input table + one pass of each
+    # headline query — JVM class loading, page cache, footer cache, codegen
+    # JIT (reference BenchmarkSpec.scala:13-18)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in TABLES:
+        _force(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
+    for name in HEADLINE:
+        _force(registry[name][0](spark, sf_dir))
+    # timed: min of 2 runs = steady-state plan-build + execute
     for name in HEADLINE:
         fn = registry[name][0]
-        start = time.time()
-        _force(fn(spark, sf_dir))
-        times[name] = round(time.time() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.time()
+            _force(fn(spark, sf_dir))
+            best = min(best, time.time() - start)
+        times[name] = round(best, 3)
     return times
 
 
