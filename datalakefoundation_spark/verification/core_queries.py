@@ -464,6 +464,130 @@ GROUP BY n_name
 """
 
 
+def q_order_priority_count(spark, sf_dir):
+    """Q4-style: order count by priority for orders having at least one
+    returned lineitem — LEFT SEMI join (EXISTS) so lineitem rows are never
+    duplicated into the aggregate; the semi-join shuffles only the key
+    column of the probe side."""
+    orders = _read(spark, sf_dir, "orders")
+    returned = _read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_ORDER_PRIORITY_COUNT = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_idle_customers(spark, sf_dir):
+    """Q22-style: customers with above-average balance and no urgent
+    orders — LEFT ANTI join (NOT EXISTS) plus a broadcast scalar subquery;
+    the 1-row average cross-joins for free, the anti-join shuffles on
+    custkey."""
+    cust = _read(spark, sf_dir, "customer")
+    urgent = _read(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("__avg_bal"))
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).alias("total_bal"),
+        )
+    )
+
+
+SQL_IDLE_CUSTOMERS = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       sum(CAST(c_acctbal AS DECIMAL(18,4))) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+def q_promo_share(spark, sf_dir):
+    """Q14-style: promo revenue share for one ship-month — broadcast dim
+    join + conditional aggregation folded into a single map-side pass."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp_ntz"))
+    )
+    part = _read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))).alias(
+                "promo_revenue"
+            ),
+            F.sum(rev).alias("total_revenue"),
+        )
+    )
+
+
+SQL_PROMO_SHARE = """
+SELECT sum(CASE WHEN p_type = 'PROMO'
+                THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) AS promo_revenue,
+       sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Q10-style: top-20 customers by returned-item revenue — fact⋈fact
+    shuffle join on orderkey, broadcast customer+nation dims, bounded
+    top-k (TakeOrderedAndProject, no global sort)."""
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    # per-customer groups sum thousands of doubles — decimal accumulation is
+    # exact and associative, so the result is partition-order-independent
+    # (plain double sums differ in the last ulp between engines)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q_scan_project": (q_scan_project, SQL_SCAN_PROJECT),
     "q_filter_predicate": (q_filter_predicate, SQL_FILTER_PREDICATE),
@@ -486,4 +610,8 @@ QUERIES = {
     "q_region_volume": (q_region_volume, SQL_REGION_VOLUME),
     "q_sessionize_batch": (q_sessionize_batch, SQL_SESSIONIZE_BATCH),
     "q_rollup_sales": (q_rollup_sales, SQL_ROLLUP_SALES),
+    "q_order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
+    "q_idle_customers": (q_idle_customers, SQL_IDLE_CUSTOMERS),
+    "q_promo_share": (q_promo_share, SQL_PROMO_SHARE),
+    "q_top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
 }
