@@ -3,7 +3,10 @@
 * dedup.py       — exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
 * similarity.py  — brute-force cosine top-k, sign-LSH bucketed ANN, IVF cells
 * text.py        — token stats (whitespace + BPE-style regex), quality
-                   scoring, language-ID, fingerprinting
+                   scoring + keep/drop filter gate, language-ID,
+                   fingerprinting, vocabulary top-k
+* sampling.py    — deterministic (stratified) sampling via sha256-threshold
+                   keep decisions, reproducible under any partitioning
 * multimodal.py  — opaque binary columns + Arrow-batched decode/feature/
                    resize/frame-sample plumbing
 * skew.py        — salted two-stage aggregation, bucketed co-located joins

@@ -1,0 +1,64 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+``df.sample()`` is seed-dependent on partitioning (a repartition or a
+speculative re-run changes the sample), which makes pipelines
+non-reproducible. These operators instead derive the keep/drop decision
+from a content hash of a stable key, so the sample is a pure function of
+the data: identical across runs, clusters, partitionings, and engines
+(the DuckDB oracle reproduces it bit-for-bit with the same sha256).
+
+Scale: one projection + filter per row, fully in whole-stage codegen; the
+filter is applied at scan time so downstream stages only see kept rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# keep iff the first 8 hex chars of sha256(key) < threshold(fraction).
+# 8 hex chars = 32 uniform bits; lexicographic compare on fixed-width
+# lowercase hex equals numeric compare, in any engine.
+_HASH_WIDTH = 8
+_HASH_SPACE = 16 ** _HASH_WIDTH
+
+
+def hash_threshold(fraction: float) -> str:
+    """Fixed-width lowercase-hex keep threshold for a sampling fraction."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * _HASH_SPACE), _HASH_SPACE - 1), f"0{_HASH_WIDTH}x")
+
+def _bucket(key_col: Column) -> Column:
+    return F.substring(F.sha2(key_col.cast("string"), 256), 1, _HASH_WIDTH)
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, decided by sha256(key)."""
+    return df.where(_bucket(F.col(key_col)) < F.lit(hash_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample common languages,
+    keep all of rare ones). ``rates`` maps stratum value -> keep fraction;
+    strata not listed use ``default_rate``.
+
+    The per-stratum threshold is folded into one CASE expression, so this is
+    a single codegen'd filter — no join, no shuffle, and the same row always
+    gets the same decision regardless of partitioning.
+    """
+    thr = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == F.lit(value)
+        t = F.lit(hash_threshold(rate))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = F.lit(hash_threshold(default_rate)) if thr is None else thr.otherwise(
+        F.lit(hash_threshold(default_rate))
+    )
+    return df.where(_bucket(F.col(key_col)) < thr)

@@ -72,6 +72,49 @@ def lang_id(df: DataFrame, text_col: str = "text", threshold: float = 0.02) -> D
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_distinct_ratio: float = 0.1,
+    max_stopword_ratio: float = 0.9,
+) -> DataFrame:
+    """Gopher/C4-style quality gate: keep/drop decision + the first failing
+    rule as a reject reason (rules checked in a fixed order so the reason is
+    deterministic). One projection, no shuffle — at 100 TB this runs at scan
+    speed and the downstream pipeline filters on ``keep``."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    sw_ratio = stopword_ratio(text_col)
+    reason = (
+        F.when(n < min_tokens, F.lit("too_short"))
+        .when(n > max_tokens, F.lit("too_long"))
+        .when(distinct_ratio < min_distinct_ratio, F.lit("repetitive"))
+        .when(sw_ratio > max_stopword_ratio, F.lit("stopword_heavy"))
+    )
+    return df.withColumn("reject_reason", reason).withColumn(
+        "keep", F.col("reject_reason").isNull()
+    )
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 100
+) -> DataFrame:
+    """Global top-k vocabulary with counts: explode -> two-stage count agg
+    (map-side partial combine carries at most |vocab| rows per task into the
+    shuffle) -> bounded top-k (TakeOrderedAndProject, no global sort).
+    Count ties broken by token so the result is total-ordered."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def fingerprint(text_col: str | Column) -> Column:
     """Order-insensitive content fingerprint: sha256 over the sorted distinct
     token set. Robust to token reordering; cheap (one projection)."""

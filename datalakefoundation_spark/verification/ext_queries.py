@@ -307,8 +307,74 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- quality filter / sampling / vocab
+def q_quality_filter(spark, sf_dir):
+    df = TX.quality_filter(_docs(spark, sf_dir), min_tokens=20, min_distinct_ratio=0.12)
+    return df.select("doc_id", "keep", "reject_reason")
+
+
+SQL_QUALITY_FILTER = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+r AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 20 THEN 'too_short'
+              WHEN len(w) > 100000 THEN 'too_long'
+              WHEN len(list_distinct(w)) / len(w) < 0.12 THEN 'repetitive'
+              WHEN len(list_filter(w, t -> list_contains([{_SW}], t))) / len(w) > 0.9
+                   THEN 'stopword_heavy'
+         END AS reject_reason
+  FROM w
+)
+SELECT doc_id, reject_reason, reject_reason IS NULL AS keep FROM r
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    from datalakefoundation_spark.ext import sampling as SA
+
+    df = SA.stratified_sample(
+        _docs(spark, sf_dir),
+        key_col="doc_id",
+        strata_col="source",
+        rates={"src0": 0.5, "src1": 0.25},
+        default_rate=0.1,
+    )
+    return df.select("doc_id", "source")
+
+
+def _stratified_oracle_sql() -> str:
+    from datalakefoundation_spark.ext import sampling as SA
+
+    t0, t1, td = (
+        SA.hash_threshold(0.5),
+        SA.hash_threshold(0.25),
+        SA.hash_threshold(0.1),
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE source WHEN 'src0' THEN '{t0}' WHEN 'src1' THEN '{t1}' ELSE '{td}' END
+"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    return TX.vocab_topk(_docs(spark, sf_dir), k=50)
+
+
+SQL_VOCAB_TOPK = """
+SELECT t.token AS token, count(*) AS n
+FROM documents, unnest(string_split(text, ' ')) AS t(token)
+GROUP BY t.token
+ORDER BY n DESC, token ASC
+LIMIT 50
+"""
+
+
 QUERIES = {
     "q_multimodal_features": (q_multimodal_features, None),
+    "q_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "q_stratified_sample": (q_stratified_sample, _stratified_oracle_sql()),
+    "q_vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "q_text_stats": (q_text_stats, SQL_TEXT_STATS),
     "q_token_count": (q_token_count, SQL_TOKEN_COUNT),
     "q_lang_id": (q_lang_id, SQL_LANG_ID),

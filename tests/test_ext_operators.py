@@ -221,3 +221,55 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_deterministic_sample_invariant_under_partitioning(spark, docs):
+    from datalakefoundation_spark.ext import sampling as SA
+
+    a = sorted(r.doc_id for r in SA.deterministic_sample(docs, "doc_id", 0.3).collect())
+    b = sorted(
+        r.doc_id
+        for r in SA.deterministic_sample(docs.repartition(13), "doc_id", 0.3).collect()
+    )
+    assert a == b and 0 < len(a) < docs.count()
+    # monotone: a smaller fraction's sample is a subset of a larger one's
+    c = set(r.doc_id for r in SA.deterministic_sample(docs, "doc_id", 0.1).collect())
+    assert c <= set(a)
+
+
+def test_stratified_sample_rates(spark, docs):
+    from datalakefoundation_spark.ext import sampling as SA
+
+    out = SA.stratified_sample(
+        docs, "doc_id", "source", rates={"src0": 1.0}, default_rate=0.0
+    )
+    got = out.groupBy("source").count().collect()
+    # rate 1.0 keeps every src0 row, default 0.0 drops every other stratum
+    assert {r.source for r in got} == {"src0"}
+    assert got[0]["count"] == docs.where(F.col("source") == "src0").count()
+
+
+def test_quality_filter_reasons(spark):
+    rows = [
+        (1, "short text"),                      # < 20 tokens -> too_short
+        (2, " ".join(["word"] * 50)),           # 1/50 distinct -> repetitive
+        (3, " ".join(["the"] * 10 + ["a"] * 15)),  # all stopwords -> repetitive first
+        (4, " ".join(f"w{i}" for i in range(30))),  # clean -> keep
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.keep, r.reject_reason) for r in TX.quality_filter(df).collect()}
+    assert out[1] == (False, "too_short")
+    assert out[2] == (False, "repetitive")
+    assert out[3] == (False, "repetitive")  # rule order is fixed
+    assert out[4] == (True, None)
+
+
+def test_vocab_topk_total_order(spark, docs):
+    top = TX.vocab_topk(docs, k=10).collect()
+    assert len(top) == 10
+    counts = [r.n for r in top]
+    assert counts == sorted(counts, reverse=True)
+    # ties broken by token ascending
+    for x, y in zip(top, top[1:]):
+        if x.n == y.n:
+            assert x.token < y.token
