@@ -588,6 +588,32 @@ LIMIT 20
 """
 
 
+def q_running_total(spark, sf_dir):
+    """Cumulative spend per customer ordered by date — a running-sum window
+    frame (rows unbounded preceding) on top of the orders scan: one shuffle
+    on custkey, then a streaming frame scan within each partition."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return _read(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).alias("cum_spend"),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       sum(CAST(o_totalprice AS DECIMAL(18,4)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS cum_spend
+FROM orders
+"""
+
+
 QUERIES = {
     "q_scan_project": (q_scan_project, SQL_SCAN_PROJECT),
     "q_filter_predicate": (q_filter_predicate, SQL_FILTER_PREDICATE),
@@ -614,4 +640,5 @@ QUERIES = {
     "q_idle_customers": (q_idle_customers, SQL_IDLE_CUSTOMERS),
     "q_promo_share": (q_promo_share, SQL_PROMO_SHARE),
     "q_top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "q_running_total": (q_running_total, SQL_RUNNING_TOTAL),
 }
