@@ -2,6 +2,7 @@ from datalakefoundation_spark.streaming.ops import (  # noqa: F401
     read_event_stream,
     sessionize,
     stream_dedup,
+    stream_merge_to_silver,
     stream_to_lake,
     windowed_counts,
 )

@@ -149,6 +149,48 @@ def stream_dedup(
     )
 
 
+def stream_merge_to_silver(
+    events: DataFrame,
+    metadata,
+    entity_id: int,
+    checkpoint: str,
+    options: dict | None = None,
+    trigger_available_now: bool = True,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Continuous bronze→silver: every micro-batch lands as a bronze slice
+    and is immediately merged into the silver table by the batch `Processing`
+    pipeline (``foreachBatch`` — the standard Structured Streaming upsert
+    pattern, since streaming sinks can't express MERGE directly).
+
+    Exactly-once end to end: the checkpoint gives at-least-once batch
+    delivery, the slice write is keyed by ``batch_id`` with mode=overwrite
+    (a replayed batch rewrites the same file), and the merge itself is
+    idempotent — re-upserting identical rows by PK only touches lastSeen.
+    State never accumulates on the stream side; all heavy lifting is the
+    same partition-pruned merge the batch path uses, so one code path
+    serves both latency modes (Kappa-style).
+    """
+    from datalakefoundation_spark.processing import Processing
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        entity = metadata.get_entity(entity_id)
+        bronze = entity.get_output().bronzepath.value
+        slice_name = f"stream_batch_{batch_id:012d}.parquet"
+        batch_df.write.mode("overwrite").parquet(f"{bronze}/{slice_name}")
+        Processing(
+            batch_df.sparkSession, metadata, entity_id, slice_name, dict(options or {})
+        ).process()
+
+    writer = events.writeStream.foreachBatch(_merge_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_to_lake(
     events: DataFrame, bronze_path: str, checkpoint: str, trigger_available_now: bool = True
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821

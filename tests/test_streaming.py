@@ -135,3 +135,38 @@ def test_stream_dedup(spark, tmp_path):
     rows = spark.sql("SELECT event_id FROM dedup_test").collect()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == [1, 2, 3]
+
+
+def test_stream_merge_to_silver_upserts(spark, tmp_path):
+    from datalakefoundation_spark.processing import Processing
+    from datalakefoundation_spark.streaming import stream_merge_to_silver
+    from tests.helpers import make_metadata
+
+    md = make_metadata(str(tmp_path / "root"), processtype="merge")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt_merge")
+
+    def as_entity_stream():
+        return (
+            read_event_stream(spark, src)
+            .selectExpr(
+                "event_id AS ID", "event_id AS SeqNr",
+                "event_type AS name", "value AS data",
+            )
+        )
+
+    _write_events(spark, src, [(i, _ts(i % 60), i, "click", 1.0) for i in range(5)])
+    q = stream_merge_to_silver(as_entity_stream(), md, 1, ckpt)
+    q.awaitTermination(120)
+    silver = Processing(spark, md, 1, "stream_batch_000000000000.parquet", {}).silver_table()
+    assert silver.read().count() == 5
+
+    # second wave: 3 replays with changed payload + 3 new keys; the
+    # checkpoint ensures only the new files feed batch 1, the merge upserts
+    _write_events(spark, src, [(i, _ts(i % 60), i, "click", 9.0) for i in range(3, 9)])
+    q2 = stream_merge_to_silver(as_entity_stream(), md, 1, ckpt)
+    q2.awaitTermination(120)
+    out = silver.read()
+    assert out.count() == 9
+    by_id = {r["ID"]: r["data"] for r in out.collect()}
+    assert by_id[2] == 1.0 and by_id[3] == 9.0 and by_id[8] == 9.0
