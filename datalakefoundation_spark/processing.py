@@ -83,12 +83,36 @@ class Processing:
         self._partition_values: list[dict[str, str]] = []
 
     # ------------------------------------------------------------ source
+    # The pipeline is compute-heavy (two sha256 passes over every column),
+    # so a slice should spread at roughly one task per ~2 MB of compressed
+    # parquet; below that the repartition round-trip costs more than it buys.
+    _BYTES_PER_TASK = 2 << 20
+
     def _read_bronze(self) -> DataFrame:
         loc = self.output.bronzepath
         if loc.kind == "table":
             df = self.spark.read.table(loc.value)
             return df  # slice filter applied by pipeline P5 (filter_to_slice)
-        return self.spark.read.parquet(f"{loc.value}/{self.slice_file}")
+        slice_path = f"{loc.value}/{self.slice_file}"
+        df = self.spark.read.parquet(slice_path)
+        # Parquet can't split inside a row group, so a slice written as few
+        # fat single-row-group files caps the whole pipeline's parallelism
+        # no matter how many cores exist. When the byte size warrants more
+        # tasks than there are files, fan out explicitly. At 100 TB slices
+        # arrive as many files/row-groups and this is a no-op; the driver-side
+        # FS probe costs ~ms either way.
+        try:
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(slice_path)
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            n_bytes = fs.getContentSummary(jpath).getLength()
+            cores = self.spark.sparkContext.defaultParallelism
+            target = min(cores, int(n_bytes // self._BYTES_PER_TASK))
+            if target > 1 and len(df.inputFiles()) < target:
+                df = df.repartition(target)
+        except Exception:  # pragma: no cover - FS probe is best-effort
+            pass
+        return df
 
     def get_source(self, historic: bool = False) -> DataFrame:
         """Build the transform chain once, cache, run the bookkeeping actions,
