@@ -588,6 +588,29 @@ LIMIT 20
 """
 
 
+def q_tumbling_counts(spark, sf_dir):
+    """Batch twin of streaming/ops.windowed_counts: tumbling 1-minute
+    event-time buckets × event_type — one partial-aggregated shuffle.
+    Buckets are µs epoch integers (ts div 60e6) so the grouping key is
+    engine-portable (events.parquet is TIMESTAMP(NANOS))."""
+    df = read_events(spark, sf_dir).withColumn(
+        "bucket_start_us", F.expr("(ts_ns div 1000) div 60000000 * 60000000")
+    )
+    return df.groupBy("bucket_start_us", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+    )
+
+
+SQL_TUMBLING_COUNTS = """
+SELECT epoch_us(ts) // 60000000 * 60000000 AS bucket_start_us, event_type,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM events
+GROUP BY bucket_start_us, event_type
+"""
+
+
 def q_running_total(spark, sf_dir):
     """Cumulative spend per customer ordered by date — a running-sum window
     frame (rows unbounded preceding) on top of the orders scan: one shuffle
@@ -641,4 +664,5 @@ QUERIES = {
     "q_promo_share": (q_promo_share, SQL_PROMO_SHARE),
     "q_top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "q_running_total": (q_running_total, SQL_RUNNING_TOTAL),
+    "q_tumbling_counts": (q_tumbling_counts, SQL_TUMBLING_COUNTS),
 }
