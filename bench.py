@@ -50,6 +50,12 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_knn_topk",
     "q_ann_lsh",
+    "q_order_priority_count",
+    "q_top_customers",
+    "q_tumbling_counts",
+    "q_quality_filter",
+    "q_stratified_sample",
+    "q_vocab_topk",
 ]
 
 

@@ -27,3 +27,8 @@ class DuplicateEntityIdException(DatalakeException):
 
 class EntityNotFoundException(DatalakeException):
     pass
+
+
+class ConcurrentCommitException(DatalakeException):
+    """Another writer committed the same table version first (optimistic
+    concurrency conflict); re-read the latest manifest and retry."""

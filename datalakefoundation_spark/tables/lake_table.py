@@ -44,6 +44,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datalakefoundation_spark.core.exceptions import ConcurrentCommitException
+
 
 @dataclass
 class Segment:
@@ -131,12 +133,25 @@ class LakeTable:
         return self.latest_manifest() is not None
 
     def _commit(self, manifest: Manifest) -> None:
+        """Atomic compare-and-swap commit: the version file is created with
+        ``os.link`` (fails if it already exists), so two writers racing for
+        the same version cannot silently drop each other's segments — the
+        loser gets ConcurrentCommitException and must re-read + retry. On an
+        object store, swap this for the store's conditional-put (the same
+        protocol Delta/Iceberg use for their commit files)."""
         os.makedirs(self._manifest_dir, exist_ok=True)
         final = os.path.join(self._manifest_dir, f"v{manifest.version:05d}.json")
         tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             fh.write(manifest.to_json())
-        os.rename(tmp, final)  # atomic manifest flip
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentCommitException(
+                f"version {manifest.version} of {self.path} was committed concurrently"
+            )
+        finally:
+            os.unlink(tmp)
 
     # ------------------------------------------------------------ segment io
     def _write_segment(self, df: DataFrame) -> str:

@@ -71,20 +71,33 @@ class WatermarkStore:
                 "value": pa.array([values[c][1] for c in cols], pa.string()),
             }
         )
-        mf = self.table.latest_manifest()
-        next_v = (mf.version + 1) if mf else 0
-        seg_rel = f"data/v{next_v:05d}"
-        os.makedirs(f"{self.path}/{seg_rel}", exist_ok=True)
-        pq.write_table(arrow, f"{self.path}/{seg_rel}/part-00000.parquet")
-        segments = (list(mf.segments) if mf else []) + [Segment(seg_rel, None)]
-        self.table._commit(
-            Manifest(
-                version=next_v,
-                partition_by=[],
-                segments=segments,
-                operation="append",
-                timestamp=time.time(),
-            )
+        from datalakefoundation_spark.core.exceptions import ConcurrentCommitException
+
+        # optimistic-concurrency retry: concurrent entity runs (orchestrate.
+        # process_entities) append to this shared table; a commit conflict
+        # just means another entity won that version — re-read and go again
+        for attempt in range(50):
+            mf = self.table.latest_manifest()
+            next_v = (mf.version + 1) if mf else 0
+            seg_rel = f"data/v{next_v:05d}-{entity_id}-{attempt}"
+            os.makedirs(f"{self.path}/{seg_rel}", exist_ok=True)
+            pq.write_table(arrow, f"{self.path}/{seg_rel}/part-00000.parquet")
+            segments = (list(mf.segments) if mf else []) + [Segment(seg_rel, None)]
+            try:
+                self.table._commit(
+                    Manifest(
+                        version=next_v,
+                        partition_by=[],
+                        segments=segments,
+                        operation="append",
+                        timestamp=time.time(),
+                    )
+                )
+                return
+            except ConcurrentCommitException:
+                continue
+        raise ConcurrentCommitException(
+            f"watermark append for entity {entity_id} lost 50 commit races"
         )
 
     def reset(self, entity_id: int, column_name: str) -> None:

@@ -102,3 +102,17 @@ def test_optimize_unpartitioned(spark, tmp_path):
     t.optimize(cluster_by=["k"], target_partitions=2)
     assert t.read().count() == 20
     assert len(t.latest_manifest().segments) == 1
+
+
+def test_commit_is_compare_and_swap(spark, tmp_path):
+    import pytest
+
+    from datalakefoundation_spark.core.exceptions import ConcurrentCommitException
+    from datalakefoundation_spark.tables.lake_table import Manifest
+
+    t = LakeTable(spark, str(tmp_path / "cas"))
+    m = Manifest(version=0, partition_by=[], segments=[], operation="append", timestamp=0.0)
+    t._commit(m)
+    with pytest.raises(ConcurrentCommitException):
+        t._commit(m)  # same version again -> conflict, not silent replace
+    assert t.latest_manifest().version == 0
