@@ -179,28 +179,53 @@ def simhash(
     The bit-string representation avoids 64-bit signed-integer pitfalls and
     is directly comparable across engines.
     """
+    # Cap tokens per doc so the packed lane sums below cannot overflow
+    # (4 x 16-bit lanes per long: safe to 2^15 tokens; also bounds worst-case
+    # compute per document — a desirable property at 100 TB regardless).
+    max_tokens = (1 << 15) - 1
     tok = (
         ensure_compute_parallelism(df)
-        .select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+        .select(
+            F.col(id_col),
+            F.explode(F.slice(tokens(text_col), 1, max_tokens)).alias("__t"),
+        )
         .withColumn("__h", F.substring(F.sha2(F.col("__t"), 256), 1, 16))
     )
-    # Materialize the 16 nibble ints once per token (separate projection —
-    # Catalyst keeps it below the partial aggregate), so each of the 64
-    # bit-sums is a shift+mod instead of re-running substring+conv.
-    nibbles = tok.select(
+    # Pack each nibble's 4 bit-indicators into disjoint 16-bit lanes of one
+    # long (bit j of nibble value v -> lane j), so the per-doc aggregate is
+    # 16 long-sums instead of 64 conditional sums: a 4x smaller hash-agg
+    # buffer and far less generated code (the 64-slot variant took seconds
+    # of codegen/JIT per cold run). Lanes can't collide below the token cap.
+    packed = tok.select(
         F.col(id_col),
         *[
-            F.expr(f"cast(conv(substring(__h, {k + 1}, 1), 16, 10) as int)").alias(f"__n{k}")
+            F.expr(
+                f"cast(conv(substring(__h, {k + 1}, 1), 16, 10) as bigint)"
+            ).alias(f"__v{k}")
+            for k in range(bits // 4)
+        ],
+    ).select(
+        F.col(id_col),
+        *[
+            F.expr(
+                f"shiftleft(shiftright(__v{k}, 3) & 1, 48) + "
+                f"shiftleft(shiftright(__v{k}, 2) & 1, 32) + "
+                f"shiftleft(shiftright(__v{k}, 1) & 1, 16) + (__v{k} & 1)"
+            ).alias(f"__p{k}")
             for k in range(bits // 4)
         ],
     )
-    aggs = [
-        F.expr(f"sum(pmod(shiftright(__n{b // 4}, {3 - b % 4}), 2))").alias(f"s{b}")
-        for b in range(bits)
-    ]
-    agg = nibbles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *aggs)
+    agg = packed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"__p{k}").alias(f"s{k}") for k in range(bits // 4)],
+    )
+    # bit b = lane (3 - b%4... ) of nibble b//4: MSB of the nibble is lane 48
     chars = [
-        F.when(2 * F.col(f"s{b}") > F.col("n"), F.lit("1")).otherwise(F.lit("0"))
+        F.when(
+            2 * (F.shiftright(F.col(f"s{b // 4}"), 48 - 16 * (b % 4)).bitwiseAND(F.lit(65535)))
+            > F.col("n"),
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
         for b in range(bits)
     ]
     return agg.select(F.col(id_col), F.concat(*chars).alias("simhash"))
