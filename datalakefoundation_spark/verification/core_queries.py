@@ -588,6 +588,24 @@ LIMIT 20
 """
 
 
+def q_cube_sales(spark, sf_dir):
+    """CUBE over (returnflag, shipmode-ish priority dim): all 4 grouping
+    sets in one shuffle via Expand — the full grouping-sets family next to
+    q_rollup_sales' hierarchy."""
+    df = _read(spark, sf_dir, "lineitem")
+    return df.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_CUBE_SALES = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_tumbling_counts(spark, sf_dir):
     """Batch twin of streaming/ops.windowed_counts: tumbling 1-minute
     event-time buckets × event_type — one partial-aggregated shuffle.
@@ -665,4 +683,5 @@ QUERIES = {
     "q_top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "q_running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "q_tumbling_counts": (q_tumbling_counts, SQL_TUMBLING_COUNTS),
+    "q_cube_sales": (q_cube_sales, SQL_CUBE_SALES),
 }
