@@ -588,6 +588,32 @@ LIMIT 20
 """
 
 
+def q_order_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (median + p90 of order value by priority).
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    p*(n-1) linear-interpolation definition, so the doubles are
+    bit-identical. Exact percentile sorts within each group — at scale
+    prefer approx_percentile; this is the exact baseline."""
+    return (
+        _read(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_value"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_value"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_ORDER_QUANTILES = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS median_value,
+       quantile_cont(o_totalprice, 0.9) AS p90_value,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_cube_sales(spark, sf_dir):
     """CUBE over (returnflag, shipmode-ish priority dim): all 4 grouping
     sets in one shuffle via Expand — the full grouping-sets family next to
@@ -684,4 +710,5 @@ QUERIES = {
     "q_running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "q_tumbling_counts": (q_tumbling_counts, SQL_TUMBLING_COUNTS),
     "q_cube_sales": (q_cube_sales, SQL_CUBE_SALES),
+    "q_order_quantiles": (q_order_quantiles, SQL_ORDER_QUANTILES),
 }
