@@ -3,8 +3,16 @@
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
 row count, sorted column names, and an order-insensitive canonicalized value
-multiset. Stricter than any reasonable hash compare — if this passes, the
-driver's hash compare passes.
+multiset.
+
+Crucially, both sides are round-tripped through pandas BEFORE comparison,
+exactly like the driver: Spark rows via ``pd.DataFrame(df.collect())`` and
+DuckDB via ``rel.df()``. This surfaces the two canonicalization traps that
+made round-1's local gate mispredict the driver: (a) DuckDB ``.df()``
+converts DECIMAL/HUGEINT aggregates to float64 while Spark keeps
+Decimal/int64, and (b) pandas nanosecond timestamps overflow on the
+``2999-12-31`` SCD2 sentinel (OutOfBoundsDatetime). A value that differs in
+pandas dtype differs in canon here, and a pandas conversion error is a FAIL.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -26,37 +34,47 @@ TABLES = [
 
 
 def canon(v):
-    if v is None:
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+        if isinstance(v, float):
+            return "NaN"
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
+    if isinstance(v, np.generic):
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat(sep=" ")
     if isinstance(v, _dt.datetime):
         return v.isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, np.ndarray):
+        return canon(list(v))
     if isinstance(v, bytes):
         return v.hex()
-    try:
-        import numpy as np
-
-        if isinstance(v, np.generic):
-            return canon(v.item())
-        if isinstance(v, np.ndarray):
-            return canon(list(v))
-    except ImportError:
-        pass
     return str(v)
 
 
-def canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+def canon_pdf(pdf):
+    """Order-insensitive canonical multiset of a pandas DataFrame's values.
+
+    Columns are sorted by name first (the driver's compare does the same),
+    so Spark/DuckDB column ordering differences don't matter but dtype
+    differences after pandas conversion do.
+    """
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = pdf.itertuples(index=False, name=None)
+    return sorted("|".join(canon(v) for v in r) for r in rows)
 
 
 def main():
@@ -75,6 +93,8 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    import pandas as pd
+
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
@@ -84,33 +104,34 @@ def main():
         t_start = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            # toPandas() replicates the driver: timestamp columns are astype'd
+            # to datetime64[ns], so the 2999 sentinel raises OutOfBoundsDatetime
+            # — that's a real driver failure, not a gate bug.
+            s_pdf = sdf.toPandas()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            print(f"FAIL  {name}: spark/pandas error: {type(e).__name__}: {e}")
             continue
         if name not in oracles:
             print(f"skip  {name}: no oracle (rows-only) — {len(s_rows)} rows")
             continue
         try:
             rel = con.sql(oracles[name])
-            d_cols = [d[0] for d in rel.description]
-            d_rows = rel.fetchall()
+            d_pdf = rel.df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             continue
         dur = time.time() - t_start
-        if sorted(s_cols) != sorted(d_cols):
+        if sorted(s_pdf.columns) != sorted(d_pdf.columns):
             failures.append(name)
-            print(f"FAIL  {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            print(f"FAIL  {name}: columns spark={sorted(s_pdf.columns)} duck={sorted(d_pdf.columns)}")
             continue
-        if len(s_rows) != len(d_rows):
+        if len(s_pdf) != len(d_pdf):
             failures.append(name)
-            print(f"FAIL  {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+            print(f"FAIL  {name}: rowcount spark={len(s_pdf)} duck={len(d_pdf)}")
             continue
-        cs, cd = canon_rows(s_cols, s_rows), canon_rows(d_cols, d_rows)
+        cs, cd = canon_pdf(s_pdf), canon_pdf(d_pdf)
         if cs != cd:
             failures.append(name)
             bad = next(i for i, (a, b) in enumerate(zip(cs, cd)) if a != b)
@@ -118,7 +139,7 @@ def main():
             print(f"      spark: {cs[bad][:300]}")
             print(f"      duck : {cd[bad][:300]}")
             continue
-        print(f"PASS  {name}  ({len(s_rows)} rows, {dur:.1f}s)")
+        print(f"PASS  {name}  ({len(s_pdf)} rows, {dur:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
