@@ -126,15 +126,27 @@ FROM customer
 
 # ---------------------------------------------------------------- P4
 def q_scd2_initial(spark, sf_dir):
-    """Temporal tracking columns on first historic load (pipeline P4)."""
+    """Temporal tracking columns on first historic load (pipeline P4).
+
+    Timestamps are projected as ISO strings: the open-version sentinel
+    (2999-12-31) overflows pandas' nanosecond timestamp range, so the
+    driver's pandas conversion would raise OutOfBoundsDatetime on a raw
+    timestamp column. The stored table keeps real timestamps.
+    """
     df = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return P.add_temporal_tracking_columns(df, T0)
+    df = P.add_temporal_tracking_columns(df, T0)
+    return df.select(
+        "s_suppkey", "s_name",
+        F.date_format("ValidFrom", "yyyy-MM-dd HH:mm:ss").alias("ValidFrom"),
+        F.date_format("ValidTo", "yyyy-MM-dd HH:mm:ss").alias("ValidTo"),
+        "IsCurrent",
+    )
 
 
 SQL_SCD2_INITIAL = f"""
 SELECT s_suppkey, s_name,
-       TIMESTAMP '{T0}' AS ValidFrom,
-       TIMESTAMP '{P.VALID_TO_SENTINEL}' AS ValidTo,
+       strftime(TIMESTAMP '{T0}', '%Y-%m-%d %H:%M:%S') AS ValidFrom,
+       strftime(TIMESTAMP '{P.VALID_TO_SENTINEL}', '%Y-%m-%d %H:%M:%S') AS ValidTo,
        true AS IsCurrent
 FROM supplier
 """
@@ -347,7 +359,9 @@ def q_sessionize_batch(spark, sf_dir):
     )
     with_sess = df.withColumn(
         "session_idx",
-        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        # explicit bigint: DuckDB's window sum yields HUGEINT -> float64 in
+        # pandas, so both engines must cast the running sum to BIGINT
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
     )
     return with_sess.groupBy("user_id", "session_idx").agg(
         F.min("ts_us").alias("session_start_us"),
@@ -365,8 +379,8 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id, ts_us,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx,
@@ -505,14 +519,16 @@ def q_idle_customers(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).alias("total_bal"),
+            # exact decimal accumulation, but surface as double: the driver's
+            # pandas canonicalization turns DuckDB DECIMAL into float64
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("total_bal"),
         )
     )
 
 
 SQL_IDLE_CUSTOMERS = """
 SELECT c_mktsegment, count(*) AS n_customers,
-       sum(CAST(c_acctbal AS DECIMAL(18,4))) AS total_bal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -568,23 +584,32 @@ def q_top_customers(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(rev).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .agg(F.sum(rev).alias("revenue_dec"))
+        .orderBy(F.desc("revenue_dec"), F.asc("c_custkey"))
         .limit(20)
+        # rank on the exact decimal, then surface as double for the driver's
+        # pandas canonicalization (DuckDB DECIMAL -> float64 via .df())
+        .select(
+            "c_custkey", "c_name", "c_acctbal", "n_name",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+        )
     )
 
 
 SQL_TOP_CUSTOMERS = """
-SELECT c_custkey, c_name, c_acctbal, n_name,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-GROUP BY c_custkey, c_name, c_acctbal, n_name
-ORDER BY revenue DESC, c_custkey ASC
-LIMIT 20
+SELECT c_custkey, c_name, c_acctbal, n_name, CAST(revenue_dec AS DOUBLE) AS revenue
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+  ORDER BY revenue_dec DESC, c_custkey ASC
+  LIMIT 20
+)
 """
 
 
@@ -620,14 +645,15 @@ def q_cube_sales(spark, sf_dir):
     q_rollup_sales' hierarchy."""
     df = _read(spark, sf_dir, "lineitem")
     return df.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("sum_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 SQL_CUBE_SALES = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price, count(*) AS n
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       count(*) AS n
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -642,14 +668,14 @@ def q_tumbling_counts(spark, sf_dir):
     )
     return df.groupBy("bucket_start_us", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
 
 
 SQL_TUMBLING_COUNTS = """
 SELECT epoch_us(ts) // 60000000 * 60000000 AS bucket_start_us, event_type,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY bucket_start_us, event_type
 """
@@ -668,15 +694,15 @@ def q_running_total(spark, sf_dir):
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).alias("cum_spend"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("cum_spend"),
     )
 
 
 SQL_RUNNING_TOTAL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       sum(CAST(o_totalprice AS DECIMAL(18,4)))
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS UNBOUNDED PRECEDING) AS cum_spend
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
 FROM orders
 """
 

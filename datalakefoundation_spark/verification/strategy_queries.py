@@ -225,24 +225,49 @@ def q_delete_inference(spark, sf_dir):
     )
 
 
+# SCD2 outputs carry the 2999-12-31 open-version sentinel, which overflows
+# pandas' ns timestamp range in the driver's canonicalization. Verification
+# queries therefore project temporal columns as ISO strings in BOTH engines;
+# the stored tables keep real timestamps (Processing.scala:218 parity).
+_SCD2_TS_COLS = ("ValidFrom", "ValidTo", "lastSeen")
+
+
+def _fmt_ts(df):
+    return df.select(
+        *[
+            F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(c) if c in _SCD2_TS_COLS else c
+            for c in df.columns
+        ]
+    )
+
+
+def _fmt_ts_sql(sql: str) -> str:
+    repl = ", ".join(
+        f"strftime({c}, '%Y-%m-%d %H:%M:%S') AS {c}" for c in _SCD2_TS_COLS
+    )
+    return f"SELECT * REPLACE ({repl}) FROM (\n{sql}\n)"
+
+
 def q_scd2_versions(spark, sf_dir):
     """J6+J8: close changed current versions at T1 and append new versions."""
     target = _pipe(_slice1(spark, sf_dir), T0, historic=True)
     source = _pipe(_slice2(spark, sf_dir, with_deleted=False), T1, historic=True)
-    return scd2_state(target, source, "PK_orders", processing_time=T1)
+    return _fmt_ts(scd2_state(target, source, "PK_orders", processing_time=T1))
 
 
 def q_scd2_delete_inference(spark, sf_dir):
     """J7: current versions missing from source within window -> closed + deleted."""
     target = _pipe(_slice1(spark, sf_dir), T0, historic=True)
     source = _pipe(_slice2(spark, sf_dir, with_deleted=False), T1, historic=True)
-    return scd2_state(
-        target,
-        source,
-        "PK_orders",
-        processing_time=T1,
-        delete_window=_delete_window(),
-        delete_missing=True,
+    return _fmt_ts(
+        scd2_state(
+            target,
+            source,
+            "PK_orders",
+            processing_time=T1,
+            delete_window=_delete_window(),
+            delete_missing=True,
+        )
     )
 
 
@@ -337,8 +362,8 @@ QUERIES = {
     "q_merge_upsert": (q_merge_upsert, _merge_oracle_sql(False, False)),
     "q_merge_soft_delete": (q_merge_soft_delete, _merge_oracle_sql(True, False)),
     "q_delete_inference": (q_delete_inference, _merge_oracle_sql(False, True)),
-    "q_scd2_versions": (q_scd2_versions, _scd2_oracle_sql(False)),
-    "q_scd2_delete_inference": (q_scd2_delete_inference, _scd2_oracle_sql(True)),
+    "q_scd2_versions": (q_scd2_versions, _fmt_ts_sql(_scd2_oracle_sql(False))),
+    "q_scd2_delete_inference": (q_scd2_delete_inference, _fmt_ts_sql(_scd2_oracle_sql(True))),
     "q_merge_metrics": (q_merge_metrics, SQL_MERGE_METRICS),
     "q_scd2_metrics": (q_scd2_metrics, SQL_SCD2_METRICS),
     "q_watermark_window": (q_watermark_window, SQL_WATERMARK_WINDOW),

@@ -49,12 +49,13 @@ def canon(v):
         if math.isnan(v):
             return "NaN"
         return repr(v)
-    if isinstance(v, pd.Timestamp):
-        return v.isoformat(sep=" ")
-    if isinstance(v, _dt.datetime):
+    # dates and timestamps share one canonical form: Spark keeps DATE as
+    # datetime.date objects in pandas while DuckDB .df() yields midnight
+    # Timestamps — the driver's r1 gate passed that pairing, so ours must too
+    if isinstance(v, (pd.Timestamp, _dt.datetime)):
         return v.isoformat(sep=" ")
     if isinstance(v, _dt.date):
-        return v.isoformat()
+        return v.isoformat() + " 00:00:00"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, np.ndarray):
@@ -113,7 +114,7 @@ def main():
             print(f"FAIL  {name}: spark/pandas error: {type(e).__name__}: {e}")
             continue
         if name not in oracles:
-            print(f"skip  {name}: no oracle (rows-only) — {len(s_rows)} rows")
+            print(f"skip  {name}: no oracle (rows-only) — {len(s_pdf)} rows")
             continue
         try:
             rel = con.sql(oracles[name])
