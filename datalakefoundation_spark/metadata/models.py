@@ -158,13 +158,19 @@ class Environment:
         extra = {k: v for k, v in obj.items() if k not in known}
         return cls(**kwargs, extra=extra)
 
-    def today(self) -> str:
+    def now(self) -> _dt.datetime:
+        """Naive 'now' in the configured timezone (Environment.scala:42-43):
+        SCD2 ValidFrom/lastSeen stamps must reflect the deployment's zone,
+        not the driver host's."""
         try:
             from zoneinfo import ZoneInfo
 
-            return _dt.datetime.now(ZoneInfo(self.timezone)).date().isoformat()
+            return _dt.datetime.now(ZoneInfo(self.timezone)).replace(tzinfo=None)
         except Exception:
-            return _dt.date.today().isoformat()
+            return _dt.datetime.now()
+
+    def today(self) -> str:
+        return self.now().date().isoformat()
 
 
 @dataclass

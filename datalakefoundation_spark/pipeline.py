@@ -36,7 +36,10 @@ from datalakefoundation_spark.core.exceptions import (
 )
 from datalakefoundation_spark.core.normalize import datalake_normalize
 
-VALID_TO_SENTINEL = "2999-12-31 23:59:59"  # Historic open-version sentinel (Processing.scala:218)
+# Historic open-version sentinel. The reference stores
+# lit("2999-12-31").cast(TimestampType) = midnight (Processing.scala:218),
+# so the on-disk value must be 00:00:00 for cross-system comparison.
+VALID_TO_SENTINEL = "2999-12-31 00:00:00"
 
 # All engine-produced timestamps are TIMESTAMP_NTZ: parsing a literal string to
 # NTZ is session-timezone-independent, so results are reproducible regardless
@@ -95,16 +98,21 @@ def calculate_source_hash(df: DataFrame, prefix: str = "") -> DataFrame:
 
 
 def _is_system(col: str, prefix: str) -> bool:
-    if col.startswith("PK_"):
-        return True
-    if prefix and col.startswith(prefix):
-        return True
-    if not prefix and col in {
-        "SourceHash", "ValidFrom", "ValidTo", "IsCurrent",
-        "deleted", "lastSeen", "source_filename",
-    }:
-        return True
-    return False
+    """Columns excluded from the SourceHash payload.
+
+    The reference excludes ONLY ``{prefix}source_filename`` and
+    ``{prefix}metadata`` (Processing.scala calculateSourceHash), plus the
+    PK/SourceHash columns themselves. Anything else the bronze source
+    carries — including a ``deleted`` flag or prefixed business columns —
+    must hash, or changes to it would never propagate through the merge
+    (e.g. deleted flipping back to false would land in the 'touch' clause
+    and the record would never resurrect).
+    """
+    return col.startswith("PK_") or col in {
+        f"{prefix}SourceHash",
+        f"{prefix}source_filename",
+        f"{prefix}metadata",
+    }
 
 
 # ---------------------------------------------------------------- P4

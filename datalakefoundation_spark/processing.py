@@ -59,7 +59,9 @@ class Processing:
         self.delete_missing = bool(
             self.options.get("delete_missing", settings.get("delete_missing", False))
         )
-        # processing.time override: invalid ISO -> error log + now (Processing.scala:58-73)
+        # processing.time override: invalid ISO -> error log + now; "now" is
+        # computed in environment.timezone (Processing.scala:58-73,
+        # Environment.scala:42-43), not the driver host's local zone.
         override = self.options.get("processing.time")
         if override:
             try:
@@ -67,9 +69,9 @@ class Processing:
                 self.processing_time = override
             except ValueError:
                 logger.error("invalid processing.time %r; using now()", override)
-                self.processing_time = _dt.datetime.now().isoformat(sep=" ", timespec="seconds")
+                self.processing_time = env.now().isoformat(sep=" ", timespec="seconds")
         else:
-            self.processing_time = _dt.datetime.now().isoformat(sep=" ", timespec="seconds")
+            self.processing_time = env.now().isoformat(sep=" ", timespec="seconds")
 
         self.watermark_store = WatermarkStore(spark, env.root_folder)
         self.log_sink: BufferedLogSink | None = None
@@ -185,6 +187,11 @@ class Processing:
             self.current_watermarks(),
             qualifier=qualifier,
         )
+        if cond is None:
+            # No buildable watermark window -> no delete inference at all;
+            # a partition IN-list alone must not widen the scope (safe
+            # default, ProcessStrategy.scala:100-112).
+            return None
         pcond = None
         if self._partition_values:
             pcond = F.lit(False)
@@ -193,8 +200,6 @@ class Processing:
                 for k, v in pv.items():
                     c = c & (F.col(f"{qualifier}{k}").cast("string") == F.lit(v))
                 pcond = pcond | c
-        if cond is None:
-            return pcond
         return cond if pcond is None else (cond & pcond)
 
     # ------------------------------------------------------------ silver table
@@ -358,7 +363,7 @@ class Processing:
         action_names = (
             ["new_version", "insert", "unchanged", "delete_close"]
             if historic
-            else ["update", "touch", "soft_delete", "insert", "infer_delete"]
+            else ["update", "touch", "soft_delete", "insert", "infer_delete", "skip_delete"]
         )
         obs = Observation()
         state = state.observe(
@@ -368,7 +373,10 @@ class Processing:
                 for a in action_names
             ],
         )
-        final = state.drop("__action")
+        # skip_delete rows (source deleted=true matching no target row) exist
+        # only so the observe can count them like the reference does
+        # (Merge.scala:35,92,132); they never land in the table.
+        final = state.where(F.col("__action") != "skip_delete").drop("__action")
         if pvs:
             table.replace_partitions(
                 final, pvs, operation="historic" if historic else "merge"
@@ -396,7 +404,9 @@ class Processing:
                 inferred_deletes=counts.get("delete_close", 0),
                 touched=n,
             )
-        soft = counts.get("soft_delete", 0)
+        # deleted = matched soft-deletes + unmatched-deleted source rows;
+        # both count toward records_in_slice (Merge.scala:35,92,132)
+        soft = counts.get("soft_delete", 0) + counts.get("skip_delete", 0)
         inserted = counts.get("insert", 0)
         n = counts.get("update", 0) + counts.get("touch", 0) + soft + inserted
         # identity: inserted + updated + deleted == records_in_slice

@@ -24,10 +24,13 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_logger = logging.getLogger(__name__)
 
 from datalakefoundation_spark.pipeline import VALID_TO_SENTINEL, ts_lit  # noqa: F401
 
@@ -43,6 +46,26 @@ class MergeResult:
 
 def _nvl_pick(cond: Column, a: Column, b: Column) -> Column:
     return F.when(cond, a).otherwise(b)
+
+
+def _infer_delete_cond(
+    delete_missing: bool, delete_window: Column | None, tgt_only: Column, deleted_c: str
+) -> Column:
+    """Delete-inference predicate, with the reference's safe default: when no
+    window condition could be built (no watermarks configured, or bounds
+    missing), delete inference is SKIPPED entirely rather than widened to the
+    whole table — one small slice must never mass soft-delete a target
+    (ProcessStrategy.scala:100-112 returns None and the merge omits
+    whenNotMatchedBySource)."""
+    if not delete_missing:
+        return F.lit(False)
+    if delete_window is None:
+        _logger.warning(
+            "delete_missing=True but no delete window could be built; "
+            "skipping delete inference (safe default, ProcessStrategy.scala:100-112)"
+        )
+        return F.lit(False)
+    return tgt_only & delete_window & ~F.col(f"t.{deleted_c}")
 
 
 def merge_state(
@@ -85,17 +108,20 @@ def merge_state(
     src_deleted = F.col(f"s.{deleted_c}")
     hash_differs = F.col(f"s.{hash_c}") != F.col(f"t.{hash_c}")
 
-    if delete_missing:
-        window = delete_window if delete_window is not None else F.lit(True)
-        infer_delete = tgt_only & window & ~F.col(f"t.{deleted_c}")
-    else:
-        infer_delete = F.lit(False)
+    infer_delete = _infer_delete_cond(delete_missing, delete_window, tgt_only, deleted_c)
 
     keep = (
         matched
         | (src_only & ~src_deleted)  # insert clause condition (Merge.scala:109)
         | tgt_only
     )
+    # With the action column, unmatched-deleted source rows survive the
+    # filter tagged 'skip_delete' so downstream observe-based metrics can
+    # count them — the reference includes them in recordsInSlice and the
+    # deleted count (Merge.scala:35,92,132). The caller drops them after
+    # the observe; without the action column they are filtered here.
+    if with_action_column:
+        keep = keep | (src_only & src_deleted)
     joined = joined.where(keep)
 
     take_source_row = (matched & ~src_deleted & hash_differs) | (src_only & ~src_deleted)
@@ -125,6 +151,7 @@ def merge_state(
             F.when(matched & src_deleted, F.lit("soft_delete"))
             .when(matched & hash_differs, F.lit("update"))
             .when(matched, F.lit("touch"))
+            .when(src_only & src_deleted, F.lit("skip_delete"))
             .when(src_only, F.lit("insert"))
             .when(infer_delete, F.lit("infer_delete"))
             .otherwise(F.lit("keep"))
@@ -177,11 +204,7 @@ def scd2_state(
     tgt_only = F.col(f"s.{pk}").isNull()
     hash_differs = F.col(f"s.{hash_c}") != F.col(f"t.{hash_c}")
 
-    if delete_missing:
-        window = delete_window if delete_window is not None else F.lit(True)
-        infer_delete = tgt_only & window & ~F.col(f"t.{deleted_c}")
-    else:
-        infer_delete = F.lit(False)
+    infer_delete = _infer_delete_cond(delete_missing, delete_window, tgt_only, deleted_c)
 
     close_old = matched & hash_differs
 

@@ -72,11 +72,16 @@ def _delete_window():
 # ================================================================ oracle SQL generation
 
 
-def _hash_sql(alias: str = "") -> str:
+def _hash_sql(alias: str = "", extra: tuple[str, ...] = ()) -> str:
+    """SourceHash twin. ``extra`` appends expressions for columns the bronze
+    slice carries beyond PAYLOAD — the hash excludes only
+    source_filename/metadata (Processing.scala calculateSourceHash), so a
+    bronze-carried ``deleted`` flag hashes too."""
     pre = f"{alias}." if alias else ""
     parts = [c if c in _STR_COLS else f"CAST({pre}{c} AS VARCHAR)" for c in PAYLOAD]
     if alias:
         parts = [p if p.startswith("CAST") else f"{pre}{p}" for p in parts]
+    parts += list(extra)
     return f"sha256(concat_ws('', {', '.join(parts)}))"
 
 
@@ -114,7 +119,7 @@ t AS (
 ),
 s AS (
   SELECT o_orderkey, o_orderstatus, o_orderpriority, o_custkey, o_orderdate,
-         {_hash_sql()} AS SourceHash,
+         {_hash_sql(extra=(f"CAST({del_expr} AS VARCHAR)",) if with_deleted else ())} AS SourceHash,
          {temporal_s}
          sha256(CAST(o_orderkey AS VARCHAR)) AS PK_orders,
          {del_expr} AS deleted,

@@ -188,17 +188,17 @@ def build_window_condition(
         dtype = fields[wm.column_name]
         prev_v = previous.get(wm.column_name)
         cur_v = current.get(wm.column_name)
-        col = F.col(f"{qualifier}{wm.column_name}")
-        conds = []
-        if prev_v is not None:
-            conds.append(col >= F.lit(_strip_quotes(prev_v)).cast(dtype))
-        if cur_v is not None:
-            conds.append(col <= F.lit(_strip_quotes(cur_v)).cast(dtype))
-        if not conds:
+        # BOTH bounds must exist or the column is skipped — a one-sided
+        # window on the first incremental run (no previous bookmark) would
+        # cover all history and over-scope delete inference; the reference
+        # early-returns on previousValues.isEmpty / futureValues.isEmpty
+        # (ProcessStrategy.scala:100-112).
+        if prev_v is None or cur_v is None:
             continue
-        c = conds[0]
-        for extra in conds[1:]:
-            c = c & extra
+        col = F.col(f"{qualifier}{wm.column_name}")
+        c = (col >= F.lit(_strip_quotes(prev_v)).cast(dtype)) & (
+            col <= F.lit(_strip_quotes(cur_v)).cast(dtype)
+        )
         g = wm.operation_group
         if g in groups:
             groups[g] = (groups[g] | c) if wm.operation == "or" else (groups[g] & c)

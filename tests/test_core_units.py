@@ -61,6 +61,8 @@ def test_window_condition_bounds(spark):
     wm = [Watermark(entity_id=1, column_name="SeqNr")]
     cond = build_window_condition(df.schema, wm, {"SeqNr": "3"}, {"SeqNr": "'7'"})
     assert [r["SeqNr"] for r in df.where(cond).collect()] == [3, 4, 5, 6, 7]
-    # only lower bound
-    cond2 = build_window_condition(df.schema, wm, {"SeqNr": "8"}, {"SeqNr": None})
-    assert df.where(cond2).count() == 2
+    # one-sided bounds never produce a window: a missing previous bookmark
+    # (first incremental run) must not widen delete inference to all history
+    # (ProcessStrategy.scala:100-112)
+    assert build_window_condition(df.schema, wm, {"SeqNr": "8"}, {"SeqNr": None}) is None
+    assert build_window_condition(df.schema, wm, {"SeqNr": None}, {"SeqNr": "8"}) is None

@@ -171,6 +171,94 @@ def test_delete_inference_inside_window(spark, lake_root, prefix):
     assert s3.inferred_deletes == 0
 
 
+def test_delete_inference_skipped_without_watermarks(spark, lake_root, prefix):
+    """delete_missing=True with NO watermarks configured must not delete
+    anything: an unbuildable window disables delete inference entirely
+    instead of widening to the whole table (ProcessStrategy.scala:100-112
+    safe default — one small slice must never mass soft-delete a target)."""
+    md = make_metadata(lake_root, prefix, delete_missing=True, watermark=False)
+    write_slice(spark, md, "s1.parquet", rows_v1(10))
+    Processing(spark, md, 1, "s1.parquet", {"processing.time": T0}).process()
+    # tiny second slice: 8 of 10 rows missing from source
+    write_slice(spark, md, "s2.parquet", rows_v1(2))
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    summary = p2.process()
+    out = silver(p2)
+    assert out.where(F.col(f"{prefix}deleted")).count() == 0
+    assert summary.inferred_deletes == 0
+    assert out.count() == 10
+
+
+def test_historic_delete_inference_skipped_without_watermarks(spark, lake_root, prefix):
+    md = make_metadata(
+        lake_root, prefix, processtype="historic", delete_missing=True, watermark=False
+    )
+    write_slice(spark, md, "s1.parquet", rows_v1(6))
+    Processing(spark, md, 1, "s1.parquet", {"processing.time": T0}).process()
+    write_slice(spark, md, "s2.parquet", rows_v1(2))
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    p2.process()
+    out = silver(p2)
+    assert out.where(F.col(f"{prefix}deleted")).count() == 0
+    assert out.where(F.col(f"{prefix}IsCurrent")).count() == 6
+
+
+def test_merge_counts_unmatched_deleted_source_rows(spark, lake_root, prefix):
+    """Source rows flagged deleted that match no target row are counted in
+    records_in_slice and deleted (Merge.scala:35,92,132) but never inserted."""
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(5))
+    Processing(spark, md, 1, "s1.parquet", {"processing.time": T0}).process()
+    # slice2: rows 0-4 unchanged + rows 5,6 new but flagged deleted
+    rows2 = rows_v1(7)
+    for r in rows2:
+        r[f"{prefix}deleted"] = r["ID"] >= 5
+    write_slice(spark, md, "s2.parquet", rows2)
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    summary = p2.process()
+    assert summary.records_in_slice == 7
+    assert summary.deleted == 2
+    assert summary.inserted == 0
+    assert summary.inserted + summary.updated + summary.deleted == 7
+    out = silver(p2)
+    assert out.count() == 5  # the dead-on-arrival rows were not inserted
+    assert out.where(F.col(f"{prefix}deleted")).count() == 0
+
+
+def test_source_hash_covers_deleted_flag(spark, lake_root, prefix):
+    """A bronze-carried deleted flag participates in SourceHash (the
+    reference excludes only source_filename/metadata): flipping deleted
+    back to false with identical payload must land in the update clause so
+    the record resurrects."""
+    md = make_metadata(lake_root, prefix)
+    rows1 = rows_v1(3)
+    for r in rows1:
+        r[f"{prefix}deleted"] = r["ID"] == 1
+    write_slice(spark, md, "s1.parquet", rows1)
+    Processing(spark, md, 1, "s1.parquet", {"processing.time": T0}).process()
+    rows2 = rows_v1(3)
+    for r in rows2:
+        r[f"{prefix}deleted"] = False  # row 1 resurrects, payload unchanged
+    write_slice(spark, md, "s2.parquet", rows2)
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    p2.process()
+    out = silver(p2)
+    assert out.where(F.col(f"{prefix}deleted")).count() == 0
+
+
+def test_processing_time_uses_environment_timezone(spark, lake_root, prefix):
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    md = make_metadata(lake_root, prefix)
+    md.environment.timezone = "Pacific/Kiritimati"  # UTC+14, no DST
+    write_slice(spark, md, "s1.parquet", rows_v1(2))
+    p = Processing(spark, md, 1, "s1.parquet")
+    stamped = dt.datetime.fromisoformat(p.processing_time)
+    expect = dt.datetime.now(ZoneInfo("Pacific/Kiritimati")).replace(tzinfo=None)
+    assert abs((expect - stamped).total_seconds()) < 120
+
+
 def test_historic_scd2_chain(spark, lake_root, prefix):
     md = make_metadata(lake_root, prefix, processtype="historic")
     write_slice(spark, md, "s1.parquet", rows_v1(6))
