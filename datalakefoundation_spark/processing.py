@@ -26,7 +26,7 @@ from datalakefoundation_spark.core.exceptions import DatalakeException
 from datalakefoundation_spark.core.normalize import schema_compare
 from datalakefoundation_spark.logging_ import BufferedLogSink, ProcessingSummary
 from datalakefoundation_spark.metadata.models import Entity, Metadata
-from datalakefoundation_spark.tables.lake_table import LakeTable
+from datalakefoundation_spark.tables.lake_table import BUCKET_COL, LakeTable, bucket_expr
 from datalakefoundation_spark.watermark import (
     WatermarkStore,
     build_watermark_values,
@@ -78,11 +78,22 @@ class Processing:
         if env.root_folder:
             self.log_sink = BufferedLogSink(spark, f"{env.root_folder}/system/log", threshold=50)
 
+        # PK-hash bucketing for unpartitioned entities: incremental merges
+        # then rewrite only the buckets present in the slice instead of the
+        # whole table (segment-level copy-on-write). 0 disables.
+        self.n_buckets = int(
+            self.options.get("bucketing.buckets", settings.get("bucketing.buckets", 32))
+        )
+        self._bucketed = bool(
+            not self.entity.partition_columns and self.entity.businesskeys and self.n_buckets > 0
+        )
+
         self._cached_source: DataFrame | None = None
         self._slice_count: int = 0
         self._new_watermarks: dict[str, tuple[str, str | None]] = {}
         self._stored_watermarks: dict[str, str | None] = {}
         self._partition_values: list[dict[str, str]] = []
+        self._bucket_values: list[int] = []
 
     # ------------------------------------------------------------ source
     # The pipeline is compute-heavy (two sha256 passes over every column),
@@ -153,6 +164,10 @@ class Processing:
                     F.struct(*[F.col(c).cast("string").alias(c) for c in e.partition_columns])
                 ).alias("__pvs")
             )
+        elif self._bucketed:
+            aggs.append(
+                F.collect_set(bucket_expr(self.pk_name, self.n_buckets)).alias("__bkts")
+            )
         row = df.agg(*aggs).head()
         self._slice_count = row["__n"]
         if self._slice_count == 0:
@@ -165,6 +180,8 @@ class Processing:
         self._stored_watermarks = self.watermark_store.latest(e.id)
         if e.partition_columns:
             self._partition_values = [pv.asDict() for pv in row["__pvs"]]
+        elif self._bucketed:
+            self._bucket_values = sorted(row["__bkts"])
         self._cached_source = df
         return df
 
@@ -211,7 +228,13 @@ class Processing:
             path = f"{env.root_folder}/_catalog/{loc.value.replace('.', '/')}"
         else:
             path = loc.value
-        return LakeTable(self.spark, path, self.entity.partition_columns)
+        return LakeTable(
+            self.spark,
+            path,
+            self.entity.partition_columns,
+            bucket_pk=self.pk_name if self._bucketed else None,
+            n_buckets=self.n_buckets,
+        )
 
     def register_silver_in_catalog(self) -> None:
         """Catalog output (K2, Full.scala:51-66): CREATE DATABASE IF NOT
@@ -328,8 +351,35 @@ class Processing:
     def _merge_like(self, historic: bool) -> ProcessingSummary:
         source = self.get_source(historic=historic)
         table = self.silver_table()
-        target = table.read()
-        drift = schema_compare(source, target)
+        # Bucket-level CoW only applies when every live segment declares its
+        # buckets (a table created before bucketing was enabled has a
+        # None-partitioned segment and must be rewritten wholesale once).
+        mf = table.latest_manifest()
+        bucketed = (
+            self._bucketed
+            and mf is not None
+            and all(seg.partitions is not None for seg in mf.segments)
+        )
+        # Delete inference must see every target row (a slice-missing row can
+        # live in any bucket), so an active delete window forces a full read
+        # and rewrite — the same trade Delta makes: whenNotMatchedBySource
+        # scans all files. Partitioned entities keep pruning because the
+        # window itself is partition-scoped (ProcessStrategy.scala:67-153).
+        window = self.delete_window() if self.delete_missing else None
+        if bucketed and window is not None:
+            bucketed = False
+        target = table.read(keep_bucket=bucketed)
+        if bucketed and BUCKET_COL not in target.columns:
+            bucketed = False
+        if bucketed and self._slice_count == 0:
+            # empty slice: no buckets to rewrite, state is unchanged — skip
+            # the write entirely instead of copying the whole table
+            return ProcessingSummary(
+                entity_id=self.entity.id,
+                destination=self.entity.destination,
+                strategy="historic" if historic else "merge",
+            )
+        drift = schema_compare(source, target.drop(BUCKET_COL) if bucketed else target)
         if drift["added"] or drift["removed"]:
             logger.warning(
                 "schema drift for %s: added=%s removed=%s",
@@ -337,13 +387,18 @@ class Processing:
                 drift["added"],
                 drift["removed"],
             )
-        # partition pruning: only read/rewrite partitions present in the slice
+        # pruning: only read/rewrite partitions (or PK-hash buckets) present
+        # in the slice — at 100 TB this is what keeps an incremental merge
+        # from rewriting the whole table
         pvs = self._partition_values
         if pvs:
             target_pruned = target.where(table._partition_filter(pvs))
+        elif bucketed:
+            target_pruned = target.where(
+                F.col(BUCKET_COL).isin(self._bucket_values)
+            ).drop(BUCKET_COL)
         else:
             target_pruned = target
-        window = self.delete_window() if self.delete_missing else None
         fn = S.scd2_state if historic else S.merge_state
         state = fn(
             target_pruned,
@@ -377,9 +432,14 @@ class Processing:
         # only so the observe can count them like the reference does
         # (Merge.scala:35,92,132); they never land in the table.
         final = state.where(F.col("__action") != "skip_delete").drop("__action")
+        op = "historic" if historic else "merge"
         if pvs:
+            table.replace_partitions(final, pvs, operation=op)
+        elif bucketed:
             table.replace_partitions(
-                final, pvs, operation="historic" if historic else "merge"
+                final,
+                [{BUCKET_COL: str(b)} for b in self._bucket_values],
+                operation=op,
             )
         else:
             table.overwrite(final)

@@ -99,16 +99,50 @@ def _pv_key(pv: dict[str, str]) -> tuple:
     return tuple(sorted(pv.items()))
 
 
+# Implicit partition column for PK-hash bucketing of otherwise-unpartitioned
+# tables. The PK is a sha256 hex string, so its first 4 hex chars are uniform
+# over [0, 65536) and `conv(substr(pk,1,4),16,10) % n` gives evenly-filled
+# buckets with zero skew by construction.
+BUCKET_COL = "__dlf_bucket"
+
+
+def bucket_expr(pk_col: str, n_buckets: int) -> Column:
+    return F.pmod(F.conv(F.substring(F.col(pk_col), 1, 4), 16, 10).cast("int"), F.lit(n_buckets))
+
+
 class LakeTable:
     def __init__(
         self,
         spark: SparkSession,
         path: str,
         partition_by: Sequence[str] = (),
+        bucket_pk: str | None = None,
+        n_buckets: int = 32,
     ) -> None:
+        """``bucket_pk`` (only honored when ``partition_by`` is empty) stores
+        the table hive-partitioned by a PK-hash bucket so incremental merges
+        rewrite only the buckets a slice touches instead of the whole table —
+        segment-level copy-on-write, the unpartitioned analog of Delta MERGE
+        rewriting only files containing matches (Merge.scala:96-125). The
+        bucket column is internal: writes derive it, reads drop it."""
         self.spark = spark
         self.path = path.rstrip("/")
-        self.partition_by = list(partition_by)
+        self.bucket_pk = bucket_pk if not partition_by else None
+        self.n_buckets = n_buckets
+        self.partition_by = list(partition_by) if partition_by else (
+            [BUCKET_COL] if bucket_pk else []
+        )
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        if self.bucket_pk and BUCKET_COL not in df.columns:
+            df = df.withColumn(BUCKET_COL, bucket_expr(self.bucket_pk, self.n_buckets))
+            # cluster output files by bucket dir: without this every write
+            # task emits a file into every bucket dir (tasks x buckets small
+            # files); with it each task owns ~1 bucket
+            df = df.repartition(
+                min(self.n_buckets, self.spark.sparkContext.defaultParallelism), BUCKET_COL
+            )
+        return df
 
     # ------------------------------------------------------------ manifest io
     @property
@@ -158,7 +192,7 @@ class LakeTable:
         mf = self.latest_manifest()
         next_v = (mf.version + 1) if mf else 0
         seg_rel = f"data/v{next_v:05d}"
-        writer = df.write.mode("overwrite")
+        writer = self._with_bucket(df).write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(f"{self.path}/{seg_rel}")
@@ -187,7 +221,10 @@ class LakeTable:
         return cond
 
     # ------------------------------------------------------------ read
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, keep_bucket: bool = False) -> DataFrame:
+        """``keep_bucket=True`` retains the internal bucket column so callers
+        can prune to specific buckets (predicates on it are pure hive-dir
+        pruning) before dropping it themselves."""
         mf = self.manifest_at(version) if version is not None else self.latest_manifest()
         if mf is None:
             raise FileNotFoundError(f"LakeTable does not exist: {self.path}")
@@ -201,6 +238,8 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
+        if self.bucket_pk and not keep_bucket and BUCKET_COL in out.columns:
+            out = out.drop(BUCKET_COL)
         return out
 
     # ------------------------------------------------------------ write ops
@@ -347,9 +386,10 @@ class LakeTable:
         mf = self.latest_manifest()
         if mf is None:
             raise FileNotFoundError(f"LakeTable does not exist: {self.path}")
+        star = f"* EXCEPT ({BUCKET_COL})" if self.bucket_pk else "*"
         selects = []
         for seg in mf.segments:
-            sql = f"SELECT * FROM parquet.`{self.path}/{seg.dir}`"
+            sql = f"SELECT {star} FROM parquet.`{self.path}/{seg.dir}`"
             if seg.partitions is not None and self.partition_by:
                 ors = []
                 for pv in seg.partitions:

@@ -342,6 +342,41 @@ def test_partitioned_merge_prunes(spark, lake_root, prefix):
     assert len(mf.segments) == 2
 
 
+def test_unpartitioned_merge_bucket_cow(spark, lake_root, prefix):
+    """Unpartitioned entities store PK-hash bucketed; an incremental merge
+    rewrites ONLY the buckets present in the slice (segment-level
+    copy-on-write), not the whole table."""
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(50))
+    p1 = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    p1.process()
+    table = p1.silver_table()
+    mf1 = table.latest_manifest()
+    assert mf1.partition_by == ["__dlf_bucket"]
+    all_buckets = {pv["__dlf_bucket"] for seg in mf1.segments for pv in (seg.partitions or [])}
+    assert len(all_buckets) > 5
+
+    rows2 = [dict(rows_v1(50)[7], data="changed")]
+    write_slice(spark, md, "s2.parquet", rows2)
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    summary = p2.process()
+    assert summary.updated == 1
+    mf2 = table.latest_manifest()
+    new_seg = mf2.segments[-1]
+    # strictly fewer buckets rewritten than the table holds
+    assert len(new_seg.partitions) == 1
+    assert len(new_seg.partitions) < len(all_buckets)
+    # untouched buckets stay owned by the original segment (kept by reference)
+    old_owned = {pv["__dlf_bucket"] for pv in mf2.segments[0].partitions}
+    assert len(old_owned) == len(all_buckets) - 1
+
+    out = silver(p2)
+    assert "__dlf_bucket" not in out.columns
+    assert out.count() == 50
+    assert out.where(F.col("data") == "changed").count() == 1
+    assert {r["ID"] for r in out.collect()} == set(range(50))
+
+
 def test_duplicate_businesskey_raises(spark, lake_root, prefix):
     md = make_metadata(lake_root, prefix)
     rows = rows_v1(5) + [dict(rows_v1(5)[0])]
