@@ -4,11 +4,17 @@
   correctness baseline. At 100 TB the corpus side streams partition-wise
   and the (small) query set is broadcast, so there is no shuffle of the
   corpus — only the final per-query top-k aggregation moves data.
-* ``lsh_bucket`` / ``lsh_topk`` — sign-random-projection LSH: 8
-  deterministic hyperplanes -> 8-bit bucket key; candidates only join
-  within a bucket. The planes are derived from sha256 in *Python* at
-  plan-build time, so the identical constants are usable by any oracle
-  engine.
+* ``lsh_band_keys`` / ``lsh_topk`` — banded sign-random-projection LSH
+  (same band structure as the MinHash dedup path): ``bands`` independent
+  groups of ``planes_per_band`` deterministic hyperplanes; a candidate
+  pair is any two vectors sharing ANY band key. The keyspace is
+  bands x 2^planes_per_band (4 x 256 = 1024 at the defaults, vs 256 for
+  the old single 8-bit bucket), parallelism scales with it, and recall
+  is boosted by the OR over bands. At 100 TB raise ``planes_per_band``
+  (e.g. 16 -> 65536 buckets/band) so per-bucket candidate joins stay
+  bounded; each band shuffles on its key only. The planes are derived
+  from sha256 in *Python* at plan-build time, so the identical constants
+  are usable by any oracle engine.
 * ``ivf_assign`` / ``ivf_topk`` — inverted-file index: a deterministic
   centroid subset (every ``stride``-th vector), each vector assigned to
   its nearest centroid (broadcast join — the centroid set is tiny), then
@@ -43,7 +49,7 @@ def hyperplane_signs(num_planes: int = 8, dim: int = 64) -> list[list[float]]:
 
 
 def lsh_bucket(vec_col: Column, num_planes: int = 8, dim: int = 64) -> Column:
-    """8-char '0'/'1' bucket key: sign of <v, plane_p> per plane."""
+    """num_planes-char '0'/'1' bucket key: sign of <v, plane_p> per plane."""
     v = vec_col.cast("array<double>")
     chars = []
     for row in hyperplane_signs(num_planes, dim):
@@ -53,6 +59,24 @@ def lsh_bucket(vec_col: Column, num_planes: int = 8, dim: int = 64) -> Column:
         )
         chars.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*chars)
+
+
+def lsh_band_keys(
+    vec_col: Column, bands: int = 4, planes_per_band: int = 8, dim: int = 64
+) -> Column:
+    """Array of ``bands`` keys "<band>|<bitstring>"; two vectors are LSH
+    candidates iff they share any element. Bands partition one
+    ``bands * planes_per_band``-plane signature, so the signature is
+    computed once per vector."""
+    full = lsh_bucket(vec_col, bands * planes_per_band, dim)
+    return F.array(
+        *[
+            F.concat_ws(
+                "|", F.lit(str(b)), F.substring(full, b * planes_per_band + 1, planes_per_band)
+            )
+            for b in range(bands)
+        ]
+    )
 
 
 def brute_force_topk(
@@ -149,25 +173,35 @@ def lsh_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
+    bands: int = 4,
+    planes_per_band: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the same LSH bucket.
-    The join shuffles on the bucket key only — at scale this replaces the
-    O(n·q) cross join with per-bucket work."""
-    with_bucket = ensure_compute_parallelism(df).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"),
-        lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+    """Approximate top-k via banded LSH: candidates are pairs sharing ANY
+    band key (OR over bands boosts recall; each band's join shuffles on its
+    own key, keyspace = bands * 2^planes_per_band). Signatures are computed
+    once; the pair set is deduped on ids before scoring so a pair colliding
+    in several bands is scored once."""
+    with_keys = ensure_compute_parallelism(df).select(
+        F.col(id_col), lsh_band_keys(F.col(vec_col), bands, planes_per_band, dim).alias("bks")
     )
-    a = with_bucket.select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
+    e = with_keys.select(F.col(id_col), F.explode("bks").alias("bk"))
+    a = e.select(F.col(id_col).alias("query_id"), "bk")
+    b = e.select(F.col(id_col).alias("neighbor_id"), "bk")
+    pairs = (
+        a.join(b, "bk")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    b = with_bucket.select(
-        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
-    )
-    j = a.join(b, "bucket").where(F.col("neighbor_id") != F.col("query_id"))
-    scored = j.select(
-        "query_id", "neighbor_id", cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine")
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    scored = (
+        pairs.join(vecs.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv")), "query_id")
+        .join(vecs.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv")), "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -244,22 +244,32 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
-def _ann_lsh_oracle_sql() -> str:
-    planes = SIM.hyperplane_signs(8, 64)
+def _ann_lsh_oracle_sql(bands: int = 4, planes_per_band: int = 8) -> str:
+    """Banded-LSH twin generated from the same hyperplane constants as
+    similarity.lsh_band_keys (bands x 2^planes_per_band keyspace)."""
+    planes = SIM.hyperplane_signs(bands * planes_per_band, 64)
     bucket_chars = ", ".join(
-        f"CASE WHEN list_dot_product(v, {plane!r}) >= 0 THEN '1' ELSE '0' END".replace(
-            "[", "["
-        )
+        f"CASE WHEN list_dot_product(v, {plane!r}) >= 0 THEN '1' ELSE '0' END"
         for plane in planes
+    )
+    band_rows = "\nUNION ALL ".join(
+        f"SELECT vec_id, concat('{b}', '|', substring(sig, {b * planes_per_band + 1}, "
+        f"{planes_per_band})) AS bk FROM vb"
+        for b in range(bands)
     )
     return f"""
 WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-vb AS (SELECT vec_id, v, concat({bucket_chars}) AS bucket FROM v0),
+vb AS (SELECT vec_id, v, concat({bucket_chars}) AS sig FROM v0),
+bandk AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM bandk a JOIN bandk b ON a.bk = b.bk AND b.vec_id <> a.vec_id
+),
 scored AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         list_dot_product(a.v, b.v) /
-           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
-  FROM vb a JOIN vb b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+  SELECT p.query_id, p.neighbor_id,
+         list_dot_product(q.v, c.v) /
+           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM pairs p JOIN v0 q ON q.vec_id = p.query_id JOIN v0 c ON c.vec_id = p.neighbor_id
 )
 SELECT query_id, neighbor_id, rank, cosine FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank

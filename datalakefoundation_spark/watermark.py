@@ -46,6 +46,11 @@ class WatermarkStore:
     format (manifest + parquet segments), so ``spark.read.parquet`` and
     ``LakeTable.read`` over it keep working for consumers."""
 
+    # fold segments once a store accumulates this many: every Processing run
+    # appends one tiny segment, so without compaction ``latest`` degrades to
+    # O(runs) file opens
+    COMPACT_THRESHOLD = 32
+
     def __init__(self, spark: SparkSession, root_folder: str) -> None:
         self.spark = spark
         self.path = f"{root_folder}/system/watermark".rstrip("/")
@@ -93,12 +98,52 @@ class WatermarkStore:
                         timestamp=time.time(),
                     )
                 )
+                if len(segments) > self.COMPACT_THRESHOLD:
+                    self._compact()
                 return
             except ConcurrentCommitException:
                 continue
         raise ConcurrentCommitException(
             f"watermark append for entity {entity_id} lost 50 commit races"
         )
+
+    def _compact(self) -> None:
+        """Fold all segments into one (full history preserved, file count
+        back to 1) so ``latest`` stays O(1) file opens per read regardless of
+        how many runs have committed. Best-effort: losing the commit race to
+        a concurrent append just leaves compaction for a later run."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from datalakefoundation_spark.core.exceptions import ConcurrentCommitException
+        from datalakefoundation_spark.tables.lake_table import Manifest, Segment
+
+        mf = self.table.latest_manifest()
+        if mf is None or len(mf.segments) <= 1:
+            return
+        tables = []
+        for seg in mf.segments:  # manifest order == commit order (tie-break)
+            seg_dir = f"{self.path}/{seg.dir}"
+            for fname in sorted(os.listdir(seg_dir)):
+                if fname.endswith(".parquet"):
+                    tables.append(pq.read_table(os.path.join(seg_dir, fname)))
+        merged = pa.concat_tables(tables)
+        next_v = mf.version + 1
+        seg_rel = f"data/v{next_v:05d}-compact"
+        os.makedirs(f"{self.path}/{seg_rel}", exist_ok=True)
+        pq.write_table(merged, f"{self.path}/{seg_rel}/part-00000.parquet")
+        try:
+            self.table._commit(
+                Manifest(
+                    version=next_v,
+                    partition_by=[],
+                    segments=[Segment(seg_rel, None)],
+                    operation="compact",
+                    timestamp=time.time(),
+                )
+            )
+        except ConcurrentCommitException:
+            return
 
     def reset(self, entity_id: int, column_name: str) -> None:
         """A None-valued row clears the bookmark (WatermarkData.scala:68-96)."""

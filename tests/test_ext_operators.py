@@ -94,12 +94,26 @@ def test_brute_force_topk_self_excluded(spark, embs):
 
 
 def test_lsh_topk_recall(spark, embs):
-    """Bucketed ANN finds the planted exact clone (same vector -> same bucket)."""
+    """Banded ANN finds the planted exact clone (same vector -> same band keys)."""
     clone = embs.limit(3).withColumn("vec_id", F.col("vec_id") + 100000)
     out = SIM.lsh_topk(embs.unionByName(clone), k=3)
     top1 = {r["query_id"]: r["neighbor_id"] for r in out.where(F.col("rank") == 1).collect()}
     for i in range(3):
         assert top1.get(i) == i + 100000
+
+
+def test_lsh_band_keyspace(spark, embs):
+    """The banded keyspace is far larger than the old single 8-bit bucket:
+    distinct (band, key) values observed must exceed 256, and each vector
+    carries one key per band."""
+    keyed = embs.select(
+        "vec_id", SIM.lsh_band_keys(F.col("embedding"), bands=4, planes_per_band=8).alias("bks")
+    )
+    first = keyed.head()
+    assert len(first["bks"]) == 4
+    assert {k.split("|")[0] for k in first["bks"]} == {"0", "1", "2", "3"}
+    n_distinct = keyed.select(F.explode("bks").alias("bk")).distinct().count()
+    assert n_distinct > 256
 
 
 def test_ivf_topk_finds_clone(spark, embs):

@@ -427,6 +427,23 @@ def test_watermark_persistence(spark, lake_root, prefix):
     assert p.watermark_store.latest(1)["SeqNr"] is None
 
 
+def test_watermark_store_compaction(spark, tmp_path):
+    """100+ commits stay readable and the segment count stays bounded, so
+    ``latest`` is O(1) file opens per read instead of O(runs)."""
+    from datalakefoundation_spark.watermark import WatermarkStore
+
+    ws = WatermarkStore(spark, str(tmp_path))
+    for i in range(100):
+        ws.write(1, {"SeqNr": ("int", str(i))})
+    mf = ws.table.latest_manifest()
+    assert len(mf.segments) <= WatermarkStore.COMPACT_THRESHOLD + 1
+    assert ws.latest(1)["SeqNr"] == "99"
+    # a second entity's bookmarks survive compaction too
+    ws.write(2, {"ts": ("str", "2026-01-01")})
+    assert ws.latest(2)["ts"] == "2026-01-01"
+    assert ws.latest(1)["SeqNr"] == "99"
+
+
 def test_auto_optimize_compacts_after_threshold(spark, tmp_path):
     """maintenance.auto_optimize compacts accumulated partitioned segments
     (and vacuums) inside the ingestion loop."""
