@@ -148,7 +148,11 @@ class Environment:
     silver_path: str = "/${connection}/${destination}"
     systemfield_prefix: str = ""
     output: str = "paths"  # "paths" | "catalog"
-    log_level: str = "INFO"
+    # log subsystem config (Environment.scala:27-29,95-104): level default
+    # WARN, appender "parquet" | "table", output path/table name
+    log_level: str = "WARN"
+    log_appender_type: str = "parquet"
+    log_output: str = ""
     extra: dict[str, Any] = field(default_factory=dict)
 
     @classmethod

@@ -24,7 +24,8 @@ from datalakefoundation_spark import pipeline as P
 from datalakefoundation_spark import strategies as S
 from datalakefoundation_spark.core.exceptions import DatalakeException
 from datalakefoundation_spark.core.normalize import schema_compare
-from datalakefoundation_spark.logging_ import BufferedLogSink, ProcessingSummary
+from datalakefoundation_spark.log import DatalakeLogManager
+from datalakefoundation_spark.logging_ import ProcessingSummary
 from datalakefoundation_spark.metadata.models import Entity, Metadata
 from datalakefoundation_spark.tables.lake_table import BUCKET_COL, LakeTable, bucket_expr
 from datalakefoundation_spark.watermark import (
@@ -74,9 +75,9 @@ class Processing:
             self.processing_time = env.now().isoformat(sep=" ", timespec="seconds")
 
         self.watermark_store = WatermarkStore(spark, env.root_folder)
-        self.log_sink: BufferedLogSink | None = None
+        self.log_sink: DatalakeLogManager | None = None
         if env.root_folder:
-            self.log_sink = BufferedLogSink(spark, f"{env.root_folder}/system/log", threshold=50)
+            self.log_sink = DatalakeLogManager.for_environment(spark, env)
 
         # PK-hash bucketing for unpartitioned entities: incremental merges
         # then rewrite only the buckets present in the slice instead of the
@@ -238,10 +239,14 @@ class Processing:
 
     def register_silver_in_catalog(self) -> None:
         """Catalog output (K2, Full.scala:51-66): CREATE DATABASE IF NOT
-        EXISTS + expose the silver table under its catalog name. Without a
-        Hive metastore + Delta this registers a session view over the
-        LakeTable's current version — ``spark.read.table('db.tbl')`` works
-        for the session, same observable surface as the reference."""
+        EXISTS + expose the silver table under its catalog name as a
+        PERSISTENT view whose SQL is self-contained (explicit parquet paths
+        + partition-ownership filters, no temp objects). Any session sharing
+        the catalog reads ``db.tbl``; with a Hive metastore configured the
+        view also survives JVM restarts. Delta's saveAsTable is not
+        available here (no Delta jars), so the view IS the catalog entry —
+        data stays in the versioned LakeTable, and re-registration after
+        each commit pins the view to the new manifest version."""
         loc = self.output.silverpath
         if loc.kind != "table":
             return

@@ -336,6 +336,38 @@ class LakeTable:
             )
         )
 
+    def append_arrow(self, arrow_table, label: str = "") -> None:
+        """Driver-side control-plane append: one pyarrow file, no Spark job
+        (for KB-sized system rows — watermarks, logs). Optimistic-concurrency
+        retry: a commit conflict means another writer won that version —
+        re-read the manifest and go again (same CAS protocol as Spark-side
+        commits; swap os.link for a conditional put on an object store)."""
+        import pyarrow.parquet as pq
+
+        from datalakefoundation_spark.core.exceptions import ConcurrentCommitException
+
+        for attempt in range(50):
+            mf = self.latest_manifest()
+            next_v = (mf.version + 1) if mf else 0
+            seg_rel = f"data/v{next_v:05d}-{label}-{attempt}" if label else f"data/v{next_v:05d}-{attempt}"
+            os.makedirs(f"{self.path}/{seg_rel}", exist_ok=True)
+            pq.write_table(arrow_table, f"{self.path}/{seg_rel}/part-00000.parquet")
+            segments = (list(mf.segments) if mf else []) + [Segment(seg_rel, None)]
+            try:
+                self._commit(
+                    Manifest(
+                        version=next_v,
+                        partition_by=[],
+                        segments=segments,
+                        operation="append",
+                        timestamp=time.time(),
+                    )
+                )
+                return
+            except ConcurrentCommitException:
+                continue
+        raise ConcurrentCommitException(f"arrow append to {self.path} lost 50 commit races")
+
     def replace_partitions(
         self,
         df: DataFrame,

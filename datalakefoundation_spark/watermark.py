@@ -61,9 +61,6 @@ class WatermarkStore:
         if not values:
             return
         import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from datalakefoundation_spark.tables.lake_table import Manifest, Segment
 
         now = _dt.datetime.now()
         cols = list(values.keys())
@@ -76,36 +73,12 @@ class WatermarkStore:
                 "value": pa.array([values[c][1] for c in cols], pa.string()),
             }
         )
-        from datalakefoundation_spark.core.exceptions import ConcurrentCommitException
-
-        # optimistic-concurrency retry: concurrent entity runs (orchestrate.
-        # process_entities) append to this shared table; a commit conflict
-        # just means another entity won that version — re-read and go again
-        for attempt in range(50):
-            mf = self.table.latest_manifest()
-            next_v = (mf.version + 1) if mf else 0
-            seg_rel = f"data/v{next_v:05d}-{entity_id}-{attempt}"
-            os.makedirs(f"{self.path}/{seg_rel}", exist_ok=True)
-            pq.write_table(arrow, f"{self.path}/{seg_rel}/part-00000.parquet")
-            segments = (list(mf.segments) if mf else []) + [Segment(seg_rel, None)]
-            try:
-                self.table._commit(
-                    Manifest(
-                        version=next_v,
-                        partition_by=[],
-                        segments=segments,
-                        operation="append",
-                        timestamp=time.time(),
-                    )
-                )
-                if len(segments) > self.COMPACT_THRESHOLD:
-                    self._compact()
-                return
-            except ConcurrentCommitException:
-                continue
-        raise ConcurrentCommitException(
-            f"watermark append for entity {entity_id} lost 50 commit races"
-        )
+        # CAS append (concurrent entity runs share this table) + fold
+        # segments once enough accumulate so latest() stays O(1)
+        self.table.append_arrow(arrow, label=str(entity_id))
+        mf = self.table.latest_manifest()
+        if mf is not None and len(mf.segments) > self.COMPACT_THRESHOLD:
+            self._compact()
 
     def _compact(self) -> None:
         """Fold all segments into one (full history preserved, file count

@@ -48,3 +48,12 @@ def test_catalog_output_registers_view(spark, lake_root):
     p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T0})
     p2.process()
     assert spark.read.table("silver_tst.person").count() == 9
+
+    # the registration is a PERSISTENT view (not a temp view): a fresh
+    # session over the same catalog reads it too (Full.scala:51-66 — a user
+    # of db.tbl is not limited to the writing session). With a Hive
+    # metastore the same statement persists across JVM restarts.
+    fresh = spark.newSession()
+    out2 = fresh.read.table("silver_tst.person")
+    assert out2.count() == 9
+    assert "PK_person" in out2.columns
