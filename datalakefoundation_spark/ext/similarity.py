@@ -49,7 +49,9 @@ def hyperplane_signs(num_planes: int = 8, dim: int = 64) -> list[list[float]]:
 
 
 def lsh_bucket(vec_col: Column, num_planes: int = 8, dim: int = 64) -> Column:
-    """num_planes-char '0'/'1' bucket key: sign of <v, plane_p> per plane."""
+    """num_planes-char '0'/'1' bucket key: sign of <v, plane_p> per plane.
+    Column-expression form for small plane counts; the banded path uses
+    ``lsh_signature`` (SQL-string build) which scales to 32+ planes."""
     v = vec_col.cast("array<double>")
     chars = []
     for row in hyperplane_signs(num_planes, dim):
@@ -61,22 +63,60 @@ def lsh_bucket(vec_col: Column, num_planes: int = 8, dim: int = 64) -> Column:
     return F.concat(*chars)
 
 
+def lsh_signature(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 32,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, __sig) with a num_planes-char sign signature per vector.
+
+    Each plane dot is ``aggregate(zip_with(v, plane, *), 0.0, +)`` over a
+    literal ±1 plane array — the same sequential-fold operation order as
+    DuckDB's ``list_dot_product`` (verified bit-identical for
+    ``cosine_similarity``), so near-zero dot signs agree across engines.
+    The per-plane trees are a few hundred Catalyst nodes each; spelling
+    the dots as inline per-element static sums instead (tried) builds a
+    ~100k-node expression that downstream Generate/aggregate optimizer
+    rules re-copy until the driver heap dies. Two projection steps keep
+    the concat over 32 CASEs out of the dot-product subtrees."""
+    v = F.col(vec_col).cast("array<double>")
+    dots = []
+    for p, row in enumerate(hyperplane_signs(num_planes, dim)):
+        # one JVM-parsed literal array per plane (vs dim F.lit py4j calls)
+        w = F.expr("array(" + ", ".join(f"{x:.1f}D" for x in row) + ")")
+        dots.append(
+            F.aggregate(
+                F.zip_with(v, w, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+            ).alias(f"__p{p}")
+        )
+    step1 = df.select(F.col(id_col), *dots)
+    chars = [
+        F.when(F.col(f"__p{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(num_planes)
+    ]
+    return step1.select(F.col(id_col), F.concat(*chars).alias("__sig"))
+
+
 def lsh_band_keys(
-    vec_col: Column, bands: int = 4, planes_per_band: int = 8, dim: int = 64
-) -> Column:
-    """Array of ``bands`` keys "<band>|<bitstring>"; two vectors are LSH
-    candidates iff they share any element. Bands partition one
-    ``bands * planes_per_band``-plane signature, so the signature is
-    computed once per vector."""
-    full = lsh_bucket(vec_col, bands * planes_per_band, dim)
-    return F.array(
-        *[
-            F.concat_ws(
-                "|", F.lit(str(b)), F.substring(full, b * planes_per_band + 1, planes_per_band)
-            )
-            for b in range(bands)
-        ]
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 4,
+    planes_per_band: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, bks) where bks is an array of ``bands`` keys "<band>|<bits>";
+    two vectors are LSH candidates iff they share any element. Bands
+    partition one ``bands * planes_per_band``-plane signature, computed
+    once per vector."""
+    sig = lsh_signature(df, id_col, vec_col, bands * planes_per_band, dim)
+    keys = ", ".join(
+        f"concat('{b}', '|', substring(__sig, {b * planes_per_band + 1}, {planes_per_band}))"
+        for b in range(bands)
     )
+    return sig.selectExpr(id_col, f"array({keys}) AS bks")
 
 
 def brute_force_topk(
@@ -182,16 +222,24 @@ def lsh_topk(
     own key, keyspace = bands * 2^planes_per_band). Signatures are computed
     once; the pair set is deduped on ids before scoring so a pair colliding
     in several bands is scored once."""
-    with_keys = ensure_compute_parallelism(df).select(
-        F.col(id_col), lsh_band_keys(F.col(vec_col), bands, planes_per_band, dim).alias("bks")
+    with_keys = lsh_band_keys(
+        ensure_compute_parallelism(df), id_col, vec_col, bands, planes_per_band, dim
     )
     e = with_keys.select(F.col(id_col), F.explode("bks").alias("bk"))
-    a = e.select(F.col(id_col).alias("query_id"), "bk")
-    b = e.select(F.col(id_col).alias("neighbor_id"), "bk")
+    # groupBy(bucket) + in-bucket pair expansion instead of a band self-join:
+    # a self-join duplicates the signature subtree into both plan branches
+    # (exchange reuse does not fire across the explode), recomputing 32
+    # plane sums per side — the same lesson as the MinHash dedup path. One
+    # shuffle on the band key, signatures computed exactly once.
+    buckets = (
+        e.groupBy("bk")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     pairs = (
-        a.join(b, "bk")
+        buckets.select(F.explode("ids").alias("query_id"), "ids")
+        .select("query_id", F.explode("ids").alias("neighbor_id"))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
         .distinct()
     )
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))

@@ -246,7 +246,10 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 
 def _ann_lsh_oracle_sql(bands: int = 4, planes_per_band: int = 8) -> str:
     """Banded-LSH twin generated from the same hyperplane constants as
-    similarity.lsh_band_keys (bands x 2^planes_per_band keyspace)."""
+    similarity.lsh_band_keys (bands x 2^planes_per_band keyspace).
+    ``list_dot_product`` is the same sequential fold as the Spark side's
+    ``aggregate(zip_with(...))`` (bit-identical, same as cosine_similarity),
+    so the sign of near-zero dots agrees across engines."""
     planes = SIM.hyperplane_signs(bands * planes_per_band, 64)
     bucket_chars = ", ".join(
         f"CASE WHEN list_dot_product(v, {plane!r}) >= 0 THEN '1' ELSE '0' END"

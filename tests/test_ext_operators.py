@@ -106,9 +106,7 @@ def test_lsh_band_keyspace(spark, embs):
     """The banded keyspace is far larger than the old single 8-bit bucket:
     distinct (band, key) values observed must exceed 256, and each vector
     carries one key per band."""
-    keyed = embs.select(
-        "vec_id", SIM.lsh_band_keys(F.col("embedding"), bands=4, planes_per_band=8).alias("bks")
-    )
+    keyed = SIM.lsh_band_keys(embs, bands=4, planes_per_band=8)
     first = keyed.head()
     assert len(first["bks"]) == 4
     assert {k.split("|")[0] for k in first["bks"]} == {"0", "1", "2", "3"}
