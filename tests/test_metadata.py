@@ -168,3 +168,42 @@ def test_entity_to_json_roundtrip():
     j = e.to_json()
     assert j["output"]["silver"] == {"table": "silver_db.person"}
     assert j["columns"][0]["name"] == "ID"
+
+
+def test_jdbc_metadata_source_end_to_end(spark, tmp_path):
+    """JdbcMetadataSettings exercised against a real JDBC database (embedded
+    Derby, shipped with Spark): the config JSON is stored in a one-row table
+    and fetched through spark.read.format("jdbc"), mirroring the reference's
+    SQL Server path (SqlMetadataSettings.scala:27-51) with the store-specific
+    query overridden via JDBC options."""
+    from datalakefoundation_spark.metadata.sources import JdbcMetadataSettings
+
+    url = f"jdbc:derby:{tmp_path}/cfgdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    cfg_df = spark.createDataFrame([(json.dumps(CONFIG),)], "config string")
+    (
+        cfg_df.write.format("jdbc")
+        .option("url", url)
+        .option("driver", driver)
+        .option("dbtable", "foundation_config")
+        .mode("overwrite")
+        .save()
+    )
+
+    settings = JdbcMetadataSettings().initialize(
+        spark,
+        url,
+        driver=driver,
+        query="SELECT \"config\" FROM foundation_config",
+    )
+    m = Metadata(settings)
+    assert m.get_entity(1).name == "person"
+    assert m.environment.timezone == "Europe/Amsterdam"
+
+    with pytest.raises(ValueError, match="no rows"):
+        JdbcMetadataSettings().initialize(
+            spark,
+            url,
+            driver=driver,
+            query="SELECT \"config\" FROM foundation_config WHERE 1=0",
+        )
