@@ -81,22 +81,24 @@ def lsh_signature(
     ~100k-node expression that downstream Generate/aggregate optimizer
     rules re-copy until the driver heap dies. Two projection steps keep
     the concat over 32 CASEs out of the dot-product subtrees."""
-    v = F.col(vec_col).cast("array<double>")
-    dots = []
+    # SQL-string lambdas: one JVM parse per projection instead of ~5 py4j
+    # round-trips per Python lambda (64+ lambdas otherwise dominate
+    # plan-build time). __v is projected first so the cast isn't inlined
+    # into all num_planes dot folds.
+    dot_exprs = [id_col]
     for p, row in enumerate(hyperplane_signs(num_planes, dim)):
-        # one JVM-parsed literal array per plane (vs dim F.lit py4j calls)
-        w = F.expr("array(" + ", ".join(f"{x:.1f}D" for x in row) + ")")
-        dots.append(
-            F.aggregate(
-                F.zip_with(v, w, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-            ).alias(f"__p{p}")
+        w = "array(" + ", ".join(f"{x:.1f}D" for x in row) + ")"
+        dot_exprs.append(
+            f"aggregate(zip_with(__v, {w}, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
+            f" AS __p{p}"
         )
-    step1 = df.select(F.col(id_col), *dots)
-    chars = [
-        F.when(F.col(f"__p{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in range(num_planes)
-    ]
-    return step1.select(F.col(id_col), F.concat(*chars).alias("__sig"))
+    step1 = df.selectExpr(id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS __v").selectExpr(
+        *dot_exprs
+    )
+    chars = ", ".join(
+        f"CASE WHEN __p{p} >= 0 THEN '1' ELSE '0' END" for p in range(num_planes)
+    )
+    return step1.selectExpr(id_col, f"concat({chars}) AS __sig")
 
 
 def lsh_band_keys(
@@ -242,13 +244,32 @@ def lsh_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .distinct()
     )
-    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    # Precompute each vector's norm once (candidate pair counts are O(n *
+    # bucket_load); recomputing sqrt(sum(x^2)) per pair tripled the
+    # interpreted-fold work). Same expression per vector -> identical
+    # doubles, so cosine stays bit-equal to the per-pair oracle form.
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    vecs = df.select(F.col(id_col), v.alias("v"), norm.alias("nrm"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
     scored = (
-        pairs.join(vecs.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv")), "query_id")
-        .join(vecs.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv")), "neighbor_id")
+        pairs.join(
+            vecs.select(
+                F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+            ),
+            "query_id",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+            ),
+            "neighbor_id",
+        )
         .select(
             "query_id", "neighbor_id",
-            cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+            (dot / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
