@@ -117,19 +117,21 @@ class ParquetLogSink:
     flushed batch, Spark-readable as a plain parquet dataset."""
 
     def __init__(self, spark: SparkSession, path: str) -> None:
+        from datalakefoundation_spark.tables.fs import fs_for_path
+
         self.path = path
+        self.fs = fs_for_path(spark, path)
 
     def write_batch(self, entries: list[LogEntry]) -> None:
         if not entries:
             return
-        import os
+        import io
 
         import pyarrow.parquet as pq
 
-        os.makedirs(self.path, exist_ok=True)
-        pq.write_table(
-            _entries_to_arrow(entries), f"{self.path}/part-{uuid.uuid4().hex}.parquet"
-        )
+        buf = io.BytesIO()
+        pq.write_table(_entries_to_arrow(entries), buf)
+        self.fs.put_bytes(f"{self.path}/part-{uuid.uuid4().hex}.parquet", buf.getvalue())
 
 
 _ctx_data: contextvars.ContextVar[tuple[str, str | None] | None] = contextvars.ContextVar(

@@ -34,10 +34,7 @@ which object stores provide via conditional puts.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import time
-import uuid
 from dataclasses import dataclass, field
 from typing import Sequence
 
@@ -45,6 +42,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datalakefoundation_spark.core.exceptions import ConcurrentCommitException
+from datalakefoundation_spark.tables.fs import fs_for_path
 
 
 @dataclass
@@ -127,6 +125,11 @@ class LakeTable:
         bucket column is internal: writes derive it, reads drop it."""
         self.spark = spark
         self.path = path.rstrip("/")
+        # Control-plane I/O (manifests, dir listings, vacuum) goes through a
+        # filesystem abstraction: LocalFS for bare paths, the JVM Hadoop
+        # FileSystem for scheme-qualified URIs (hdfs://, s3a://, file://...).
+        # Data-plane segment I/O is always Spark and needs no abstraction.
+        self.fs = fs_for_path(spark, self.path)
         self.bucket_pk = bucket_pk if not partition_by else None
         self.n_buckets = n_buckets
         self.partition_by = list(partition_by) if partition_by else (
@@ -151,41 +154,34 @@ class LakeTable:
 
     def latest_manifest(self) -> Manifest | None:
         d = self._manifest_dir
-        if not os.path.isdir(d):
-            return None
-        versions = sorted(f for f in os.listdir(d) if f.endswith(".json"))
+        versions = [f for f in self.fs.listdir(d) if f.endswith(".json")]
         if not versions:
             return None
-        with open(os.path.join(d, versions[-1])) as fh:
-            return Manifest.from_json(fh.read())
+        return Manifest.from_json(self.fs.read_text(f"{d}/{max(versions)}"))
 
     def manifest_at(self, version: int) -> Manifest:
-        with open(os.path.join(self._manifest_dir, f"v{version:05d}.json")) as fh:
-            return Manifest.from_json(fh.read())
+        return Manifest.from_json(
+            self.fs.read_text(f"{self._manifest_dir}/v{version:05d}.json")
+        )
 
     def exists(self) -> bool:
         return self.latest_manifest() is not None
 
     def _commit(self, manifest: Manifest) -> None:
         """Atomic compare-and-swap commit: the version file is created with
-        ``os.link`` (fails if it already exists), so two writers racing for
-        the same version cannot silently drop each other's segments — the
-        loser gets ConcurrentCommitException and must re-read + retry. On an
-        object store, swap this for the store's conditional-put (the same
-        protocol Delta/Iceberg use for their commit files)."""
-        os.makedirs(self._manifest_dir, exist_ok=True)
-        final = os.path.join(self._manifest_dir, f"v{manifest.version:05d}.json")
-        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write(manifest.to_json())
+        the filesystem's create-if-absent primitive (hard-link on LocalFS,
+        ``create(path, overwrite=false)`` on HadoopFS), so two writers racing
+        for the same version cannot silently drop each other's segments — the
+        loser gets ConcurrentCommitException and must re-read + retry. This
+        is the same one-immutable-file-per-version protocol Delta/Iceberg
+        use for their commit files; object-store caveats live in fs.py."""
+        final = f"{self._manifest_dir}/v{manifest.version:05d}.json"
         try:
-            os.link(tmp, final)
+            self.fs.create_exclusive(final, manifest.to_json())
         except FileExistsError:
             raise ConcurrentCommitException(
                 f"version {manifest.version} of {self.path} was committed concurrently"
             )
-        finally:
-            os.unlink(tmp)
 
     # ------------------------------------------------------------ segment io
     def _write_segment(self, df: DataFrame) -> str:
@@ -346,12 +342,15 @@ class LakeTable:
 
         from datalakefoundation_spark.core.exceptions import ConcurrentCommitException
 
+        import io
+
         for attempt in range(50):
             mf = self.latest_manifest()
             next_v = (mf.version + 1) if mf else 0
             seg_rel = f"data/v{next_v:05d}-{label}-{attempt}" if label else f"data/v{next_v:05d}-{attempt}"
-            os.makedirs(f"{self.path}/{seg_rel}", exist_ok=True)
-            pq.write_table(arrow_table, f"{self.path}/{seg_rel}/part-00000.parquet")
+            buf = io.BytesIO()
+            pq.write_table(arrow_table, buf)
+            self.fs.put_bytes(f"{self.path}/{seg_rel}/part-00000.parquet", buf.getvalue())
             segments = (list(mf.segments) if mf else []) + [Segment(seg_rel, None)]
             try:
                 self._commit(
@@ -445,10 +444,10 @@ class LakeTable:
             if depth == len(self.partition_by):
                 out.append(dict(acc))
                 return
-            for name in os.listdir(d):
-                if "=" in name and os.path.isdir(os.path.join(d, name)):
+            for name in self.fs.listdir(d):
+                if "=" in name and self.fs.isdir(f"{d}/{name}"):
                     k, _, v = name.partition("=")
-                    walk(os.path.join(d, name), {**acc, k: v}, depth + 1)
+                    walk(f"{d}/{name}", {**acc, k: v}, depth + 1)
 
         walk(base, {}, 0)
         return out
@@ -460,24 +459,20 @@ class LakeTable:
             return []
         live = {s.dir for s in mf.segments}
         removed = []
-        data_dir = f"{self.path}/data"
-        if os.path.isdir(data_dir):
-            for name in os.listdir(data_dir):
-                rel = f"data/{name}"
-                if rel not in live:
-                    shutil.rmtree(f"{self.path}/{rel}", ignore_errors=True)
-                    removed.append(rel)
-        for name in os.listdir(self._manifest_dir):
+        for name in self.fs.listdir(f"{self.path}/data"):
+            rel = f"data/{name}"
+            if rel not in live:
+                self.fs.delete_tree(f"{self.path}/{rel}")
+                removed.append(rel)
+        for name in self.fs.listdir(self._manifest_dir):
             if name.endswith(".json") and name != f"v{mf.version:05d}.json":
-                os.remove(os.path.join(self._manifest_dir, name))
+                self.fs.delete_file(f"{self._manifest_dir}/{name}")
         return removed
 
     def history(self) -> list[Manifest]:
         d = self._manifest_dir
-        if not os.path.isdir(d):
-            return []
         return [
-            Manifest.from_json(open(os.path.join(d, f)).read())
-            for f in sorted(os.listdir(d))
+            Manifest.from_json(self.fs.read_text(f"{d}/{f}"))
+            for f in self.fs.listdir(d)
             if f.endswith(".json")
         ]

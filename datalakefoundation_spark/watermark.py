@@ -13,7 +13,7 @@ event-time watermark (SURVEY.md §2.11).
 from __future__ import annotations
 
 import datetime as _dt
-import os
+import io
 import time
 from typing import Sequence
 
@@ -94,17 +94,19 @@ class WatermarkStore:
         mf = self.table.latest_manifest()
         if mf is None or len(mf.segments) <= 1:
             return
+        fs = self.table.fs
         tables = []
         for seg in mf.segments:  # manifest order == commit order (tie-break)
             seg_dir = f"{self.path}/{seg.dir}"
-            for fname in sorted(os.listdir(seg_dir)):
+            for fname in fs.listdir(seg_dir):
                 if fname.endswith(".parquet"):
-                    tables.append(pq.read_table(os.path.join(seg_dir, fname)))
+                    tables.append(pq.read_table(io.BytesIO(fs.read_bytes(f"{seg_dir}/{fname}"))))
         merged = pa.concat_tables(tables)
         next_v = mf.version + 1
         seg_rel = f"data/v{next_v:05d}-compact"
-        os.makedirs(f"{self.path}/{seg_rel}", exist_ok=True)
-        pq.write_table(merged, f"{self.path}/{seg_rel}/part-00000.parquet")
+        buf = io.BytesIO()
+        pq.write_table(merged, buf)
+        fs.put_bytes(f"{self.path}/{seg_rel}/part-00000.parquet", buf.getvalue())
         try:
             self.table._commit(
                 Manifest(
@@ -130,13 +132,14 @@ class WatermarkStore:
         mf = self.table.latest_manifest()
         if mf is None:
             return {}
+        fs = self.table.fs
         best: dict[str, tuple[_dt.datetime, str | None]] = {}
         for seg in mf.segments:  # manifest order == commit order
             seg_dir = f"{self.path}/{seg.dir}"
-            for fname in sorted(os.listdir(seg_dir)):
+            for fname in fs.listdir(seg_dir):
                 if not fname.endswith(".parquet"):
                     continue
-                t = pq.read_table(os.path.join(seg_dir, fname))
+                t = pq.read_table(io.BytesIO(fs.read_bytes(f"{seg_dir}/{fname}")))
                 for row in t.to_pylist():
                     if row["entity_id"] != entity_id:
                         continue

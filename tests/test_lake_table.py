@@ -116,3 +116,46 @@ def test_commit_is_compare_and_swap(spark, tmp_path):
     with pytest.raises(ConcurrentCommitException):
         t._commit(m)  # same version again -> conflict, not silent replace
     assert t.latest_manifest().version == 0
+
+
+def test_hadoop_fs_lifecycle_over_file_uri(spark, tmp_path):
+    """The control plane runs against the JVM Hadoop FileSystem when the
+    table path is a scheme-qualified URI — same code path an hdfs:// or
+    s3a:// deployment takes, driven here through file:// locally. Covers
+    manifest listing/commit, partition-dir walking, CoW replace, history,
+    CAS conflict, and vacuum."""
+    from datalakefoundation_spark.core.exceptions import ConcurrentCommitException
+    from datalakefoundation_spark.tables.fs import HadoopFS
+    from datalakefoundation_spark.tables.lake_table import Manifest
+
+    import pytest
+
+    t = LakeTable(spark, f"file://{tmp_path}/hdfs_t", partition_by=["p"])
+    assert isinstance(t.fs, HadoopFS)
+    assert not t.exists()
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))
+    assert t.read().count() == 2
+    t.replace_partitions(_df(spark, [(5, "a", "x2")]), [{"p": "a"}])
+    out = {(r["k"], r["p"]) for r in t.read().collect()}
+    assert out == {(5, "a"), (2, "b")}
+    assert [m.version for m in t.history()] == [0, 1]
+    # CAS: recommitting an existing version must fail, not clobber
+    with pytest.raises(ConcurrentCommitException):
+        t._commit(Manifest(version=1))
+    removed = t.vacuum()
+    assert t.read().count() == 2
+    assert [m.version for m in t.history()] == [1]
+    assert removed == []  # v0 segment still co-owns partition b
+
+
+def test_watermark_store_over_file_uri(spark, tmp_path):
+    """Driver-side pyarrow bookmark reads/writes route through the same FS
+    abstraction (put_bytes/read_bytes on HadoopFS for URI roots)."""
+    from datalakefoundation_spark.watermark import WatermarkStore
+
+    ws = WatermarkStore(spark, f"file://{tmp_path}/lake")
+    ws.write(1, {"SeqNr": ("int", "42")})
+    ws.write(1, {"SeqNr": ("int", "43")})
+    assert ws.latest(1) == {"SeqNr": "43"}
+    ws.reset(1, "SeqNr")
+    assert ws.latest(1) == {"SeqNr": None}
