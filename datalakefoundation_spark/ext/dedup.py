@@ -290,3 +290,34 @@ def embedding_near_dup_pairs(
         j = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     sim = cosine_similarity(F.col("va"), F.col("vb"))
     return j.select("id_a", "id_b", sim.alias("cosine")).where(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------- decontamination
+def decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Benchmark-overlap check: for each corpus document, the number of
+    distinct word ``shingle_size``-grams it shares with ANY benchmark
+    document (the standard n-gram decontamination test run before training
+    on a scraped corpus). Only contaminated documents are returned.
+
+    Scale design: the benchmark side is distinct shingles only — benchmark
+    suites are tiny relative to a 100 TB corpus, so the equi-join on the
+    shingle broadcasts the benchmark side and the corpus streams through at
+    scan speed; one shuffle for the per-doc count (map-side combine)."""
+    c = ensure_compute_parallelism(corpus).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("__s"),
+    )
+    b = benchmark.select(
+        F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("__s")
+    ).distinct()
+    return (
+        c.join(F.broadcast(b), "__s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -115,6 +115,52 @@ def vocab_topk(
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token fraction
+    and the share of all bigrams taken by the single most frequent bigram
+    (boilerplate/template detector).
+
+    Shape: bigrams are exploded once and counted with a two-stage groupBy
+    (map-side partial combine), then one max/sum per doc — two shuffles on
+    doc-sized keys, no self-joins, no Python. Documents with fewer than two
+    tokens report zero bigrams and a 0.0 share."""
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        toks.alias("__w"),
+    )
+    bigrams = F.when(
+        F.size("__w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__w") - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg_counts = (
+        base.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.max("cnt").alias("top_bigram_n"),
+            F.sum("cnt").alias("n_bigrams"),
+        )
+    )
+    joined = base.drop("__w").join(bg_counts, id_col, "left")
+    return joined.select(
+        F.col(id_col),
+        "n_tokens",
+        (F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens")).alias("dup_token_ratio"),
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("long").alias("top_bigram_n"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(
+            F.col("top_bigram_n") / F.col("n_bigrams"), F.lit(0.0)
+        ).alias("top_bigram_share"),
+    )
+
+
 def fingerprint(text_col: str | Column) -> Column:
     """Order-insensitive content fingerprint: sha256 over the sorted distinct
     token set. Robust to token reordering; cheap (one projection)."""

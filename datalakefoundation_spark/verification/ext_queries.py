@@ -307,6 +307,124 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------- clusters
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash candidate pairs: every clustered
+    doc gets the min doc id of its component as cluster_id. Iterative
+    min-label propagation in Spark; the DuckDB twin is a recursive CTE
+    computing min reachable id — both are exact component labelings, so the
+    fixpoint is engine-independent."""
+    from datalakefoundation_spark.ext.cluster import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLE_CTE.strip().removeprefix("WITH ")},
+sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cand UNION SELECT doc_b, doc_a FROM cand),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+)
+SELECT u AS doc_id, min(r) AS cluster_id, min(r) = u AS is_survivor
+FROM reach GROUP BY u
+"""
+
+
+# ---------------------------------------------------------------- packing
+def q_pack_sequences(spark, sf_dir):
+    from datalakefoundation_spark.ext.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), shard_col="source", ctx_len=512)
+
+
+SQL_PACK_SEQUENCES = """
+WITH n AS (
+  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM n
+)
+SELECT doc_id, source, n_tokens, start_offset,
+       CAST(floor(start_offset / 512) AS BIGINT) AS pack_id,
+       CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 512)
+            - floor(start_offset / 512) + 1 AS BIGINT) AS packs_spanned
+FROM o
+"""
+
+
+# ---------------------------------------------------------------- repetition
+def q_repetition_stats(spark, sf_dir):
+    return TX.repetition_stats(_docs(spark, sf_dir))
+
+
+SQL_REPETITION_STATS = """
+WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct, w
+  FROM w0
+),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2
+                     THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                     ELSE [] END) AS bg
+  FROM base
+),
+bgc AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg),
+agg AS (
+  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_n,
+         CAST(sum(cnt) AS BIGINT) AS n_bigrams
+  FROM bgc GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       1.0 - b.n_distinct / b.n_tokens AS dup_token_ratio,
+       COALESCE(a.top_bigram_n, 0) AS top_bigram_n,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.top_bigram_n / a.n_bigrams, 0.0) AS top_bigram_share
+FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+"""
+
+
+# ---------------------------------------------------------------- decontamination
+def q_decontaminate(spark, sf_dir):
+    """Corpus docs sharing any distinct 5-gram with the 'benchmark' holdout
+    (source = src0 stands in for an eval suite)."""
+    docs = _docs(spark, sf_dir)
+    return D.decontamination(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        shingle_size=5,
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH w0 AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+iw AS (SELECT doc_id, source, w,
+              unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i FROM w0),
+sh AS (SELECT doc_id, source, array_to_string(list_slice(w, i, i + 4), ' ') AS s FROM iw),
+c AS (SELECT DISTINCT doc_id, s FROM sh WHERE source <> 'src0'),
+b AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+SELECT c.doc_id, count(*) AS n_shared
+FROM c JOIN b ON b.s = c.s
+GROUP BY c.doc_id
+"""
+
+
 # ---------------------------------------------------------------- multimodal
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched binary-column feature extraction (mapInPandas plumbing;
@@ -401,4 +519,8 @@ QUERIES = {
     "q_ann_lsh": (q_ann_lsh, _ann_lsh_oracle_sql()),
     "q_ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "q_salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    "q_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "q_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "q_repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
 }

@@ -285,3 +285,78 @@ def test_vocab_topk_total_order(spark, docs):
     for x, y in zip(top, top[1:]):
         if x.n == y.n:
             assert x.token < y.token
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from datalakefoundation_spark.ext.cluster import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + triangle 10-11-12
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_dedup_clusters_planted(spark, docs):
+    from datalakefoundation_spark.ext.cluster import dedup_clusters
+
+    # two exact copies of doc 0 -> one cluster containing 0 and both copies,
+    # with doc 0 the survivor
+    clones = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 100000)
+    clones2 = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 200000)
+    out = dedup_clusters(docs.unionByName(clones).unionByName(clones2))
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_survivor"]) for r in out.collect()}
+    assert rows[100000] == (0, False)
+    assert rows[200000] == (0, False)
+    assert rows[0] == (0, True)
+
+
+def test_pack_sequences_offsets(spark):
+    from datalakefoundation_spark.ext.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "s", "a b c"), (2, "s", "d e"), (3, "s", "f g h i"), (4, "t", "x y")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, ctx_len=4).collect()}
+    assert (out[1]["start_offset"], out[1]["pack_id"], out[1]["packs_spanned"]) == (0, 0, 1)
+    assert (out[2]["start_offset"], out[2]["pack_id"], out[2]["packs_spanned"]) == (3, 0, 2)
+    assert (out[3]["start_offset"], out[3]["pack_id"], out[3]["packs_spanned"]) == (5, 1, 2)
+    # shard t starts its own stream
+    assert (out[4]["start_offset"], out[4]["pack_id"]) == (0, 0)
+
+
+def test_repetition_stats_extremes(spark):
+    from datalakefoundation_spark.ext.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["dup_token_ratio"] == pytest.approx(0.75)
+    assert out[1]["top_bigram_share"] == pytest.approx(1.0)  # 'x x' is every bigram
+    assert out[2]["dup_token_ratio"] == pytest.approx(0.0)
+    assert out[2]["top_bigram_share"] == pytest.approx(1 / 3)
+    assert out[3]["n_bigrams"] == 0 and out[3]["top_bigram_share"] == 0.0
+
+
+def test_decontamination_planted(spark, docs):
+    from datalakefoundation_spark.ext.dedup import decontamination
+
+    # benchmark = doc 0's text verbatim -> doc 0's clone in the corpus is
+    # fully contaminated; an unrelated short doc is not
+    bench = docs.limit(1).select("doc_id", "text")
+    corpus = (
+        docs.limit(1)
+        .select(F.col("doc_id") + 500000, "text")
+        .toDF("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame([(999999, "zz yy xx ww vv uu")], "doc_id long, text string")
+        )
+    )
+    out = {r["doc_id"]: r["n_shared"] for r in decontamination(corpus, bench).collect()}
+    assert out.get(500000, 0) > 0
+    assert 999999 not in out
