@@ -428,14 +428,25 @@ GROUP BY c.doc_id
 # ---------------------------------------------------------------- multimodal
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched binary-column feature extraction (mapInPandas plumbing;
-    deterministic fake decoder — codecs unavailable). Rows-only check: the
-    pipeline is not SQL-expressible in DuckDB."""
+    deterministic fake decoder — codecs unavailable). The byte-level outputs
+    (payload size, content sha) ARE oracle-expressible because the fixture
+    payload is the utf-8 encoding of the text column, so the DuckDB twin
+    verifies that the binary column round-trips through Arrow batches and
+    Python bytes unchanged."""
     from datalakefoundation_spark.ext import multimodal as MM
 
     media = MM.from_text_fixture(_docs(spark, sf_dir))
     return MM.extract_features(media).select(
         "media_id", "media_type", "n_bytes", "content_sha"
     )
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id, 'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------- quality filter / sampling / vocab
@@ -502,7 +513,7 @@ LIMIT 50
 
 
 QUERIES = {
-    "q_multimodal_features": (q_multimodal_features, None),
+    "q_multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "q_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "q_stratified_sample": (q_stratified_sample, _stratified_oracle_sql()),
     "q_vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
