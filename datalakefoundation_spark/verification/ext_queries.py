@@ -219,8 +219,8 @@ def q_ann_ivf(spark, sf_dir):
 SQL_ANN_IVF = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cent AS (SELECT vec_id AS cluster_id, v AS cv FROM v WHERE vec_id % 37 = 0),
-assigned AS (
-  SELECT vec_id, v, cluster_id FROM (
+probe AS (
+  SELECT vec_id, v, cluster_id, rn FROM (
     SELECT v.vec_id, v.v, cent.cluster_id,
            row_number() OVER (
              PARTITION BY v.vec_id
@@ -228,9 +228,10 @@ assigned AS (
                       (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
                       cent.cluster_id ASC) AS rn
     FROM v CROSS JOIN cent
-  ) WHERE rn = 1
+  ) WHERE rn <= 2
 ),
-q AS (SELECT vec_id AS query_id, v AS qv, cluster_id FROM assigned WHERE vec_id % 50 = 0),
+assigned AS (SELECT vec_id, v, cluster_id FROM probe WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, cluster_id FROM probe WHERE vec_id % 50 = 0),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          list_dot_product(q.qv, c.v) /

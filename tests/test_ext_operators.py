@@ -360,3 +360,21 @@ def test_decontamination_planted(spark, docs):
     out = {r["doc_id"]: r["n_shared"] for r in decontamination(corpus, bench).collect()}
     assert out.get(500000, 0) > 0
     assert 999999 not in out
+
+
+def test_ivf_multiprobe_fanout(spark, embs):
+    """Each probed vector gets exactly nprobe candidate cells, and its rank-1
+    probe cell equals its storage cell from ivf_assign."""
+    from pyspark.sql import functions as F
+
+    probes = SIM.ivf_probes(embs, F.col("vec_id") % 50 == 0, nprobe=2)
+    per_vec = probes.groupBy("vec_id").count().collect()
+    assert per_vec and all(r["count"] == 2 for r in per_vec)
+    assigned = SIM.ivf_assign(embs).where(F.col("vec_id") % 50 == 0)
+    stored = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    # rank-1 probe (the first per vec_id by construction) must be the storage cell
+    top1 = {
+        r["vec_id"]: r["cluster_id"]
+        for r in SIM.ivf_probes(embs, F.col("vec_id") % 50 == 0, nprobe=1).collect()
+    }
+    assert top1 == stored
