@@ -234,6 +234,16 @@ class Entity:
     def destination(self) -> str:
         return self.destination_override or self.name
 
+    def reset_watermark(self, spark, column_name: str, to_value: str | None = None) -> None:
+        """Clear (or rewind to ``to_value``) this entity's stored bookmark
+        for ``column_name`` — Entity.ResetWatermark(columnName[, toValue])
+        (Entity.scala:286-296). The next incremental run re-reads from
+        scratch (None) or from the given value."""
+        from datalakefoundation_spark.watermark import WatermarkStore
+
+        env = self._metadata.environment
+        WatermarkStore(spark, env.root_folder).reset(self.id, column_name, to_value)
+
     @property
     def process_strategy(self) -> str:
         """'delta' is a legacy alias for merge (Entity.scala:113-122)."""

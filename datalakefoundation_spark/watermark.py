@@ -120,9 +120,14 @@ class WatermarkStore:
         except ConcurrentCommitException:
             return
 
-    def reset(self, entity_id: int, column_name: str) -> None:
-        """A None-valued row clears the bookmark (WatermarkData.scala:68-96)."""
-        self.write(entity_id, {column_name: ("None", None)})
+    def reset(self, entity_id: int, column_name: str, to_value: str | None = None) -> None:
+        """A None-valued row clears the bookmark; a string value rewinds it to
+        a specific point (both Reset overloads, WatermarkData.scala:68-96 —
+        e.g. replay an incremental load from a known-good watermark)."""
+        if to_value is None:
+            self.write(entity_id, {column_name: ("None", None)})
+        else:
+            self.write(entity_id, {column_name: ("str", str(to_value))})
 
     def latest(self, entity_id: int) -> dict[str, str | None]:
         """Latest stored value per column for an entity. Driver-side pyarrow

@@ -473,3 +473,23 @@ def test_auto_optimize_compacts_after_threshold(spark, tmp_path):
     # merged payload survives compaction; odd partition untouched
     assert out.where(out["data"] == "new0").count() == 1
     assert out.where(out["data"] == "data1").count() == 1
+
+
+def test_entity_reset_watermark_to_value(spark, lake_root, prefix):
+    """Entity.ResetWatermark parity (Entity.scala:286-296): reset-to-None
+    clears the bookmark, reset-to-value rewinds it so the next incremental
+    window starts from the given point."""
+    from datalakefoundation_spark.watermark import WatermarkStore
+
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(10))
+    p = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    p.process("full")
+    store = WatermarkStore(spark, md.environment.root_folder)
+    assert store.latest(1) == {"SeqNr": "9"}
+
+    entity = md.get_entity(1)
+    entity.reset_watermark(spark, "SeqNr", "4")
+    assert store.latest(1) == {"SeqNr": "4"}
+    entity.reset_watermark(spark, "SeqNr")
+    assert store.latest(1) == {"SeqNr": None}
