@@ -216,11 +216,31 @@ class LakeTable:
             cond = cond | c
         return cond
 
+    def version_at_timestamp(self, ts: float) -> int:
+        """Latest committed version whose commit timestamp is <= ts (the
+        ``timestampAsOf`` lookup). Raises if the table has no commit that
+        old."""
+        versions = [m.version for m in self.history() if m.timestamp <= ts]
+        if not versions:
+            raise FileNotFoundError(
+                f"no version of {self.path} committed at or before {ts}"
+            )
+        return max(versions)
+
     # ------------------------------------------------------------ read
-    def read(self, version: int | None = None, keep_bucket: bool = False) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        keep_bucket: bool = False,
+        as_of_timestamp: float | None = None,
+    ) -> DataFrame:
         """``keep_bucket=True`` retains the internal bucket column so callers
         can prune to specific buckets (predicates on it are pure hive-dir
-        pruning) before dropping it themselves."""
+        pruning) before dropping it themselves. ``as_of_timestamp`` reads
+        the newest version committed at or before the given unix time
+        (ignored when an explicit ``version`` is passed)."""
+        if version is None and as_of_timestamp is not None:
+            version = self.version_at_timestamp(as_of_timestamp)
         mf = self.manifest_at(version) if version is not None else self.latest_manifest()
         if mf is None:
             raise FileNotFoundError(f"LakeTable does not exist: {self.path}")

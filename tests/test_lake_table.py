@@ -159,3 +159,23 @@ def test_watermark_store_over_file_uri(spark, tmp_path):
     assert ws.latest(1) == {"SeqNr": "43"}
     ws.reset(1, "SeqNr")
     assert ws.latest(1) == {"SeqNr": None}
+
+
+def test_time_travel_by_timestamp(spark, tmp_path):
+    """timestampAsOf analog: read the newest version committed at or before
+    a given unix time."""
+    import time as _time
+
+    import pytest
+
+    t = LakeTable(spark, str(tmp_path / "tt"))
+    t.overwrite(_df(spark, [(1, "a", "x")]))
+    after_v0 = _time.time()
+    _time.sleep(0.05)
+    t.overwrite(_df(spark, [(2, "b", "y"), (3, "c", "z")]))
+
+    assert t.version_at_timestamp(after_v0) == 0
+    assert t.read(as_of_timestamp=after_v0).count() == 1
+    assert t.read(as_of_timestamp=_time.time()).count() == 2
+    with pytest.raises(FileNotFoundError):
+        t.version_at_timestamp(after_v0 - 1e6)
