@@ -21,8 +21,12 @@ min-groupBy — no driver-side graph state; per-round results are
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def connected_components(
@@ -60,6 +64,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # range exhausted with labels still moving: the labeling is split
+        # along chains longer than max_iter — surface it rather than return
+        # silently-wrong clusters
+        logger.warning(
+            "connected_components did not converge in %d rounds (%d labels "
+            "still changing); raise max_iter or switch to large-star/"
+            "small-star for long-chain graphs",
+            max_iter, changed,
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -167,11 +167,16 @@ class DatalakeLogManager:
     def for_environment(
         cls, spark: SparkSession, environment, threshold: int = 10
     ) -> "DatalakeLogManager":
+        # the level and flush threshold are part of the identity — two
+        # environments differing only in log_level must not share a manager
+        # (the cached one would keep gating events at the old level)
         key = (
             id(spark),
             getattr(environment, "root_folder", ""),
             getattr(environment, "log_appender_type", "parquet"),
             getattr(environment, "log_output", ""),
+            getattr(environment, "log_level", "WARN"),
+            threshold,
         )
         with cls._lock:
             mgr = cls._instances.get(key)

@@ -88,6 +88,13 @@ class Processing:
         self._bucketed = bool(
             not self.entity.partition_columns and self.entity.businesskeys and self.n_buckets > 0
         )
+        if not self.entity.partition_columns and self.entity.businesskeys:
+            # an existing table's recorded layout wins over the configured one
+            # (LakeTable adopts it and warns); sync so the slice-side bucket
+            # ids are computed with the SAME modulus the stored dirs use
+            t = self.silver_table()
+            self._bucketed = t.bucket_pk is not None
+            self.n_buckets = t.n_buckets
 
         self._cached_source: DataFrame | None = None
         self._slice_count: int = 0

@@ -41,8 +41,12 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import logging
+
 from datalakefoundation_spark.core.exceptions import ConcurrentCommitException
 from datalakefoundation_spark.tables.fs import fs_for_path
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -61,6 +65,11 @@ class Manifest:
     operation: str = ""
     timestamp: float = 0.0
     metrics: dict = field(default_factory=dict)
+    # {"pk": <col>, "n": <buckets>} when the table is PK-hash bucketed.
+    # Persisted so every writer uses the layout the table was created with —
+    # a config that drifts from the stored modulus would prune to the wrong
+    # bucket dirs and silently lose/duplicate rows.
+    bucketing: dict | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -73,6 +82,7 @@ class Manifest:
                 "operation": self.operation,
                 "timestamp": self.timestamp,
                 "metrics": self.metrics,
+                "bucketing": self.bucketing,
             },
             indent=1,
         )
@@ -90,6 +100,7 @@ class Manifest:
             operation=obj.get("operation", ""),
             timestamp=obj.get("timestamp", 0.0),
             metrics=obj.get("metrics", {}),
+            bucketing=obj.get("bucketing"),
         )
 
 
@@ -122,7 +133,14 @@ class LakeTable:
         rewrite only the buckets a slice touches instead of the whole table —
         segment-level copy-on-write, the unpartitioned analog of Delta MERGE
         rewriting only files containing matches (Merge.scala:96-125). The
-        bucket column is internal: writes derive it, reads drop it."""
+        bucket column is internal: writes derive it, reads drop it.
+
+        If the table already exists with a recorded bucketing layout, that
+        layout WINS over the constructor arguments (with a warning on
+        mismatch): the bucket modulus is baked into the stored directory
+        structure, so changing it per-run would prune merges against the
+        wrong dirs and silently lose/duplicate rows. A layout change
+        requires a full rewrite (overwrite/optimize with the new config)."""
         self.spark = spark
         self.path = path.rstrip("/")
         # Control-plane I/O (manifests, dir listings, vacuum) goes through a
@@ -135,6 +153,23 @@ class LakeTable:
         self.partition_by = list(partition_by) if partition_by else (
             [BUCKET_COL] if bucket_pk else []
         )
+        if not partition_by:
+            mf = self.latest_manifest()
+            stored = mf.bucketing if mf is not None else None
+            if stored:
+                if (self.bucket_pk, self.n_buckets) != (stored["pk"], stored["n"]):
+                    logger.warning(
+                        "table %s was written with bucketing %s; ignoring configured "
+                        "(pk=%s, n=%s) — rewrite the table to change its layout",
+                        self.path, stored, self.bucket_pk, self.n_buckets,
+                    )
+                self.bucket_pk = stored["pk"]
+                self.n_buckets = int(stored["n"])
+                self.partition_by = [BUCKET_COL]
+            elif mf is not None and self.bucket_pk:
+                # existing table written WITHOUT bucketing: merges fall back
+                # to wholesale rewrite until a full load converts the layout
+                pass
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         if self.bucket_pk and BUCKET_COL not in df.columns:
@@ -175,6 +210,8 @@ class LakeTable:
         loser gets ConcurrentCommitException and must re-read + retry. This
         is the same one-immutable-file-per-version protocol Delta/Iceberg
         use for their commit files; object-store caveats live in fs.py."""
+        if manifest.bucketing is None and self.bucket_pk:
+            manifest.bucketing = {"pk": self.bucket_pk, "n": self.n_buckets}
         final = f"{self._manifest_dir}/v{manifest.version:05d}.json"
         try:
             self.fs.create_exclusive(final, manifest.to_json())
@@ -254,7 +291,10 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        if self.bucket_pk and not keep_bucket and BUCKET_COL in out.columns:
+        # the bucket column is internal regardless of this instance's config
+        # (e.g. a reader constructed with bucketing disabled on a bucketed
+        # table must not leak it as a data column)
+        if not keep_bucket and BUCKET_COL in out.columns:
             out = out.drop(BUCKET_COL)
         return out
 
@@ -316,17 +356,36 @@ class LakeTable:
 
         Runs as one shuffle + one write; old versions stay readable until
         ``vacuum()``.
+
+        Bucketed tables keep their bucket dirs, so clustering happens WITHIN
+        each bucket: repartition on the (retained) bucket column + sort
+        within partitions on (bucket, cluster_by) — one file per bucket with
+        min/max stats on the cluster columns. A global range-repartition
+        here would be undone by the bucket-directory write and just waste
+        two shuffles.
         """
-        df = self.read()
-        if cluster_by:
-            cols = [F.col(c) for c in cluster_by]
-            if target_partitions:
-                df = df.repartitionByRange(target_partitions, *cols)
-            else:
-                df = df.repartitionByRange(*cols)
-            df = df.sortWithinPartitions(*cols)
-        elif target_partitions:
-            df = df.repartition(target_partitions)
+        if self.bucket_pk:
+            # repartition on the bucket folds each bucket's accumulated
+            # small files into one
+            df = self.read(keep_bucket=True).repartition(
+                min(self.n_buckets, self.spark.sparkContext.defaultParallelism),
+                BUCKET_COL,
+            )
+            if cluster_by:
+                df = df.sortWithinPartitions(
+                    BUCKET_COL, *[F.col(c) for c in cluster_by]
+                )
+        else:
+            df = self.read()
+            if cluster_by:
+                cols = [F.col(c) for c in cluster_by]
+                if target_partitions:
+                    df = df.repartitionByRange(target_partitions, *cols)
+                else:
+                    df = df.repartitionByRange(*cols)
+                df = df.sortWithinPartitions(*cols)
+            elif target_partitions:
+                df = df.repartition(target_partitions)
         self.overwrite(
             df,
             operation="optimize",
@@ -384,6 +443,9 @@ class LakeTable:
                 )
                 return
             except ConcurrentCommitException:
+                # reclaim the orphaned segment before retrying at the next
+                # version — lost races must not leak a dir per attempt
+                self.fs.delete_tree(f"{self.path}/{seg_rel}")
                 continue
         raise ConcurrentCommitException(f"arrow append to {self.path} lost 50 commit races")
 

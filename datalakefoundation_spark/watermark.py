@@ -84,7 +84,15 @@ class WatermarkStore:
         """Fold all segments into one (full history preserved, file count
         back to 1) so ``latest`` stays O(1) file opens per read regardless of
         how many runs have committed. Best-effort: losing the commit race to
-        a concurrent append just leaves compaction for a later run."""
+        a concurrent append just leaves compaction for a later run.
+
+        After a successful commit the folded segment dirs are deleted (their
+        rows live on in the compacted file), so disk usage stays bounded and
+        a raw ``spark.read.parquet`` over the data dir never sees a bookmark
+        twice. Like VACUUM with zero retention, a reader holding the
+        pre-compaction manifest across the delete would fail and must
+        re-read — acceptable for a driver-side control-plane table whose
+        readers re-open the manifest on every call."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -118,7 +126,11 @@ class WatermarkStore:
                 )
             )
         except ConcurrentCommitException:
+            # lost the race: drop the orphaned compacted segment and retry later
+            fs.delete_tree(f"{self.path}/{seg_rel}")
             return
+        for seg in mf.segments:  # folded into the compacted file — reclaim
+            fs.delete_tree(f"{self.path}/{seg.dir}")
 
     def reset(self, entity_id: int, column_name: str, to_value: str | None = None) -> None:
         """A None-valued row clears the bookmark; a string value rewinds it to

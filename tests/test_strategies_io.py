@@ -493,3 +493,57 @@ def test_entity_reset_watermark_to_value(spark, lake_root, prefix):
     assert store.latest(1) == {"SeqNr": "4"}
     entity.reset_watermark(spark, "SeqNr")
     assert store.latest(1) == {"SeqNr": None}
+
+
+def test_bucket_modulus_change_is_ignored(spark, lake_root, prefix):
+    """A table's recorded bucket layout wins over a drifted per-run config:
+    pruning with a different modulus than the stored dirs would silently
+    lose rows. The second run configures 8 buckets against a 32-bucket
+    table and must still merge correctly."""
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(20))
+    p1 = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    p1.process("merge")
+    assert p1.silver_table().latest_manifest().bucketing["n"] == 32
+
+    changed = [dict(r, data="changed") for r in rows_v1(20)]
+    write_slice(spark, md, "s2.parquet", changed)
+    p2 = Processing(
+        spark, md, 1, "s2.parquet",
+        {"processing.time": T1, "bucketing.buckets": 8},
+    )
+    assert p2.n_buckets == 32  # adopted from the stored layout
+    p2.process("merge")
+    out = silver(p2)
+    assert out.count() == 20
+    assert out.where(F.col("data") == "changed").count() == 20
+
+    # bucketing "disabled" per-run is likewise overridden, and the internal
+    # bucket column never leaks into reads
+    write_slice(spark, md, "s3.parquet", rows_v1(20))
+    p3 = Processing(
+        spark, md, 1, "s3.parquet",
+        {"processing.time": T2, "bucketing.buckets": 0},
+    )
+    assert p3._bucketed and p3.n_buckets == 32
+    p3.process("merge")
+    assert "__dlf_bucket" not in silver(p3).columns
+    assert silver(p3).count() == 20
+
+
+def test_watermark_compaction_reclaims_segments(spark, tmp_path):
+    """Folded segment dirs are deleted after a successful compaction, so a
+    raw parquet read over the data dir never sees a bookmark twice and disk
+    stays bounded."""
+    from datalakefoundation_spark.watermark import WatermarkStore
+
+    ws = WatermarkStore(spark, str(tmp_path))
+    for i in range(40):
+        ws.write(1, {"SeqNr": ("int", str(i))})
+    mf = ws.table.latest_manifest()
+    live = {s.dir.split("/", 1)[1] for s in mf.segments}
+    on_disk = set(ws.table.fs.listdir(f"{ws.path}/data"))
+    assert on_disk == live  # nothing orphaned
+    raw = spark.read.parquet(f"{ws.path}/data/*/")
+    assert raw.count() == raw.dropDuplicates(["entity_id", "column_name", "timestamp", "value"]).count()
+    assert ws.latest(1)["SeqNr"] == "39"
