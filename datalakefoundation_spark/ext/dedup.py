@@ -321,3 +321,39 @@ def decontamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------- novelty
+def novelty_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Cross-document duplication fraction: for each document, the share of
+    its distinct word shingles already present in an earlier document
+    (ordering by id — ingestion order). Low novelty -> the document is
+    mostly re-hashed content even if no single pair-wise near-dup fires.
+
+    Two shuffles: shingle -> min(doc_id) (map-side combine), then one
+    groupBy per doc. The shingle->first-owner table is the only wide state
+    and it shrinks with corpus redundancy."""
+    sh = ensure_compute_parallelism(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("__s"),
+    )
+    first = sh.groupBy("__s").agg(F.min(F.col(id_col)).alias("__first"))
+    return (
+        sh.join(first, "__s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__first") < F.col(id_col)).cast("long")).alias("n_seen_before"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_seen_before",
+            (F.lit(1.0) - F.col("n_seen_before") / F.col("n_shingles")).alias("novelty_ratio"),
+        )
+    )

@@ -401,6 +401,25 @@ FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
 """
 
 
+# ---------------------------------------------------------------- novelty
+def q_novelty(spark, sf_dir):
+    return D.novelty_stats(_docs(spark, sf_dir))
+
+
+SQL_NOVELTY = f"""{_SHINGLE_CTE},
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+first AS (SELECT s, min(doc_id) AS first_doc FROM ds GROUP BY s)
+SELECT ds.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN first.first_doc < ds.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_seen_before,
+       1.0 - sum(CASE WHEN first.first_doc < ds.doc_id THEN 1 ELSE 0 END)
+             / count(*) AS novelty_ratio
+FROM ds JOIN first ON first.s = ds.s
+GROUP BY ds.doc_id
+"""
+
+
 # ---------------------------------------------------------------- decontamination
 def q_decontaminate(spark, sf_dir):
     """Corpus docs sharing any distinct 5-gram with the 'benchmark' holdout
@@ -535,4 +554,5 @@ QUERIES = {
     "q_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "q_repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "q_novelty": (q_novelty, SQL_NOVELTY),
 }

@@ -378,3 +378,15 @@ def test_ivf_multiprobe_fanout(spark, embs):
         for r in SIM.ivf_probes(embs, F.col("vec_id") % 50 == 0, nprobe=1).collect()
     }
     assert top1 == stored
+
+
+def test_novelty_planted_copy(spark, docs):
+    """A verbatim copy of doc 0 (higher id) has novelty 0; doc 0 keeps ~1."""
+    from datalakefoundation_spark.ext.dedup import novelty_stats
+
+    clone = docs.limit(1).select((F.col("doc_id") + 700000).alias("doc_id"), "text")
+    out = novelty_stats(docs.select("doc_id", "text").unionByName(clone))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[700000]["novelty_ratio"] == pytest.approx(0.0)
+    assert rows[700000]["n_seen_before"] == rows[700000]["n_shingles"]
+    assert rows[0]["novelty_ratio"] > 0.0
