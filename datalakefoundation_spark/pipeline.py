@@ -25,7 +25,10 @@ physical Project over the scan.
 
 from __future__ import annotations
 
+import logging
 from typing import Iterable, Mapping, Sequence
+
+logger = logging.getLogger(__name__)
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -101,14 +104,16 @@ def _is_system(col: str, prefix: str) -> bool:
     """Columns excluded from the SourceHash payload.
 
     The reference excludes ONLY ``{prefix}source_filename`` and
-    ``{prefix}metadata`` (Processing.scala calculateSourceHash), plus the
-    PK/SourceHash columns themselves. Anything else the bronze source
-    carries — including a ``deleted`` flag or prefixed business columns —
-    must hash, or changes to it would never propagate through the merge
-    (e.g. deleted flipping back to false would land in the 'touch' clause
-    and the record would never resurrect).
+    ``{prefix}metadata`` (Processing.scala calculateSourceHash; the
+    SourceHash guard is its hasColumn early-return). Anything else the
+    bronze source carries — including a ``deleted`` flag, prefixed business
+    columns, or a source system's own ``PK_*``-named column — must hash, or
+    changes to it would never propagate through the merge (e.g. deleted
+    flipping back to false would land in the 'touch' clause and the record
+    would never resurrect). The entity's own ``PK_<destination>`` cannot
+    appear here: it is added at P6, after the hash (P3).
     """
-    return col.startswith("PK_") or col in {
+    return col in {
         f"{prefix}SourceHash",
         f"{prefix}source_filename",
         f"{prefix}metadata",
@@ -136,6 +141,16 @@ def add_filename_column(
     name = f"{prefix}source_filename"
     if filter_to_slice and name in df.columns:
         return df.where(F.col(name) == F.lit(slice_name))
+    if filter_to_slice:
+        # catalog bronze lacking the filter column: the reference warns,
+        # stamps the literal, and the subsequent filter matches every row —
+        # i.e. the WHOLE table is processed as this slice
+        # (Processing.scala:289-310). Keep the behavior, surface the warning.
+        logger.warning(
+            "bronze table is missing column %r for slice filtering; stamping "
+            "%r on all rows — the entire table will be processed as this slice",
+            name, slice_name,
+        )
     return df.withColumn(name, F.lit(slice_name))
 
 
@@ -143,6 +158,44 @@ def add_filename_column(
 def business_pk_column(businesskeys: Sequence[str]) -> Column:
     """PK = sha2(concat_ws('_', businesskey cols), 256) (Processing.scala:185-190)."""
     return F.sha2(F.concat_ws("_", *[F.col(c).cast("string") for c in businesskeys]), 256)
+
+
+def check_duplicate_keys(
+    df: DataFrame,
+    destination: str,
+    businesskeys: Sequence[str],
+    pk_col: str | None = None,
+) -> None:
+    """Duplicate-key guard ACTION (Processing.scala:191-199), grouped by the
+    PK *value* rather than the raw key columns: a superset of the
+    reference's check that additionally aborts on concat_ws collisions —
+    distinct keys like ('a_b','c') vs ('a','b_c'), or NULL-skips ('a',NULL)
+    vs (NULL,'a'), map to one PK and would silently fan out the merge join
+    if only the raw columns were compared.
+
+    Best run on the already-cached slice (one groupBy over the cache);
+    pass ``pk_col`` to reuse an existing PK column instead of recomputing.
+    """
+    if not businesskeys:
+        return
+    key = F.col(pk_col) if pk_col else business_pk_column(businesskeys)
+    sample_keys = [c for c in businesskeys if c in df.columns]
+    dupes = (
+        df.groupBy(key.alias("__pk"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *([F.first(F.struct(*sample_keys)).alias("__sample")] if sample_keys else []),
+        )
+        .where(F.col("cnt") > 1)
+    )
+    bad = dupes.limit(20).collect()
+    if bad:
+        shown = ", ".join(
+            str(r["__sample"].asDict() if "__sample" in r else r["__pk"]) for r in bad[:5]
+        )
+        raise DuplicateBusinesskeyException(
+            f"Duplicate businesskeys in slice for {destination}: {shown}"
+        )
 
 
 def add_primary_key(
@@ -153,25 +206,16 @@ def add_primary_key(
 ) -> DataFrame:
     """Add ``PK_<destination>``; optionally guard against duplicate keys.
 
-    The duplicate guard is an extra groupBy+count ACTION (Processing.scala:
-    191-199). It shuffles on the business key — at 100 TB keep it available
-    but optional (``check_duplicates=False``) or run it on the already-keyed
-    slice only, never the full table.
+    The duplicate guard is an extra groupBy+count ACTION. At 100 TB keep it
+    available but optional (``check_duplicates=False``), or — as
+    Processing does — defer it and run ``check_duplicate_keys`` on the
+    already-cached slice so bronze and the P1-P5 transforms aren't scanned
+    a second time just for the guard.
     """
     if not businesskeys:
         return df
     if check_duplicates:
-        dupes = (
-            df.groupBy(*businesskeys)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .where(F.col("cnt") > 1)
-        )
-        bad = dupes.limit(20).collect()
-        if bad:
-            raise DuplicateBusinesskeyException(
-                f"Duplicate businesskeys in slice for {destination}: "
-                + ", ".join(str(r.asDict()) for r in bad[:5])
-            )
+        check_duplicate_keys(df, destination, businesskeys)
     return df.withColumn(f"PK_{destination}", business_pk_column(businesskeys))
 
 

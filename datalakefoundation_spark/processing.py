@@ -155,9 +155,14 @@ class Processing:
             prefix=self.prefix,
             historic=historic,
             bronze_is_table=self.output.bronzepath.kind == "table",
-            check_duplicates=bool(self.options.get("check_duplicates", True)),
+            # the guard is deferred and run below on the CACHED slice — as
+            # an inline plan-build action it would scan bronze + P1-P5 twice
+            check_duplicates=False,
         )
         df = df.cache()
+        if bool(self.options.get("check_duplicates", True)) and e.businesskeys:
+            # first action over the cache: populates it AND guards
+            P.check_duplicate_keys(df, e.destination, e.businesskeys, pk_col=self.pk_name)
         # ONE bookkeeping action over the cached slice: row count (empty
         # check + Full metrics), watermark max per column, and the distinct
         # partition-value set — the reference runs these as three separate

@@ -73,7 +73,7 @@ def merge_state(
     source: DataFrame,
     pk: str,
     prefix: str = "",
-    processing_time: str | None = None,
+    processing_time: str = "1970-01-01 00:00:00",
     delete_window: Column | None = None,
     delete_missing: bool = False,
     with_action_column: bool = False,
@@ -128,7 +128,11 @@ def merge_state(
 
     projections = []
     for c in out_cols:
-        tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}") if c in source.columns else F.lit(None)
+        # a target column missing from the source (schema drift, already
+        # warned about upstream) keeps its target value on updated rows —
+        # NULLing it would silently destroy data the source never carried
+        tc = F.col(f"t.{c}")
+        sc = F.col(f"s.{c}") if c in source.columns else tc
         if c == deleted_c:
             col = (
                 F.when(matched & src_deleted, F.lit(True))
@@ -192,8 +196,13 @@ def scd2_state(
     iscur_c = f"{prefix}IsCurrent"
     out_cols = target.columns
 
-    historical = target.where(~F.col(iscur_c))
-    current = target.where(F.col(iscur_c))
+    # NULL IsCurrent (a segment written without temporal columns, e.g. a
+    # per-run strategy override) counts as CURRENT: the row is the latest
+    # known state and must participate in versioning — a raw where(~col)
+    # would drop it from BOTH branches and commit silent data loss
+    is_current = F.coalesce(F.col(iscur_c), F.lit(True))
+    historical = target.where(~is_current)
+    current = target.where(is_current)
 
     t = current.alias("t")
     s = source.alias("s")
@@ -208,9 +217,17 @@ def scd2_state(
 
     close_old = matched & hash_differs
 
-    # Branch A: surviving target-side rows (closed, deleted-closed, or untouched)
+    # One pass over the join: each joined row explodes into 1-2 output rows
+    # (the surviving target-side row, and/or the new current version from
+    # the source). Expressing the two shapes as separate selects unioned
+    # together (the previous form) put the join subtree in the plan twice —
+    # exchange reuse shares the shuffle files but the sort-merge + project
+    # still executed twice, doubling join compute on the one path whose
+    # design goal is a single pass at 100 TB.
     pt_ts = ts_lit(processing_time)
-    a_proj = []
+
+    # shape A: surviving target-side row (closed, deleted-closed, or untouched)
+    a_fields = []
     for c in out_cols:
         tc = F.col(f"t.{c}")
         if c == vto_c:
@@ -223,29 +240,40 @@ def scd2_state(
             col = F.when(infer_delete, pt_ts).otherwise(tc)
         else:
             col = tc
-        a_proj.append(col.alias(c))
+        a_fields.append(col.alias(c))
     if with_action_column:
-        a_proj.append(
+        a_fields.append(
             F.when(close_old, F.lit("close"))
             .when(infer_delete, F.lit("delete_close"))
             .when(matched, F.lit("unchanged"))
             .otherwise(F.lit("keep"))
             .alias("__action")
         )
-    branch_a = joined.where(~src_only).select(*a_proj)
 
-    # Branch B: new current versions from source (insert or new-version append, J8)
-    b_proj = [F.col(f"s.{c}").alias(c) for c in out_cols]
+    # shape B: new current version from source (insert or new-version, J8);
+    # a target column missing from the source (schema drift) carries the
+    # previous version's value forward instead of NULL or a crash
+    b_fields = [
+        (F.col(f"s.{c}") if c in source.columns else F.col(f"t.{c}")).alias(c)
+        for c in out_cols
+    ]
     if with_action_column:
-        b_proj.append(
+        b_fields.append(
             F.when(close_old, F.lit("new_version")).otherwise(F.lit("insert")).alias("__action")
         )
-    branch_b = joined.where(src_only | close_old).select(*b_proj)
+
+    a_struct, b_struct = F.struct(*a_fields), F.struct(*b_fields)
+    emitted = (
+        F.when(src_only, F.array(b_struct))
+        .when(close_old, F.array(a_struct, b_struct))
+        .otherwise(F.array(a_struct))
+    )
+    merged = joined.select(F.explode(emitted).alias("__r")).select("__r.*")
 
     hist = historical.select(*out_cols)
     if with_action_column:
         hist = hist.withColumn("__action", F.lit("historical"))
-    return hist.unionByName(branch_a).unionByName(branch_b)
+    return hist.unionByName(merged)
 
 
 def merge_metrics(
@@ -255,13 +283,17 @@ def merge_metrics(
     inferred_deletes: int,
 ) -> dict[str, int]:
     """Merge metric identity: inserted + updated + deleted = recordsInSlice
-    (Merge.scala:124-145, PROCESSING_STRATEGIES.md:124-140)."""
+    (Merge.scala:124-145, PROCESSING_STRATEGIES.md:124-140). ``deleted``
+    counts slice-side soft deletes only — inferred deletes come from rows
+    NOT in the slice, so folding them in would break the identity; they are
+    reported separately (matching the run summary and the oracle)."""
     updated = records_in_slice - inserted - soft_deletes
     return {
         "records_in_slice": records_in_slice,
         "inserted": inserted,
         "updated": updated,
-        "deleted": soft_deletes + inferred_deletes,
+        "deleted": soft_deletes,
+        "inferred_deletes": inferred_deletes,
         "touched": records_in_slice,
     }
 

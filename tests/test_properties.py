@@ -76,8 +76,10 @@ def test_merge_metric_identity(t):
     n, inserted, inferred = t
     soft = n - inserted if n - inserted >= 0 else 0
     m = merge_metrics(n, inserted, soft_deletes=soft, inferred_deletes=inferred)
-    # identity: inserted + updated + deleted(soft) = records_in_slice
-    assert m["inserted"] + m["updated"] + (m["deleted"] - inferred) == m["records_in_slice"]
+    # identity: inserted + updated + deleted(soft) = records_in_slice;
+    # inferred deletes come from OUTSIDE the slice and are reported separately
+    assert m["inserted"] + m["updated"] + m["deleted"] == m["records_in_slice"]
+    assert m["inferred_deletes"] == inferred
     assert m["touched"] == n
 
 

@@ -547,3 +547,81 @@ def test_watermark_compaction_reclaims_segments(spark, tmp_path):
     raw = spark.read.parquet(f"{ws.path}/data/*/")
     assert raw.count() == raw.dropDuplicates(["entity_id", "column_name", "timestamp", "value"]).count()
     assert ws.latest(1)["SeqNr"] == "39"
+
+
+def test_pk_collision_guard_aborts(spark):
+    """Distinct business keys whose concat_ws collapses to one PK must abort
+    (the reference's raw-column group would pass and the merge would fan
+    out): ('a_b','c') and ('a','b_c') both hash 'a_b_c'."""
+    from datalakefoundation_spark.pipeline import check_duplicate_keys
+
+    df = spark.createDataFrame([("a_b", "c", 1), ("a", "b_c", 2)], "k1 string, k2 string, v int")
+    with pytest.raises(DuplicateBusinesskeyException):
+        check_duplicate_keys(df, "dest", ["k1", "k2"])
+    # NULL-skip collisions too: ('a', NULL) vs (NULL, 'a')
+    df2 = spark.createDataFrame([("a", None, 1), (None, "a", 2)], "k1 string, k2 string, v int")
+    with pytest.raises(DuplicateBusinesskeyException):
+        check_duplicate_keys(df2, "dest", ["k1", "k2"])
+    # genuinely distinct keys pass
+    df3 = spark.createDataFrame([("a", "b", 1), ("c", "d", 2)], "k1 string, k2 string, v int")
+    check_duplicate_keys(df3, "dest", ["k1", "k2"])
+
+
+def test_scd2_null_iscurrent_rows_survive(spark, lake_root, prefix):
+    """Rows whose IsCurrent is NULL (written by a merge-strategy override on
+    a historic table) are treated as current and keep participating in SCD2
+    versioning instead of silently vanishing."""
+    from datalakefoundation_spark import strategies as S
+
+    md = make_metadata(lake_root, prefix, processtype="historic")
+    write_slice(spark, md, "s1.parquet", rows_v1(6))
+    p1 = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    p1.process("historic")
+    # simulate a mixed-layout target: NULL temporal columns on two rows
+    tbl = p1.silver_table()
+    target = tbl.read()
+    damaged = target.withColumn(
+        f"{prefix}IsCurrent",
+        F.when(F.col("ID") < 2, F.lit(None).cast("boolean")).otherwise(F.col(f"{prefix}IsCurrent")),
+    )
+    source = Processing(spark, md, 1, "s1.parquet", {"processing.time": T1}).get_source(historic=True)
+    state = S.scd2_state(damaged, source, p1.pk_name, prefix=prefix, processing_time=T1)
+    # all 6 keys still present, none dropped
+    assert state.select("ID").distinct().count() == 6
+
+
+def test_merge_drift_keeps_target_value(spark, lake_root, prefix):
+    """A target column missing from the source keeps its target value on
+    updated rows (NULLing it would destroy data the source never carried);
+    SCD2 new versions carry the previous version's value forward."""
+    from datalakefoundation_spark import strategies as S
+
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(4))
+    p1 = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    p1.process("merge")
+    target = p1.silver_table().read()
+    # second slice DROPS the 'data' column and changes 'name' (hash differs)
+    rows2 = [{"ID": i, "SeqNr": i + 10, "name": f"renamed{i}"} for i in range(4)]
+    write_slice(spark, md, "s2.parquet", rows2)
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    src = p2.get_source()
+    state = S.merge_state(target, src, p2.pk_name, prefix=prefix, processing_time=T1)
+    out = {r["ID"]: r for r in state.collect()}
+    for i in range(4):
+        assert out[i]["name"] == f"renamed{i}"      # updated from source
+        assert out[i]["data"] == f"data{i}"         # kept, not NULLed
+    scd_state = S.scd2_state(
+        target.withColumn(f"{prefix}ValidFrom", S.ts_lit(T0))
+        .withColumn(f"{prefix}ValidTo", S.ts_lit("2999-12-31 00:00:00"))
+        .withColumn(f"{prefix}IsCurrent", F.lit(True)),
+        src.withColumn(f"{prefix}ValidFrom", S.ts_lit(T1))
+        .withColumn(f"{prefix}ValidTo", S.ts_lit("2999-12-31 00:00:00"))
+        .withColumn(f"{prefix}IsCurrent", F.lit(True)),
+        p2.pk_name,
+        prefix=prefix,
+        processing_time=T1,
+    )
+    new_versions = scd_state.where(F.col(f"{prefix}IsCurrent") & (F.col("SeqNr") >= 10))
+    vals = {r["ID"]: r["data"] for r in new_versions.collect()}
+    assert vals == {0: "data0", 1: "data1", 2: "data2", 3: "data3"}
