@@ -60,6 +60,10 @@ class Processing:
         self.delete_missing = bool(
             self.options.get("delete_missing", settings.get("delete_missing", False))
         )
+        # same option-over-setting precedence as every sibling toggle
+        self.check_duplicates = bool(
+            self.options.get("check_duplicates", settings.get("check_duplicates", True))
+        )
         # processing.time override: invalid ISO -> error log + now; "now" is
         # computed in environment.timezone (Processing.scala:58-73,
         # Environment.scala:42-43), not the driver host's local zone.
@@ -74,7 +78,11 @@ class Processing:
         else:
             self.processing_time = env.now().isoformat(sep=" ", timespec="seconds")
 
-        self.watermark_store = WatermarkStore(spark, env.root_folder)
+        # no root_folder -> no system tables; a store rooted at "" would
+        # resolve to the filesystem root ("/system/watermark")
+        self.watermark_store = (
+            WatermarkStore(spark, env.root_folder) if env.root_folder else None
+        )
         self.log_sink: DatalakeLogManager | None = None
         if env.root_folder:
             self.log_sink = DatalakeLogManager.for_environment(spark, env)
@@ -160,7 +168,7 @@ class Processing:
             check_duplicates=False,
         )
         df = df.cache()
-        if bool(self.options.get("check_duplicates", True)) and e.businesskeys:
+        if self.check_duplicates and e.businesskeys:
             # first action over the cache: populates it AND guards
             P.check_duplicate_keys(df, e.destination, e.businesskeys, pk_col=self.pk_name)
         # ONE bookkeeping action over the cached slice: row count (empty
@@ -190,7 +198,9 @@ class Processing:
                 None if row[f"__wm_{c}"] is None else str(row[f"__wm_{c}"]))
             for c in wm_cols
         }
-        self._stored_watermarks = self.watermark_store.latest(e.id)
+        self._stored_watermarks = (
+            self.watermark_store.latest(e.id) if self.watermark_store else {}
+        )
         if e.partition_columns:
             self._partition_values = [pv.asDict() for pv in row["__pvs"]]
         elif self._bucketed:
@@ -206,12 +216,22 @@ class Processing:
     def previous_watermarks(self) -> dict[str, str | None]:
         return build_watermark_values(self.entity.watermarks, self._stored_watermarks)
 
-    def delete_window(self, qualifier: str = "t."):
+    def delete_window(self, qualifier: str = "t.", target: DataFrame | None = None):
         """Inclusive previous<=col<=current window + partition IN-list for
-        whenNotMatchedBySource scoping (ProcessStrategy.scala:67-153)."""
+        whenNotMatchedBySource scoping (ProcessStrategy.scala:67-153).
+
+        The predicate resolves against the TARGET side of the merge join, so
+        a watermark column must exist there too — a column newly added to
+        bronze but absent from the existing silver table is skipped (same
+        missing-column rule the reference applies), not referenced into an
+        AnalysisException. Pass ``target`` to enforce that."""
         src = self.get_source()
+        fields = list(src.schema.fields)
+        if target is not None:
+            tcols = set(target.columns)
+            fields = [f for f in fields if f.name in tcols]
         cond = build_window_condition(
-            src.schema,
+            type(src.schema)(fields),
             self.entity.watermarks,
             self.previous_watermarks(),
             self.current_watermarks(),
@@ -228,12 +248,19 @@ class Processing:
             for pv in self._partition_values:
                 c = F.lit(True)
                 for k, v in pv.items():
-                    c = c & (F.col(f"{qualifier}{k}").cast("string") == F.lit(v))
+                    qcol = F.col(f"{qualifier}{k}")
+                    # NULL partition value: equality to lit(None) never
+                    # matches — test isNull explicitly
+                    c = c & (qcol.isNull() if v is None else (qcol.cast("string") == F.lit(v)))
                 pcond = pcond | c
         return cond if pcond is None else (cond & pcond)
 
     # ------------------------------------------------------------ silver table
     def silver_table(self) -> LakeTable:
+        # memoized: each construction costs a control-plane manifest read
+        # (layout adoption), and a run calls this from 5+ sites
+        if getattr(self, "_silver_table", None) is not None:
+            return self._silver_table
         loc = self.output.silverpath
         env = self.metadata.environment
         if loc.kind == "table":
@@ -241,13 +268,14 @@ class Processing:
             path = f"{env.root_folder}/_catalog/{loc.value.replace('.', '/')}"
         else:
             path = loc.value
-        return LakeTable(
+        self._silver_table = LakeTable(
             self.spark,
             path,
             self.entity.partition_columns,
             bucket_pk=self.pk_name if self._bucketed else None,
             n_buckets=self.n_buckets,
         )
+        return self._silver_table
 
     def register_silver_in_catalog(self) -> None:
         """Catalog output (K2, Full.scala:51-66): CREATE DATABASE IF NOT
@@ -265,9 +293,12 @@ class Processing:
         parts = loc.value.split(".")
         db = parts[0] if len(parts) > 1 else "default"
         tbl = parts[-1]
-        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        # backtick-quote: catalog names may carry non-identifier chars
+        # (e.g. 'sales-mart.orders') and this runs post-commit — a parse
+        # failure here must not be reachable via config
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
         self.spark.sql(
-            f"CREATE OR REPLACE VIEW {db}.{tbl} AS {self.silver_table().to_view_sql()}"
+            f"CREATE OR REPLACE VIEW `{db}`.`{tbl}` AS {self.silver_table().to_view_sql()}"
         )
 
     def is_first_run(self) -> bool:
@@ -343,8 +374,13 @@ class Processing:
     def _write_watermarks(self) -> None:
         # never clobber a stored bookmark with null (empty slice)
         values = {c: tv for c, tv in self._new_watermarks.items() if tv[1] is not None}
-        if values:
+        if values and self.watermark_store:
             self.watermark_store.write(self.entity.id, values)
+        elif values:
+            logger.warning(
+                "no root_folder configured; watermark values %s not persisted",
+                sorted(values),
+            )
 
     # ------------------------------------------------------------ strategies
     def _process_full(self, historic: bool = False) -> ProcessingSummary:
@@ -382,15 +418,25 @@ class Processing:
         # and rewrite — the same trade Delta makes: whenNotMatchedBySource
         # scans all files. Partitioned entities keep pruning because the
         # window itself is partition-scoped (ProcessStrategy.scala:67-153).
-        window = self.delete_window() if self.delete_missing else None
+        # the window predicate resolves on the target side, so validate its
+        # columns against the target schema (additive bronze drift must skip
+        # the new column, not crash the merge)
+        target_probe = table.read(keep_bucket=bucketed)
+        window = (
+            self.delete_window(target=target_probe) if self.delete_missing else None
+        )
         if bucketed and window is not None:
             bucketed = False
-        target = table.read(keep_bucket=bucketed)
+            target = table.read(keep_bucket=False)
+        else:
+            target = target_probe
         if bucketed and BUCKET_COL not in target.columns:
             bucketed = False
-        if bucketed and self._slice_count == 0:
-            # empty slice: no buckets to rewrite, state is unchanged — skip
-            # the write entirely instead of copying the whole table
+        if self._slice_count == 0 and window is None:
+            # empty slice + no delete inference: the post-merge state is the
+            # current state — skip the read-join-rewrite entirely (previously
+            # only the bucketed path short-circuited; a partitioned or plain
+            # table paid a full-table rewrite for a no-op slice)
             return ProcessingSummary(
                 entity_id=self.entity.id,
                 destination=self.entity.destination,

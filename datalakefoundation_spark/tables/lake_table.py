@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Sequence
 
@@ -249,7 +250,13 @@ class LakeTable:
         for pv in pvs:
             c = F.lit(True)
             for k, v in pv.items():
-                c = c & (F.col(k).cast("string") == F.lit(v))
+                if v is None:
+                    # NULL partition value: equality to lit(None) is NULL
+                    # (never true) and would exclude every NULL-partition
+                    # row from pruning/replacement — match explicitly
+                    c = c & F.col(k).isNull()
+                else:
+                    c = c & (F.col(k).cast("string") == F.lit(v))
             cond = cond | c
         return cond
 
@@ -426,7 +433,13 @@ class LakeTable:
         for attempt in range(50):
             mf = self.latest_manifest()
             next_v = (mf.version + 1) if mf else 0
-            seg_rel = f"data/v{next_v:05d}-{label}-{attempt}" if label else f"data/v{next_v:05d}-{attempt}"
+            # writer-unique dir: the CAS loser deletes its own segment below,
+            # so two writers must never share a path even at the same
+            # (version, label, attempt)
+            nonce = uuid.uuid4().hex[:8]
+            seg_rel = (
+                f"data/v{next_v:05d}-{label}-{nonce}" if label else f"data/v{next_v:05d}-{nonce}"
+            )
             buf = io.BytesIO()
             pq.write_table(arrow_table, buf)
             self.fs.put_bytes(f"{self.path}/{seg_rel}/part-00000.parquet", buf.getvalue())
@@ -529,7 +542,11 @@ class LakeTable:
             for name in self.fs.listdir(d):
                 if "=" in name and self.fs.isdir(f"{d}/{name}"):
                     k, _, v = name.partition("=")
-                    walk(f"{d}/{name}", {**acc, k: v}, depth + 1)
+                    # hive encodes a NULL partition value as this sentinel
+                    # dir name; map it back so keys line up with the None
+                    # values collected from the slice
+                    pv = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                    walk(f"{d}/{name}", {**acc, k: pv}, depth + 1)
 
         walk(base, {}, 0)
         return out

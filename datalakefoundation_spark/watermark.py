@@ -62,7 +62,12 @@ class WatermarkStore:
             return
         import pyarrow as pa
 
-        now = _dt.datetime.now()
+        # naive-UTC stamp: latest-wins ordering compares these timestamps
+        # across writers, so they must share one clock basis — a driver-local
+        # naive now() would let a chronologically newer write from another
+        # timezone (or across a DST fall-back) carry a SMALLER timestamp and
+        # be shadowed by stale bookmarks
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         cols = list(values.keys())
         arrow = pa.table(
             {
@@ -109,9 +114,14 @@ class WatermarkStore:
             for fname in fs.listdir(seg_dir):
                 if fname.endswith(".parquet"):
                     tables.append(pq.read_table(io.BytesIO(fs.read_bytes(f"{seg_dir}/{fname}"))))
+        import uuid as _uuid
+
         merged = pa.concat_tables(tables)
         next_v = mf.version + 1
-        seg_rel = f"data/v{next_v:05d}-compact"
+        # writer-unique segment dir: two concurrent compactors must never
+        # share a path, or the CAS loser's cleanup would delete the
+        # winner's committed segment
+        seg_rel = f"data/v{next_v:05d}-compact-{_uuid.uuid4().hex[:8]}"
         buf = io.BytesIO()
         pq.write_table(merged, buf)
         fs.put_bytes(f"{self.path}/{seg_rel}/part-00000.parquet", buf.getvalue())
@@ -167,7 +177,12 @@ class WatermarkStore:
 
 
 def capture_max_values(df: DataFrame, columns: Sequence[str]) -> dict[str, tuple[str, str | None]]:
-    """One multi-column max-agg action (Processing.scala:123-135)."""
+    """One multi-column max-agg action (Processing.scala:123-135).
+
+    Standalone utility for external callers; Processing itself folds the
+    same (type-name, str) encoding into its fused bookkeeping aggregate
+    (processing.py get_source) to avoid a second scan — keep the two
+    encodings in sync."""
     present = [c for c in columns if c in df.columns]
     if not present:
         return {}

@@ -625,3 +625,30 @@ def test_merge_drift_keeps_target_value(spark, lake_root, prefix):
     new_versions = scd_state.where(F.col(f"{prefix}IsCurrent") & (F.col("SeqNr") >= 10))
     vals = {r["ID"]: r["data"] for r in new_versions.collect()}
     assert vals == {0: "data0", 1: "data1", 2: "data2", 3: "data3"}
+
+
+def test_merge_with_null_partition_values(spark, lake_root, prefix):
+    """NULL partition values prune/replace correctly: hive encodes NULL as
+    __HIVE_DEFAULT_PARTITION__ and equality-to-NULL predicates never match,
+    so without explicit isNull handling a merge would duplicate PKs in the
+    NULL partition."""
+    md = make_metadata(lake_root, prefix, partitioned=True)
+    # Administration = ID % 2; make it NULL for odd IDs via a custom slice
+    rows1 = [{"ID": i, "SeqNr": i, "name": f"n{i}", "data": f"d{i}"} for i in range(6)]
+    write_slice(spark, md, "s1.parquet", rows1)
+    # override the calculated column to NULL for odd ids
+    e = md.get_entity(1)
+    e.columns[-1].expression = "CASE WHEN ID % 2 = 0 THEN 0 ELSE NULL END"
+    p1 = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    p1.process("merge")
+    assert silver(p1).count() == 6
+
+    rows2 = [{"ID": i, "SeqNr": i + 10, "name": f"renamed{i}", "data": f"d{i}"} for i in range(6)]
+    write_slice(spark, md, "s2.parquet", rows2)
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    p2.process("merge")
+    out = silver(p2)
+    # every PK exactly once — the NULL-partition rows were replaced, not duplicated
+    assert out.count() == 6
+    assert out.select(p2.pk_name).distinct().count() == 6
+    assert out.where(F.col("name").startswith("renamed")).count() == 6
