@@ -179,3 +179,31 @@ def test_time_travel_by_timestamp(spark, tmp_path):
     assert t.read(as_of_timestamp=_time.time()).count() == 2
     with pytest.raises(FileNotFoundError):
         t.version_at_timestamp(after_v0 - 1e6)
+
+
+def test_optimize_bucketed_table_clusters_within_buckets(spark, tmp_path):
+    """optimize() on a PK-hash-bucketed table keeps the bucket layout (and
+    manifest bucketing record), folds per-bucket small files, and preserves
+    content — the global range-repartition path would be undone by the
+    bucket-dir write."""
+    from pyspark.sql import functions as F
+
+    t = LakeTable(spark, str(tmp_path / "bop"), bucket_pk="pk", n_buckets=4)
+    df = spark.createDataFrame(
+        [(f"{i:02x}{'0'*62}", i, f"v{i}") for i in range(64)], "pk string, k int, v string"
+    )
+    t.overwrite(df)
+    t.append(df.withColumn("k", F.col("k") + 100))
+    before = t.read().count()
+    t.optimize(cluster_by=["k"])
+    assert t.read().count() == before
+    mf = t.latest_manifest()
+    assert mf.bucketing == {"pk": "pk", "n": 4}
+    assert len(mf.segments) == 1
+    # bucket dirs survived the rewrite
+    seg_dirs = t.fs.listdir(f"{t.path}/{mf.segments[0].dir}")
+    assert any(d.startswith("__dlf_bucket=") for d in seg_dirs)
+    # a fresh instance with NO bucket config adopts the stored layout
+    t2 = LakeTable(spark, str(tmp_path / "bop"))
+    assert t2.bucket_pk == "pk" and t2.n_buckets == 4
+    assert "__dlf_bucket" not in t2.read().columns
