@@ -34,6 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datalakefoundation_spark.session import get_spark  # noqa: E402
 from datalakefoundation_spark.verification import all_queries  # noqa: E402
 
+try:  # queries consolidated out of the driver's 50-row registry window but
+    # still benchmarked (they remain real, tested operators)
+    from datalakefoundation_spark.verification import extra_queries
+
+    EXTRA_BENCH_QUERIES = {k: fn for k, (fn, _sql) in extra_queries().items()}
+except ImportError:  # pragma: no cover
+    EXTRA_BENCH_QUERIES = {}
+
 HEADLINE = [
     "q_pricing_summary",
     "q_join_agg",
@@ -69,7 +77,10 @@ TABLES = [
 ]
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str, errors: dict[str, str]) -> dict[str, float]:
+    """Time each headline query. A failing query must never kill the bench
+    (the driver needs the JSON line even on partial regressions): every
+    query runs under its own try/except and failures land in ``errors``."""
     registry = all_queries()
     times: dict[str, float] = {}
     # warm-up (untimed): full scan of every input table + one pass of each
@@ -77,22 +88,40 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # JIT (reference BenchmarkSpec.scala:13-18)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in TABLES:
-        _force(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
+        try:
+            _force(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
+        except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
+            errors[f"warmup_{t}"] = f"{type(exc).__name__}: {exc}"[:500]
+    broken: set[str] = set()
     for name in HEADLINE:
-        _force(registry[name][0](spark, sf_dir))
+        fn = registry.get(name, (None,))[0] or EXTRA_BENCH_QUERIES.get(name)
+        if fn is None:
+            errors[name] = "not registered"
+            broken.add(name)
+            continue
+        try:
+            _force(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            broken.add(name)
     # timed: min of 2 runs = steady-state plan-build + execute
     for name in HEADLINE:
-        fn = registry[name][0]
+        if name in broken:
+            continue
+        fn = registry.get(name, (None,))[0] or EXTRA_BENCH_QUERIES.get(name)
         best = float("inf")
-        for _ in range(2):
-            start = time.time()
-            _force(fn(spark, sf_dir))
-            best = min(best, time.time() - start)
-        times[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                start = time.time()
+                _force(fn(spark, sf_dir))
+                best = min(best, time.time() - start)
+            times[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     return times
 
 
-def bench_loads(spark, sf_dir: str) -> dict[str, float]:
+def bench_loads(spark, sf_dir: str, errors: dict[str, str]) -> dict[str, float]:
     """Reference-shaped load benchmarks: 10k-row slice through the full
     bronze->silver Processing path (pipeline + write + watermarks)."""
     from datalakefoundation_spark.processing import Processing
@@ -114,21 +143,24 @@ def bench_loads(spark, sf_dir: str) -> dict[str, float]:
             .limit(10000)
         )
         for strategy in ("full", "merge", "historic"):
-            md = make_metadata(f"{root}/{strategy}", processtype=strategy)
-            bronze = md.get_entity(1).get_output().bronzepath.value
-            orders.write.mode("overwrite").parquet(f"{bronze}/s1.parquet")
-            slice2 = orders.withColumn(
-                "data",
-                F.when(F.col("ID") % 3 == 0, F.concat(F.col("data"), F.lit("_v2"))).otherwise(
-                    F.col("data")
-                ),
-            )
-            slice2.write.mode("overwrite").parquet(f"{bronze}/s2.parquet")
-            # first run (target creation) is setup, not the measured op
-            Processing(spark, md, 1, "s1.parquet", {"processing.time": "2026-01-01 00:00:00"}).process()
-            start = time.time()
-            Processing(spark, md, 1, "s2.parquet", {"processing.time": "2026-02-01 00:00:00"}).process()
-            times[f"load_{strategy}_10k"] = round(time.time() - start, 3)
+            try:
+                md = make_metadata(f"{root}/{strategy}", processtype=strategy)
+                bronze = md.get_entity(1).get_output().bronzepath.value
+                orders.write.mode("overwrite").parquet(f"{bronze}/s1.parquet")
+                slice2 = orders.withColumn(
+                    "data",
+                    F.when(F.col("ID") % 3 == 0, F.concat(F.col("data"), F.lit("_v2"))).otherwise(
+                        F.col("data")
+                    ),
+                )
+                slice2.write.mode("overwrite").parquet(f"{bronze}/s2.parquet")
+                # first run (target creation) is setup, not the measured op
+                Processing(spark, md, 1, "s1.parquet", {"processing.time": "2026-01-01 00:00:00"}).process()
+                start = time.time()
+                Processing(spark, md, 1, "s2.parquet", {"processing.time": "2026-02-01 00:00:00"}).process()
+                times[f"load_{strategy}_10k"] = round(time.time() - start, 3)
+            except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
+                errors[f"load_{strategy}_10k"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return times
@@ -139,20 +171,27 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("dlf-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = bench_queries(spark, sf_dir)
-    queries.update(bench_loads(spark, sf_dir))
+    errors: dict[str, str] = {}
+    queries: dict[str, float] = {}
+    try:
+        queries.update(bench_queries(spark, sf_dir, errors))
+    except Exception as exc:  # noqa: BLE001 — never lose the JSON line
+        errors["bench_queries"] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
+        queries.update(bench_loads(spark, sf_dir, errors))
+    except Exception as exc:  # noqa: BLE001
+        errors["bench_loads"] = f"{type(exc).__name__}: {exc}"[:500]
     total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -24,11 +24,29 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized parquet
-    reader rejects; read nanos as long (exact — no precision/timezone loss) and
-    expose the column as ``ts_ns``. DuckDB twin: ``epoch_ns(ts) AS ts_ns``."""
+    """Read events.parquet and expose ``ts`` as epoch-nanos long ``ts_ns``,
+    whatever the physical timestamp encoding is.
+
+    The driver's testdata has shipped the ``ts`` column both as
+    TIMESTAMP(NANOS) (Spark's vectorized reader rejects it; with
+    ``nanosAsLong`` it surfaces as a raw epoch-ns BIGINT) and as plain
+    ``timestamp[us]`` (surfaces as TIMESTAMP_NTZ). Branch on the *read*
+    schema rather than assuming either: long passes through exactly;
+    timestamp converts via ``unix_micros`` under the pinned-UTC session
+    zone (session.py sets ``spark.sql.session.timeZone=UTC``) so the epoch
+    matches DuckDB's ``epoch_us``/``epoch_ns`` on the same file.
+    DuckDB twin: ``epoch_us(ts)`` (works on either encoding)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _read(spark, sf_dir, "events").withColumnRenamed("ts", "ts_ns")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = _read(spark, sf_dir, "events")
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "bigint"):
+        return df.withColumnRenamed("ts", "ts_ns")
+    # timestamp / timestamp_ntz: NTZ->TZ cast is identity under UTC, then
+    # unix_micros gives the exact µs epoch (no precision beyond µs exists).
+    return df.withColumn(
+        "ts_ns", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+    ).drop("ts")
 
 
 # ---------------------------------------------------------------- S1
