@@ -1,0 +1,80 @@
+"""Full-registry oracle parity at sf0.001 — the local twin of the driver's
+correctness gate.
+
+Runs EVERY registry query plus every EXTRA query (the oracle-paired
+formulations consolidated out of the driver's 50-row window) against its
+DuckDB oracle using the exact canonicalization of tools/check_oracle.py
+(pandas round-trip on both sides, column-name sort, order-insensitive value
+multiset). This is what catches a driver-environment breakage — like r2's
+events timestamp re-encoding — before the round's CORRECTNESS file does.
+
+sf0.001 keeps the whole sweep under ~2 min on local[8].
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datalakefoundation_spark.verification import (  # noqa: E402
+    DRIVER_WINDOW,
+    all_queries,
+    extra_queries,
+)
+from tools.check_oracle import TABLES, canon_pdf  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata {SF_DIR} not present"
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _registry():
+    merged = dict(all_queries())
+    merged.update(extra_queries())
+    return merged
+
+
+def test_registry_fits_driver_window():
+    assert len(all_queries()) <= DRIVER_WINDOW
+
+
+def test_every_registry_query_has_unique_name():
+    reg, extra = all_queries(), extra_queries()
+    assert not set(reg) & set(extra)
+
+
+@pytest.mark.parametrize("name", sorted(_registry()))
+def test_oracle_parity(name, spark, duck):
+    fn, sql = _registry()[name]
+    s_pdf = fn(spark, SF_DIR).toPandas()
+    if sql is None:
+        # rows-only contract: must at least run and produce a stable schema
+        assert list(s_pdf.columns)
+        return
+    d_pdf = duck.sql(sql).df()
+    assert sorted(s_pdf.columns) == sorted(d_pdf.columns), "schema mismatch"
+    assert len(s_pdf) == len(d_pdf), f"rowcount {len(s_pdf)} != {len(d_pdf)}"
+    cs, cd = canon_pdf(s_pdf), canon_pdf(d_pdf)
+    if cs != cd:
+        bad = next(i for i, (a, b) in enumerate(zip(cs, cd)) if a != b)
+        raise AssertionError(
+            f"value mismatch at sorted row {bad}:\n spark: {cs[bad][:300]}\n duck : {cd[bad][:300]}"
+        )

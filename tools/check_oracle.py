@@ -98,6 +98,14 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # also gate the oracle-paired queries deliberately outside the driver's
+    # 50-row registry window (operators covered by consolidated registry rows)
+    from datalakefoundation_spark.verification import extra_queries
+
+    for name, (fn, sql) in extra_queries().items():
+        qs[name] = fn
+        if sql is not None:
+            oracles[name] = sql
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
