@@ -3,19 +3,18 @@ pair list (e.g. MinHash+LSH output), so every document gets a canonical
 cluster id (the minimum doc id in its component) and dedup can keep exactly
 one survivor per cluster instead of dropping both ends of every pair.
 
-Algorithm: iterative min-label propagation. Each round every node takes the
-minimum of its own label and its neighbors' labels; the fixpoint (labels
-stop changing) assigns each node the minimum node id reachable from it,
-which is a complete and deterministic component labeling. Rounds needed =
-graph diameter; near-dup components are overwhelmingly small/star-shaped
-(a content cluster collides in shared LSH buckets), so 2-4 rounds is
-typical. For adversarial long-chain graphs at 100 TB the large-star/
-small-star variant (Kiveris et al., "Connected Components in MapReduce and
-Beyond") converges in O(log n) rounds with the same per-round shape — one
-groupBy shuffle — and can be swapped in without changing callers.
+Two algorithms, same output contract (cluster_id = min node id reachable):
 
-Each round is: edges ⋈ labels (broadcast-or-shuffle equi-join) then a
-min-groupBy — no driver-side graph state; per-round results are
+* ``star`` (default, the scale path): alternating large-star/small-star
+  rounds (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  2014 — public algorithm). Each round halves tree heights, so convergence
+  is O(log d) rounds even on adversarial long-chain graphs; each half-round
+  is one groupBy-min + one join-free projection over the edge list.
+* ``label``: iterative min-label propagation. Rounds needed = graph
+  diameter — fine for the star-shaped components LSH candidate graphs
+  produce (2-4 rounds typical), quadratic-ish wall clock on long chains.
+
+No driver-side graph state in either; per-round results are
 ``localCheckpoint``-ed so the plan doesn't grow with iteration count
 (standard practice for iterative DataFrame algorithms)."""
 
@@ -29,14 +28,121 @@ from pyspark.sql import functions as F
 logger = logging.getLogger(__name__)
 
 
-def connected_components(
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its neighborhood (incl. itself). Input and
+    output are undirected edge lists in canonical (larger, smaller) form;
+    internally both directions are materialized for the per-node grouping."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round over canonical (larger, smaller) edges: every
+    node connects its smaller-or-equal neighbors (and itself) to the
+    minimum of that neighborhood. Output stays canonical."""
+    canon = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    to_min = canon.join(mins, "u")
+    return (
+        to_min.where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+        .distinct()
+    )
+
+
+def connected_components_star(
     pairs: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
 ) -> DataFrame:
+    """Large-star/small-star component labeling (Kiveris et al. 2014):
+    O(log d) rounds on any graph shape, so a 10k-node path converges in
+    ~14 rounds where plain label propagation needs 10k. At fixpoint the
+    edge set is a star per component, rooted at the component minimum."""
+    edges = (
+        pairs.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not edges.head(1):
+        # no real edges (pairs empty or all self-pairs): every node that
+        # appears is its own singleton cluster
+        return (
+            pairs.select(F.col(src_col).alias("node"))
+            .unionByName(pairs.select(F.col(dst_col).alias("node")))
+            .distinct()
+            .withColumn("cluster_id", F.col("node"))
+        )
+    converged = False
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # both sides are distinct canonical sets: equal counts + empty
+        # one-way difference <=> identical edge sets
+        if new_edges.count() == edges.count() and new_edges.subtract(edges).isEmpty():
+            edges = new_edges
+            converged = True
+            break
+        edges = new_edges
+    if not converged:
+        logger.warning(
+            "connected_components_star did not converge in %d rounds; "
+            "labels may split components — raise max_iter", max_iter,
+        )
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    # every node appearing in pairs gets a row — components' roots and nodes
+    # whose only pair was a self-edge (dropped from the edge list) label
+    # themselves. At fixpoint every non-root points directly at its root so
+    # the min-agg is a semantic no-op; it also guarantees one row per node
+    # even when max_iter ran out mid-collapse.
+    all_nodes = (
+        pairs.select(F.col(src_col).alias("node"))
+        .unionByName(pairs.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+    )
+    return (
+        members.unionByName(all_nodes)
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+    algorithm: str = "star",
+) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``;
-    cluster_id = min node id in the connected component."""
+    cluster_id = min node id in the connected component.
+
+    ``algorithm="star"`` (default) is the O(log d)-round scale path;
+    ``"label"`` is plain min-label propagation (diameter rounds — only
+    sensible when components are known to be shallow)."""
+    if algorithm == "star":
+        return connected_components_star(pairs, src_col, dst_col, max_iter)
     edges = (
         pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))

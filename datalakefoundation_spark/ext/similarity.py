@@ -123,6 +123,37 @@ def lsh_band_keys(
     return sig.selectExpr(id_col, f"array({keys}) AS bks")
 
 
+def lsh_near_dup_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 4,
+    planes_per_band: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Bounded candidate pairs ``(id_a, id_b)`` (id_a < id_b) from banded-LSH
+    bucket collisions — the scale path feeding
+    ``dedup.embedding_near_dup_pairs(candidates=...)``: one shuffle on the
+    band key and in-bucket pair expansion, never an all-pairs join. Recall
+    tunes with ``bands`` (more bands = more chances to collide); precision
+    is restored by the exact cosine filter downstream."""
+    with_keys = lsh_band_keys(
+        ensure_compute_parallelism(df), id_col, vec_col, bands, planes_per_band, dim
+    )
+    e = with_keys.select(F.col(id_col), F.explode("bks").alias("bk"))
+    buckets = (
+        e.groupBy("bk")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,

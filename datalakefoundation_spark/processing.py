@@ -89,20 +89,36 @@ class Processing:
 
         # PK-hash bucketing for unpartitioned entities: incremental merges
         # then rewrite only the buckets present in the slice instead of the
-        # whole table (segment-level copy-on-write). 0 disables.
-        self.n_buckets = int(
+        # whole table (segment-level copy-on-write). Size-aware: the actual
+        # bucket count is sized from the data (one bucket per
+        # ``bucketing.rows_per_bucket`` rows, capped at ``bucketing.buckets``)
+        # when the table is created or fully overwritten, so a 10k-row table
+        # stays a plain directory (no 32-dir small-file tax on every merge)
+        # while a large one keeps touched-buckets-only copy-on-write.
+        # ``bucketing.buckets = 0`` disables entirely.
+        self.n_buckets = self._bucket_cap = int(
             self.options.get("bucketing.buckets", settings.get("bucketing.buckets", 32))
+        )
+        self.rows_per_bucket = int(
+            self.options.get(
+                "bucketing.rows_per_bucket", settings.get("bucketing.rows_per_bucket", 50_000)
+            )
         )
         self._bucketed = bool(
             not self.entity.partition_columns and self.entity.businesskeys and self.n_buckets > 0
         )
+        # Layout resolution: an existing table's recorded layout wins over the
+        # configured one (the modulus is baked into the stored dirs); a table
+        # that doesn't exist yet defers the choice until the slice row count
+        # is known (the fused bookkeeping agg in get_source).
+        self._layout_pending = False
         if not self.entity.partition_columns and self.entity.businesskeys:
-            # an existing table's recorded layout wins over the configured one
-            # (LakeTable adopts it and warns); sync so the slice-side bucket
-            # ids are computed with the SAME modulus the stored dirs use
             t = self.silver_table()
-            self._bucketed = t.bucket_pk is not None
-            self.n_buckets = t.n_buckets
+            if t.exists():
+                self._bucketed = t.bucket_pk is not None
+                self.n_buckets = t.n_buckets
+            elif self._bucketed:
+                self._layout_pending = True
 
         self._cached_source: DataFrame | None = None
         self._slice_count: int = 0
@@ -185,12 +201,18 @@ class Processing:
                     F.struct(*[F.col(c).cast("string").alias(c) for c in e.partition_columns])
                 ).alias("__pvs")
             )
-        elif self._bucketed:
+        elif self._bucketed and not self._layout_pending:
+            # bucket ids of an about-to-be-created table are useless (no
+            # target dirs to prune yet) and the modulus isn't even decided —
+            # only collect them against a committed layout
             aggs.append(
                 F.collect_set(bucket_expr(self.pk_name, self.n_buckets)).alias("__bkts")
             )
+        collected_buckets = self._bucketed and not self._layout_pending
         row = df.agg(*aggs).head()
         self._slice_count = row["__n"]
+        if self._layout_pending:
+            self._resolve_layout(self._slice_count)
         if self._slice_count == 0:
             logger.warning("slice %s for entity %s is empty", self.slice_file, e.name)
         self._new_watermarks = {
@@ -203,10 +225,36 @@ class Processing:
         )
         if e.partition_columns:
             self._partition_values = [pv.asDict() for pv in row["__pvs"]]
-        elif self._bucketed:
+        elif collected_buckets:
             self._bucket_values = sorted(row["__bkts"])
         self._cached_source = df
         return df
+
+    def _resolve_layout(self, rows: int) -> None:
+        """Pick the bucket count for a table about to be created, from the
+        actual slice size: one bucket per ``bucketing.rows_per_bucket`` rows,
+        capped at ``bucketing.buckets``. Below ~2 buckets the layout degrades
+        to a plain directory — on a small table the per-merge bucket-dir
+        small-file tax costs more than touched-bucket copy-on-write saves.
+        The choice is recorded in the table manifest and sticky thereafter;
+        a later full overwrite of a grown table re-derives it (the overwrite
+        rebuilds every directory anyway)."""
+        n = (
+            min(self._bucket_cap, rows // self.rows_per_bucket)
+            if self.rows_per_bucket
+            else self._bucket_cap
+        )
+        if n <= 1:
+            self._bucketed = False
+            self.silver_table().set_layout(None, 0, force=True)
+            logger.info(
+                "entity %s: %d rows < 2x rows_per_bucket (%d) — creating "
+                "unbucketed layout", self.entity.destination, rows, self.rows_per_bucket,
+            )
+        else:
+            self.n_buckets = int(n)
+            self.silver_table().set_layout(self.pk_name, self.n_buckets, force=True)
+        self._layout_pending = False
 
     # ------------------------------------------------------------ watermark
     def current_watermarks(self) -> dict[str, str | None]:
@@ -274,6 +322,9 @@ class Processing:
             self.entity.partition_columns,
             bucket_pk=self.pk_name if self._bucketed else None,
             n_buckets=self.n_buckets,
+            # the engine sizes bucket layout adaptively, so a stored layout
+            # differing from the configured cap is expected, not a misconfig
+            warn_on_layout_mismatch=False,
         )
         return self._silver_table
 
@@ -387,6 +438,27 @@ class Processing:
         source = self.get_source(historic=historic)
         n = self._slice_count  # from the fused bookkeeping agg — no extra job
         table = self.silver_table()
+        # a full overwrite of an unpartitioned table rebuilds every directory,
+        # so it's the one safe moment to re-derive the size-aware bucket
+        # layout for a table that has grown (or shrunk) past the threshold
+        if (
+            not self.entity.partition_columns
+            and self.entity.businesskeys
+            and table.exists()
+            and self._bucket_cap > 0
+        ):
+            new_n = (
+                min(self._bucket_cap, n // self.rows_per_bucket)
+                if self.rows_per_bucket
+                else self._bucket_cap
+            )
+            if new_n <= 1:
+                self._bucketed = False
+                table.set_layout(None, 0, force=True)
+            else:
+                self._bucketed = True
+                self.n_buckets = int(new_n)
+                table.set_layout(self.pk_name, self.n_buckets, force=True)
         table.overwrite(
             source,
             dynamic=table.exists() and bool(self.entity.partition_columns),

@@ -128,6 +128,7 @@ class LakeTable:
         partition_by: Sequence[str] = (),
         bucket_pk: str | None = None,
         n_buckets: int = 32,
+        warn_on_layout_mismatch: bool = True,
     ) -> None:
         """``bucket_pk`` (only honored when ``partition_by`` is empty) stores
         the table hive-partitioned by a PK-hash bucket so incremental merges
@@ -158,7 +159,10 @@ class LakeTable:
             mf = self.latest_manifest()
             stored = mf.bucketing if mf is not None else None
             if stored:
-                if (self.bucket_pk, self.n_buckets) != (stored["pk"], stored["n"]):
+                if warn_on_layout_mismatch and (self.bucket_pk, self.n_buckets) != (
+                    stored["pk"],
+                    int(stored["n"]),
+                ):
                     logger.warning(
                         "table %s was written with bucketing %s; ignoring configured "
                         "(pk=%s, n=%s) — rewrite the table to change its layout",
@@ -168,9 +172,33 @@ class LakeTable:
                 self.n_buckets = int(stored["n"])
                 self.partition_by = [BUCKET_COL]
             elif mf is not None and self.bucket_pk:
-                # existing table written WITHOUT bucketing: merges fall back
-                # to wholesale rewrite until a full load converts the layout
-                pass
+                # existing table written WITHOUT bucketing: the stored layout
+                # wins here too — a plain directory stays a plain directory
+                # (writing bucket-partitioned segments into it would mix
+                # layouts). Upgrading a grown table happens explicitly via
+                # set_layout(force=True) under a full overwrite
+                # (Processing._process_full) or optimize().
+                self.bucket_pk = None
+                self.partition_by = []
+
+    def set_layout(self, bucket_pk: str | None, n_buckets: int, force: bool = False) -> None:
+        """Change the PK-hash bucket layout of this instance.
+
+        Only legal when the stored directory structure is about to be (re)built
+        wholesale: before the first commit, or immediately before a full
+        overwrite (``force=True``). Changing the modulus under live bucketed
+        segments would prune merges against the wrong dirs — that path raises.
+        """
+        if self.partition_by and self.partition_by != [BUCKET_COL]:
+            raise ValueError("set_layout only applies to unpartitioned tables")
+        if self.exists() and not force:
+            raise ValueError(
+                f"{self.path} already has committed segments; bucket layout can "
+                "only change under a full overwrite (force=True)"
+            )
+        self.bucket_pk = bucket_pk
+        self.n_buckets = int(n_buckets)
+        self.partition_by = [BUCKET_COL] if bucket_pk else []
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         if self.bucket_pk and BUCKET_COL not in df.columns:

@@ -299,6 +299,51 @@ def test_connected_components_chain_and_triangle(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
 
 
+def test_connected_components_long_path_converges(spark):
+    """Adversarial long-chain graph: a 10k-node path has diameter 10k, so
+    label propagation would need 10k rounds — large-star/small-star must
+    collapse it to one component within its O(log d) budget (~14 rounds)."""
+    from datalakefoundation_spark.ext.cluster import connected_components_star
+
+    n = 10_000
+    pairs = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    out = connected_components_star(pairs, max_iter=30)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster_id").alias("c"),
+        F.min("cluster_id").alias("m"),
+        F.max("node").alias("mx"),
+    ).head()
+    assert (agg["n"], agg["c"], agg["m"], agg["mx"]) == (n, 1, 0, n - 1)
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    """Property: both algorithms produce the identical labeling on a random
+    graph (deterministic seed) mixing chains, stars and isolated pairs."""
+    import random
+
+    from datalakefoundation_spark.ext.cluster import connected_components
+
+    rng = random.Random(7)
+    edges = set()
+    # 40 random components over 400 node ids
+    for comp in range(40):
+        base = comp * 10
+        nodes = [base + i for i in range(rng.randint(2, 10))]
+        for x in nodes[1:]:
+            edges.add((rng.choice(nodes), x) if rng.random() < 0.5 else (x, nodes[0]))
+    pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    star = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    label = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(pairs, algorithm="label").collect()
+    }
+    assert star == label
+
+
 def test_dedup_clusters_planted(spark, docs):
     from datalakefoundation_spark.ext.cluster import dedup_clusters
 
@@ -311,6 +356,37 @@ def test_dedup_clusters_planted(spark, docs):
     assert rows[100000] == (0, False)
     assert rows[200000] == (0, False)
     assert rows[0] == (0, True)
+
+
+def test_embedding_near_dup_scale_path(spark, embs):
+    """X5's documented scale story, executable: LSH-bucket candidates feed
+    embedding_near_dup_pairs(candidates=...), the plan stays free of
+    cartesian products, and the result is a subset of the all-pairs form
+    that still finds planted near-dups."""
+    planted = (
+        embs.limit(3)
+        .withColumn("vec_id", F.col("vec_id") + 100000)
+        .withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: (x * 0.999).cast("float")),
+        )
+    )
+    data = embs.unionByName(planted)
+    cands = SIM.lsh_near_dup_candidates(data)
+    out = D.embedding_near_dup_pairs(data, threshold=0.9, candidates=cands)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # every planted copy collides with its source in every band (sign
+    # signatures are identical under a 0.999 scale) -> must be found
+    for i, r in enumerate(embs.limit(3).collect()):
+        assert (r["vec_id"], r["vec_id"] + 100000) in got
+    # soundness: candidates only ever narrow the exact all-pairs result
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_dup_pairs(data, threshold=0.9).collect()
+    }
+    assert got <= exact
 
 
 def test_pack_sequences_offsets(spark):

@@ -348,7 +348,12 @@ def test_unpartitioned_merge_bucket_cow(spark, lake_root, prefix):
     copy-on-write), not the whole table."""
     md = make_metadata(lake_root, prefix)
     write_slice(spark, md, "s1.parquet", rows_v1(50))
-    p1 = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    # rows_per_bucket=0 disables size-aware sizing (a 50-row table would
+    # otherwise be laid out unbucketed) — this test exercises the bucketed path
+    p1 = Processing(
+        spark, md, 1, "s1.parquet",
+        {"processing.time": T0, "bucketing.rows_per_bucket": 0},
+    )
     p1.process()
     table = p1.silver_table()
     mf1 = table.latest_manifest()
@@ -375,6 +380,81 @@ def test_unpartitioned_merge_bucket_cow(spark, lake_root, prefix):
     assert out.count() == 50
     assert out.where(F.col("data") == "changed").count() == 1
     assert {r["ID"] for r in out.collect()} == set(range(50))
+
+
+def test_small_table_created_unbucketed(spark, lake_root, prefix):
+    """Size-aware layout: below ~2x bucketing.rows_per_bucket the table is a
+    plain directory — no per-merge bucket-dir small-file tax — and later
+    merges still produce correct results via wholesale rewrite."""
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(50))
+    p1 = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    p1.process("merge")  # first run diverts to full -> creates layout
+    mf = p1.silver_table().latest_manifest()
+    assert mf.partition_by == []
+    assert mf.bucketing is None
+
+    rows2 = [dict(rows_v1(50)[7], data="changed")]
+    write_slice(spark, md, "s2.parquet", rows2)
+    p2 = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    assert p2._bucketed is False  # adopted the stored (unbucketed) layout
+    p2.process("merge")
+    out = silver(p2)
+    assert out.count() == 50
+    assert out.where(F.col("data") == "changed").count() == 1
+
+
+def test_full_overwrite_rederives_bucket_layout(spark, lake_root, prefix):
+    """A full overwrite rebuilds every directory, so a grown table upgrades
+    to a bucketed layout at that moment (and a shrunk one downgrades)."""
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(20))
+    p1 = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    p1.process("full")
+    assert p1.silver_table().latest_manifest().bucketing is None
+
+    # "growth": same rows, but a 4-rows-per-bucket threshold makes 20 rows
+    # warrant 5 buckets on the next full overwrite
+    write_slice(spark, md, "s2.parquet", rows_v1(20))
+    p2 = Processing(
+        spark, md, 1, "s2.parquet",
+        {"processing.time": T1, "bucketing.rows_per_bucket": 4},
+    )
+    p2.process("full")
+    mf = p2.silver_table().latest_manifest()
+    assert mf.bucketing == {"pk": p2.pk_name, "n": 5}
+    assert mf.partition_by == ["__dlf_bucket"]
+    out = silver(p2)
+    assert "__dlf_bucket" not in out.columns
+    assert out.count() == 20
+
+    # merge against the upgraded layout prunes to touched buckets
+    rows3 = [dict(rows_v1(20)[3], data="changed")]
+    write_slice(spark, md, "s3.parquet", rows3)
+    p3 = Processing(spark, md, 1, "s3.parquet", {"processing.time": T2})
+    assert p3._bucketed and p3.n_buckets == 5
+    p3.process("merge")
+    mf3 = p3.silver_table().latest_manifest()
+    assert len(mf3.segments[-1].partitions) == 1
+    assert silver(p3).where(F.col("data") == "changed").count() == 1
+
+    # "shrink": full overwrite with sizing back at default -> plain directory
+    write_slice(spark, md, "s4.parquet", rows_v1(20))
+    p4 = Processing(spark, md, 1, "s4.parquet", {"processing.time": "2026-04-01 00:00:00"})
+    p4.process("full")
+    assert p4.silver_table().latest_manifest().bucketing is None
+
+
+def test_set_layout_requires_force_on_committed_table(spark, tmp_path):
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "slt"), bucket_pk="pk", n_buckets=4)
+    df = spark.range(10).selectExpr("format_string('%04x', id) AS pk", "id AS v")
+    t.overwrite(df)
+    with pytest.raises(ValueError):
+        t.set_layout("pk", 8)
+    t.set_layout("pk", 8, force=True)  # caller promises a full rewrite
+    assert t.n_buckets == 8
 
 
 def test_duplicate_businesskey_raises(spark, lake_root, prefix):
@@ -502,7 +582,10 @@ def test_bucket_modulus_change_is_ignored(spark, lake_root, prefix):
     table and must still merge correctly."""
     md = make_metadata(lake_root, prefix)
     write_slice(spark, md, "s1.parquet", rows_v1(20))
-    p1 = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    p1 = Processing(
+        spark, md, 1, "s1.parquet",
+        {"processing.time": T0, "bucketing.rows_per_bucket": 0},
+    )
     p1.process("merge")
     assert p1.silver_table().latest_manifest().bucketing["n"] == 32
 
