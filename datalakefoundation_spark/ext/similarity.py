@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -74,33 +76,35 @@ def lsh_signature(
 ) -> DataFrame:
     """(id, __sig) with a num_planes-char sign signature per vector.
 
-    Each plane dot is ``aggregate(zip_with(v, plane, *), 0.0, +)`` over a
-    literal ±1 plane array — the same sequential-fold operation order as
-    DuckDB's ``list_dot_product`` (verified bit-identical for
-    ``cosine_similarity``), so near-zero dot signs agree across engines.
-    The per-plane trees are a few hundred Catalyst nodes each; spelling
-    the dots as inline per-element static sums instead (tried) builds a
-    ~100k-node expression that downstream Generate/aggregate optimizer
-    rules re-copy until the driver heap dies. Two projection steps keep
-    the concat over 32 CASEs out of the dot-product subtrees."""
-    # SQL-string lambdas: one JVM parse per projection instead of ~5 py4j
-    # round-trips per Python lambda (64+ lambdas otherwise dominate
-    # plan-build time). __v is projected first so the cast isn't inlined
-    # into all num_planes dot folds.
-    dot_exprs = [id_col]
-    for p, row in enumerate(hyperplane_signs(num_planes, dim)):
-        w = "array(" + ", ".join(f"{x:.1f}D" for x in row) + ")"
-        dot_exprs.append(
-            f"aggregate(zip_with(__v, {w}, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
-            f" AS __p{p}"
-        )
-    step1 = df.selectExpr(id_col, f"CAST({vec_col} AS ARRAY<DOUBLE>) AS __v").selectExpr(
-        *dot_exprs
-    )
-    chars = ", ".join(
-        f"CASE WHEN __p{p} >= 0 THEN '1' ELSE '0' END" for p in range(num_planes)
-    )
-    return step1.selectExpr(id_col, f"concat({chars}) AS __sig")
+    Arrow-batched pandas UDF: the whole batch's ``num_planes`` dots are
+    computed as ``dim`` vectorized accumulate steps in ascending dimension
+    order, so each (vector, plane) result performs EXACTLY the IEEE-754
+    op sequence ``(((0 + v0*w0) + v1*w1) + ...)`` — bit-identical to the
+    sequential folds of both Spark's ``aggregate(zip_with(...))`` and
+    DuckDB's ``list_dot_product`` (property-tested in
+    tests/test_ext_operators.py), so near-zero dot signs agree across
+    engines. A UDF is the right tool here, not a concession: Spark's
+    higher-order array functions are CodegenFallback (interpreted, ~1 ms
+    per vector at 32x64), while the numpy path is ~1 µs per vector and
+    scales to billions of rows as an embarrassingly-parallel map."""
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.array(hyperplane_signs(num_planes, dim), dtype=np.float64)  # (P, dim)
+
+    @pandas_udf("string")
+    def _sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        acc = np.zeros((M.shape[0], W.shape[0]), dtype=np.float64)
+        for i in range(W.shape[1]):
+            # separate multiply then add (numpy emits no FMA here): per
+            # (row, plane) the exact op order of the sequential fold
+            acc += M[:, i : i + 1] * W[:, i]
+        bits = np.where(acc >= 0, "1", "0")
+        return pd.Series(["".join(r) for r in bits])
+
+    return df.select(F.col(id_col), _sig(F.col(vec_col)).alias("__sig"))
 
 
 def lsh_band_keys(
@@ -319,32 +323,24 @@ def lsh_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .distinct()
     )
-    # Precompute each vector's norm once (candidate pair counts are O(n *
-    # bucket_load); recomputing sqrt(sum(x^2)) per pair tripled the
-    # interpreted-fold work). Same expression per vector -> identical
-    # doubles, so cosine stays bit-equal to the per-pair oracle form.
+    # Cosine via the Arrow-batched sequential-fold UDF: per-pair norm
+    # recompute is free once scoring is a vectorized numpy accumulate (the
+    # earlier precomputed-norm expression only existed to cut interpreted
+    # HOF work), and the op order stays identical to the per-pair oracle.
     v = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    vecs = df.select(F.col(id_col), v.alias("v"), norm.alias("nrm"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
+    vecs = df.select(F.col(id_col), v.alias("v"))
     scored = (
         pairs.join(
-            vecs.select(
-                F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
-            ),
+            vecs.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv")),
             "query_id",
         )
         .join(
-            vecs.select(
-                F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-            ),
+            vecs.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv")),
             "neighbor_id",
         )
         .select(
             "query_id", "neighbor_id",
-            (dot / (F.col("qn") * F.col("cn"))).alias("cosine"),
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -358,6 +358,37 @@ def test_dedup_clusters_planted(spark, docs):
     assert rows[0] == (0, True)
 
 
+def test_lsh_signature_bit_exact_vs_expression_fold(spark, embs):
+    """The Arrow-vectorized signature must reproduce the interpreted
+    sequential-fold expression bit for bit (same IEEE op order), else
+    near-zero dots could flip signs between Spark and the DuckDB oracle."""
+    from datalakefoundation_spark.ext.similarity import hyperplane_signs
+
+    num_planes, dim = 32, 64
+    dot_exprs = ["vec_id"]
+    for p, row in enumerate(hyperplane_signs(num_planes, dim)):
+        w = "array(" + ", ".join(f"{x:.1f}D" for x in row) + ")"
+        dot_exprs.append(
+            f"aggregate(zip_with(__v, {w}, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
+            f" AS __p{p}"
+        )
+    step1 = embs.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS __v").selectExpr(
+        *dot_exprs
+    )
+    chars = ", ".join(
+        f"CASE WHEN __p{p} >= 0 THEN '1' ELSE '0' END" for p in range(num_planes)
+    )
+    expected = {
+        r["vec_id"]: r["__sig"]
+        for r in step1.selectExpr("vec_id", f"concat({chars}) AS __sig").collect()
+    }
+    got = {
+        r["vec_id"]: r["__sig"]
+        for r in SIM.lsh_signature(embs, num_planes=num_planes, dim=dim).collect()
+    }
+    assert got == expected
+
+
 def test_embedding_near_dup_scale_path(spark, embs):
     """X5's documented scale story, executable: LSH-bucket candidates feed
     embedding_near_dup_pairs(candidates=...), the plan stays free of
