@@ -203,12 +203,23 @@ class LakeTable:
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         if self.bucket_pk and BUCKET_COL not in df.columns:
             df = df.withColumn(BUCKET_COL, bucket_expr(self.bucket_pk, self.n_buckets))
-            # cluster output files by bucket dir: without this every write
+            # Cluster output files by bucket dir: without this every write
             # task emits a file into every bucket dir (tasks x buckets small
-            # files); with it each task owns ~1 bucket
-            df = df.repartition(
-                min(self.n_buckets, self.spark.sparkContext.defaultParallelism), BUCKET_COL
-            )
+            # files). When there are fewer buckets than cores, clustering on
+            # the bucket alone would also CAP the write stage at n_buckets
+            # tasks — so each bucket is salted into ceil(cores/n_buckets)
+            # splits: write parallelism stays ~cores, files per bucket stay
+            # bounded at the split factor.
+            par = self.spark.sparkContext.defaultParallelism
+            split = max(1, -(-par // max(1, self.n_buckets)))  # ceil
+            if split > 1:
+                df = df.repartition(
+                    self.n_buckets * split,
+                    BUCKET_COL,
+                    F.pmod(F.hash(F.col(self.bucket_pk)), F.lit(split)),
+                )
+            else:
+                df = df.repartition(min(self.n_buckets, par), BUCKET_COL)
         return df
 
     # ------------------------------------------------------------ manifest io
