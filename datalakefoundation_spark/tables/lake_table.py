@@ -411,9 +411,15 @@ class LakeTable:
         two shuffles.
         """
         if self.bucket_pk:
-            # repartition on the bucket folds each bucket's accumulated
-            # small files into one
-            df = self.read(keep_bucket=True).repartition(
+            # Recompute the bucket column from the CURRENT layout instead of
+            # reusing the stored one: stored values are stale after
+            # set_layout(force=True), which makes optimize() the tool for
+            # re-bucketing a grown incremental table (full rewrite anyway).
+            # The repartition on the bucket folds each bucket's accumulated
+            # small files into one.
+            df = self.read().withColumn(
+                BUCKET_COL, bucket_expr(self.bucket_pk, self.n_buckets)
+            ).repartition(
                 min(self.n_buckets, self.spark.sparkContext.defaultParallelism),
                 BUCKET_COL,
             )

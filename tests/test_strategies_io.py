@@ -457,6 +457,30 @@ def test_set_layout_requires_force_on_committed_table(spark, tmp_path):
     assert t.n_buckets == 8
 
 
+def test_optimize_rebuckets_after_set_layout(spark, tmp_path):
+    """set_layout(force=True) + optimize() re-buckets an incremental table:
+    the stored bucket dirs must be recomputed under the NEW modulus, not
+    carried over stale (stale values would make later merges prune against
+    wrong dirs and lose rows)."""
+    from datalakefoundation_spark.tables.lake_table import (
+        BUCKET_COL,
+        LakeTable,
+        bucket_expr,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "rlo"), bucket_pk="pk", n_buckets=4)
+    df = spark.range(200).selectExpr("format_string('%04x', id) AS pk", "id AS v")
+    t.overwrite(df)
+    t.set_layout("pk", 8, force=True)
+    t.optimize()
+    mf = t.latest_manifest()
+    assert mf.bucketing == {"pk": "pk", "n": 8}
+    stored = LakeTable(spark, str(tmp_path / "rlo")).read(keep_bucket=True)
+    assert stored.where(F.col(BUCKET_COL) != bucket_expr("pk", 8)).count() == 0
+    assert stored.count() == 200
+    assert {r["v"] for r in stored.collect()} == set(range(200))
+
+
 def test_duplicate_businesskey_raises(spark, lake_root, prefix):
     md = make_metadata(lake_root, prefix)
     rows = rows_v1(5) + [dict(rows_v1(5)[0])]
