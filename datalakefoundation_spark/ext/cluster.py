@@ -95,15 +95,18 @@ def connected_components_star(
             .withColumn("cluster_id", F.col("node"))
         )
     converged = False
+    prev_count = edges.count()
     for _ in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # both sides are distinct canonical sets: equal counts + empty
-        # one-way difference <=> identical edge sets
-        if new_edges.count() == edges.count() and new_edges.subtract(edges).isEmpty():
+        # one-way difference <=> identical edge sets (count carried from the
+        # previous round — no rescan of the old set)
+        new_count = new_edges.count()
+        if new_count == prev_count and new_edges.subtract(edges).isEmpty():
             edges = new_edges
             converged = True
             break
-        edges = new_edges
+        edges, prev_count = new_edges, new_count
     if not converged:
         logger.warning(
             "connected_components_star did not converge in %d rounds; "
@@ -143,6 +146,8 @@ def connected_components(
     sensible when components are known to be shallow)."""
     if algorithm == "star":
         return connected_components_star(pairs, src_col, dst_col, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}: expected 'star' or 'label'")
     edges = (
         pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))

@@ -305,8 +305,18 @@ def _seq_cosine_udf():
 
 def cosine_similarity(vec_a: Column, vec_b: Column) -> Column:
     """Cosine between two fixed-dim vector columns — bit-identical to
-    DuckDB's ``list_dot_product``-based form (see _seq_cosine_udf)."""
-    return _seq_cosine_udf()(vec_a, vec_b)
+    DuckDB's ``list_dot_product``-based form (see _seq_cosine_udf).
+
+    Arrow's pandas conversion folds float64 NaN into NULL on the way back
+    from the UDF, but a zero-norm (or NaN-component) pair must surface as
+    NaN exactly like the expression fold and the DuckDB oracle do — Spark
+    sorts NaN greater than any double, so NaN-vs-NULL changes threshold
+    filters and top-k order. Restore it: NULL inputs stay NULL, a NULL
+    result from non-NULL inputs can only be a squashed NaN."""
+    raw = _seq_cosine_udf()(vec_a, vec_b)
+    return F.when(vec_a.isNull() | vec_b.isNull(), F.lit(None).cast("double")).otherwise(
+        F.coalesce(raw, F.lit(float("nan")))
+    )
 
 
 def embedding_near_dup_pairs(

@@ -93,16 +93,21 @@ def lsh_signature(
 
     @pandas_udf("string")
     def _sig(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        M = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        # NULL vector -> all-'0' signature, matching the expression form it
+        # replaced (CASE WHEN NULL >= 0 -> '0' per plane)
+        out = pd.Series(["0" * W.shape[0]] * len(v), dtype=object)
+        valid = v.notna()
+        if not valid.any():
+            return out
+        M = np.vstack(v[valid].to_numpy()).astype(np.float64)  # (n, dim)
         acc = np.zeros((M.shape[0], W.shape[0]), dtype=np.float64)
         for i in range(W.shape[1]):
             # separate multiply then add (numpy emits no FMA here): per
             # (row, plane) the exact op order of the sequential fold
             acc += M[:, i : i + 1] * W[:, i]
         bits = np.where(acc >= 0, "1", "0")
-        return pd.Series(["".join(r) for r in bits])
+        out[valid.to_numpy()] = ["".join(r) for r in bits]
+        return out
 
     return df.select(F.col(id_col), _sig(F.col(vec_col)).alias("__sig"))
 
@@ -127,6 +132,42 @@ def lsh_band_keys(
     return sig.selectExpr(id_col, f"array({keys}) AS bks")
 
 
+def _band_bucket_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int,
+    planes_per_band: int,
+    dim: int,
+    left: str,
+    right: str,
+    ordered: bool,
+) -> DataFrame:
+    """Shared candidate-pair expansion for the banded-LSH paths: explode the
+    band keys, groupBy(bucket) + in-bucket pair expansion (NOT a band
+    self-join — a self-join duplicates the signature subtree into both plan
+    branches and recomputes every plane sum per side; exchange reuse does
+    not fire across the explode). One shuffle on the band key, signatures
+    computed exactly once. ``ordered=True`` keeps each unordered pair once
+    (left < right); ``False`` keeps both directions (per-query candidate
+    lists)."""
+    with_keys = lsh_band_keys(
+        ensure_compute_parallelism(df), id_col, vec_col, bands, planes_per_band, dim
+    )
+    e = with_keys.select(F.col(id_col), F.explode("bks").alias("bk"))
+    buckets = (
+        e.groupBy("bk")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    expanded = (
+        buckets.select(F.explode("ids").alias(left), "ids")
+        .select(left, F.explode("ids").alias(right))
+    )
+    cond = F.col(left) < F.col(right) if ordered else F.col(left) != F.col(right)
+    return expanded.where(cond).distinct()
+
+
 def lsh_near_dup_candidates(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -141,20 +182,9 @@ def lsh_near_dup_candidates(
     band key and in-bucket pair expansion, never an all-pairs join. Recall
     tunes with ``bands`` (more bands = more chances to collide); precision
     is restored by the exact cosine filter downstream."""
-    with_keys = lsh_band_keys(
-        ensure_compute_parallelism(df), id_col, vec_col, bands, planes_per_band, dim
-    )
-    e = with_keys.select(F.col(id_col), F.explode("bks").alias("bk"))
-    buckets = (
-        e.groupBy("bk")
-        .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    return (
-        buckets.select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
-        .distinct()
+    return _band_bucket_pairs(
+        df, id_col, vec_col, bands, planes_per_band, dim,
+        left="id_a", right="id_b", ordered=True,
     )
 
 
@@ -301,27 +331,11 @@ def lsh_topk(
     """Approximate top-k via banded LSH: candidates are pairs sharing ANY
     band key (OR over bands boosts recall; each band's join shuffles on its
     own key, keyspace = bands * 2^planes_per_band). Signatures are computed
-    once; the pair set is deduped on ids before scoring so a pair colliding
-    in several bands is scored once."""
-    with_keys = lsh_band_keys(
-        ensure_compute_parallelism(df), id_col, vec_col, bands, planes_per_band, dim
-    )
-    e = with_keys.select(F.col(id_col), F.explode("bks").alias("bk"))
-    # groupBy(bucket) + in-bucket pair expansion instead of a band self-join:
-    # a self-join duplicates the signature subtree into both plan branches
-    # (exchange reuse does not fire across the explode), recomputing 32
-    # plane sums per side — the same lesson as the MinHash dedup path. One
-    # shuffle on the band key, signatures computed exactly once.
-    buckets = (
-        e.groupBy("bk")
-        .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    pairs = (
-        buckets.select(F.explode("ids").alias("query_id"), "ids")
-        .select("query_id", F.explode("ids").alias("neighbor_id"))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .distinct()
+    once (see _band_bucket_pairs); the pair set is deduped on ids before
+    scoring so a pair colliding in several bands is scored once."""
+    pairs = _band_bucket_pairs(
+        df, id_col, vec_col, bands, planes_per_band, dim,
+        left="query_id", right="neighbor_id", ordered=False,
     )
     # Cosine via the Arrow-batched sequential-fold UDF: per-pair norm
     # recompute is free once scoring is a vectorized numpy accumulate (the

@@ -230,30 +230,45 @@ class Processing:
         self._cached_source = df
         return df
 
-    def _resolve_layout(self, rows: int) -> None:
-        """Pick the bucket count for a table about to be created, from the
-        actual slice size: one bucket per ``bucketing.rows_per_bucket`` rows,
-        capped at ``bucketing.buckets``. Below ~2 buckets the layout degrades
-        to a plain directory — on a small table the per-merge bucket-dir
-        small-file tax costs more than touched-bucket copy-on-write saves.
-        The choice is recorded in the table manifest and sticky thereafter;
-        a later full overwrite of a grown table re-derives it (the overwrite
-        rebuilds every directory anyway)."""
-        n = (
-            min(self._bucket_cap, rows // self.rows_per_bucket)
-            if self.rows_per_bucket
-            else self._bucket_cap
-        )
+    def _derive_bucket_n(self, rows: int) -> int:
+        """Size-aware bucket count: one bucket per ``bucketing.rows_per_bucket``
+        rows, capped at ``bucketing.buckets``; <=1 means plain directory."""
+        if not self.rows_per_bucket:
+            return self._bucket_cap
+        return min(self._bucket_cap, rows // self.rows_per_bucket)
+
+    def _apply_layout(self, rows: int) -> None:
+        """Apply the size-derived layout to the silver table (shared by
+        create-time resolution and full-overwrite re-derivation, so the two
+        moments can never disagree for the same row count)."""
+        n = self._derive_bucket_n(rows)
         if n <= 1:
             self._bucketed = False
             self.silver_table().set_layout(None, 0, force=True)
             logger.info(
-                "entity %s: %d rows < 2x rows_per_bucket (%d) — creating "
-                "unbucketed layout", self.entity.destination, rows, self.rows_per_bucket,
+                "entity %s: %d rows below bucketing threshold (rows_per_bucket=%d)"
+                " — plain-directory layout", self.entity.destination, rows,
+                self.rows_per_bucket,
             )
         else:
+            self._bucketed = True
             self.n_buckets = int(n)
             self.silver_table().set_layout(self.pk_name, self.n_buckets, force=True)
+
+    def _resolve_layout(self, rows: int) -> None:
+        """Pick the layout for a table about to be created from the actual
+        slice size. Below ~2 buckets the layout degrades to a plain
+        directory — on a small table the per-merge bucket-dir small-file tax
+        costs more than touched-bucket copy-on-write saves. The choice is
+        recorded in the table manifest and sticky thereafter; a later full
+        overwrite of a grown table re-derives it (the overwrite rebuilds
+        every directory anyway).
+
+        An EMPTY first slice carries zero size information — honor the
+        configured cap instead of pinning the table to a plain directory a
+        merge-only entity could never escape (merges never re-derive)."""
+        if rows > 0:
+            self._apply_layout(rows)
         self._layout_pending = False
 
     # ------------------------------------------------------------ watermark
@@ -446,19 +461,9 @@ class Processing:
             and self.entity.businesskeys
             and table.exists()
             and self._bucket_cap > 0
+            and n > 0  # empty slice says nothing about the table's future size
         ):
-            new_n = (
-                min(self._bucket_cap, n // self.rows_per_bucket)
-                if self.rows_per_bucket
-                else self._bucket_cap
-            )
-            if new_n <= 1:
-                self._bucketed = False
-                table.set_layout(None, 0, force=True)
-            else:
-                self._bucketed = True
-                self.n_buckets = int(new_n)
-                table.set_layout(self.pk_name, self.n_buckets, force=True)
+            self._apply_layout(n)
         table.overwrite(
             source,
             dynamic=table.exists() and bool(self.entity.partition_columns),

@@ -48,8 +48,8 @@ def extra_queries() -> dict[str, tuple[QueryFn, str | None]]:
 
     Their operators are covered in the registry by consolidated queries
     (see ``core_queries.EXTRA``); these remain runnable for the benchmark
-    and the local parity gate (tests/test_oracle_parity.py,
-    tools/check_oracle.py --extra)."""
+    and the local parity gates (tests/test_oracle_parity.py and
+    tools/check_oracle.py, both of which include them unconditionally)."""
     from datalakefoundation_spark.verification import core_queries
 
     merged: dict[str, tuple[QueryFn, str | None]] = dict(core_queries.EXTRA)

@@ -389,6 +389,43 @@ def test_lsh_signature_bit_exact_vs_expression_fold(spark, embs):
     assert got == expected
 
 
+def test_cosine_and_signature_null_nan_semantics(spark):
+    """NULL vectors: signature degrades to all-'0' (expression-form parity),
+    cosine stays NULL. Zero-norm vectors: cosine is NaN, not NULL — Spark
+    sorts NaN above every double, so NaN-vs-NULL changes thresholds and
+    top-k order (Arrow squashes NaN to NULL; the wrapper restores it)."""
+    import math
+
+    from datalakefoundation_spark.ext.dedup import cosine_similarity
+    from datalakefoundation_spark.ext.similarity import lsh_signature
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0] * 8, [1.0] * 8),
+            (2, None, [1.0] * 8),
+            (3, [0.0] * 8, [1.0] * 8),  # zero norm -> 0/0 -> NaN
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {
+        r["id"]: r["c"]
+        for r in df.select("id", cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()
+    }
+    assert rows[1] == pytest.approx(1.0)
+    assert rows[2] is None
+    assert math.isnan(rows[3])
+
+    sigs = {
+        r["id"]: r["__sig"]
+        for r in lsh_signature(
+            df.select("id", F.col("a").alias("embedding")),
+            id_col="id", num_planes=8, dim=8,
+        ).collect()
+    }
+    assert sigs[2] == "0" * 8  # NULL vector -> all-zeros signature, no crash
+    assert set(sigs[1]) <= {"0", "1"} and len(sigs[1]) == 8
+
+
 def test_embedding_near_dup_scale_path(spark, embs):
     """X5's documented scale story, executable: LSH-bucket candidates feed
     embedding_near_dup_pairs(candidates=...), the plan stays free of
