@@ -434,6 +434,25 @@ class Processing:
             "auto-optimize %s: %d segments > %s", self.entity.destination,
             len(mf.segments), threshold,
         )
+        # The compaction rewrites every directory anyway, so it is also the
+        # moment a merge-only entity's layout catches up with its actual
+        # size (full overwrites re-derive in _process_full; merges never
+        # do). One count() against the table is trivial next to the rewrite,
+        # and optimize() recomputes bucket ids from the new layout.
+        if not self.entity.partition_columns and self.entity.businesskeys and self._bucket_cap > 0:
+            total_rows = table.read().count()
+            if total_rows > 0:
+                n = self._derive_bucket_n(total_rows)
+                new_layout = (self.pk_name, int(n)) if n > 1 else (None, 0)
+                if new_layout != (table.bucket_pk, table.n_buckets if table.bucket_pk else 0):
+                    logger.info(
+                        "auto-optimize %s: re-deriving layout for %d rows -> %s",
+                        self.entity.destination, total_rows, new_layout,
+                    )
+                    table.set_layout(*new_layout, force=True)
+                    self._bucketed = new_layout[0] is not None
+                    if self._bucketed:
+                        self.n_buckets = new_layout[1]
         table.optimize(cluster_by=cluster)
         table.vacuum()
 
@@ -467,7 +486,10 @@ class Processing:
         table.overwrite(
             source,
             dynamic=table.exists() and bool(self.entity.partition_columns),
-            metrics={"records_in_slice": n},
+            # total_rows feeds the merge-path layout catch-up (an
+            # unpartitioned full load IS the whole table)
+            metrics={"records_in_slice": n}
+            | ({} if self.entity.partition_columns else {"total_rows": n}),
         )
         return ProcessingSummary(
             entity_id=self.entity.id,
@@ -481,10 +503,33 @@ class Processing:
     def _merge_like(self, historic: bool) -> ProcessingSummary:
         source = self.get_source(historic=historic)
         table = self.silver_table()
+        mf = table.latest_manifest()
+        # Layout catch-up for merge-only entities: a table created small
+        # (plain directory) whose wholesale-rewrite merges have recorded a
+        # grown total_rows upgrades to a bucketed layout NOW — this merge
+        # rewrites every directory anyway, and merges would otherwise never
+        # re-derive (full overwrites do it in _process_full).
+        if (
+            not self._bucketed
+            and not self.entity.partition_columns
+            and self.entity.businesskeys
+            and self._bucket_cap > 0
+            and mf is not None
+        ):
+            known_rows = int(mf.metrics.get("total_rows", 0) or 0)
+            n = self._derive_bucket_n(known_rows)
+            if n > 1:
+                logger.info(
+                    "entity %s: %d rows recorded — upgrading to %d-bucket "
+                    "layout during this rewrite", self.entity.destination,
+                    known_rows, n,
+                )
+                self.n_buckets = int(n)
+                self._bucketed = True
+                table.set_layout(self.pk_name, self.n_buckets, force=True)
         # Bucket-level CoW only applies when every live segment declares its
         # buckets (a table created before bucketing was enabled has a
         # None-partitioned segment and must be rewritten wholesale once).
-        mf = table.latest_manifest()
         bucketed = (
             self._bucketed
             and mf is not None
@@ -567,6 +612,10 @@ class Processing:
                 F.sum((F.col("__action") == a).cast("long")).alias(a)
                 for a in action_names
             ],
+            # rows actually landing in the table — recorded into wholesale
+            # commits so the next merge can size the bucket layout without
+            # an extra count job
+            F.sum((F.col("__action") != "skip_delete").cast("long")).alias("__total_rows"),
         )
         # skip_delete rows (source deleted=true matching no target row) exist
         # only so the observe can count them like the reference does
@@ -582,7 +631,11 @@ class Processing:
                 operation=op,
             )
         else:
-            table.overwrite(final)
+            table.overwrite(
+                final,
+                operation=op,
+                metrics_fn=lambda: {"total_rows": int(obs.get.get("__total_rows") or 0)},
+            )
         counts = {k: (v or 0) for k, v in obs.get.items()}
         # records_in_slice is fully determined by the action counts —
         # no extra count() job over the source.

@@ -351,11 +351,18 @@ class LakeTable:
         dynamic: bool = False,
         metrics: dict | None = None,
         operation: str | None = None,
+        metrics_fn=None,
     ) -> None:
         """Full overwrite, or dynamic partition overwrite (only partitions
-        present in df are replaced — Full.scala:38-50)."""
+        present in df are replaced — Full.scala:38-50).
+
+        ``metrics_fn`` (no-arg callable) is evaluated AFTER the write action
+        and merged into the commit metrics — the hook for observation-based
+        counts (e.g. total_rows) that only exist once the job has run."""
         mf = self.latest_manifest()
         seg_rel = self._write_segment(df)
+        if metrics_fn is not None:
+            metrics = {**(metrics or {}), **metrics_fn()}
         next_v = (mf.version + 1) if mf else 0
         if not dynamic or not self.partition_by or mf is None:
             segments = [Segment(seg_rel, None if not self.partition_by else self._read_segment_partitions(seg_rel))]

@@ -481,6 +481,51 @@ def test_optimize_rebuckets_after_set_layout(spark, tmp_path):
     assert {r["v"] for r in stored.collect()} == set(range(200))
 
 
+def test_merge_rederives_layout_once_table_grows(spark, lake_root, prefix):
+    """A merge-only entity created small (plain directory) upgrades to a
+    bucketed layout once its recorded total_rows crosses the threshold —
+    the wholesale-rewrite merge rebuilds every directory anyway, so it is
+    the catch-up moment (full overwrites re-derive separately)."""
+    md = make_metadata(lake_root, prefix)
+    opts = {"bucketing.rows_per_bucket": 10}
+    write_slice(spark, md, "s1.parquet", rows_v1(5))
+    p1 = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0, **opts})
+    p1.process("merge")  # first run -> divert to full, 5 rows -> unbucketed
+    mf0 = p1.silver_table().latest_manifest()
+    assert mf0.bucketing is None
+    assert mf0.metrics["total_rows"] == 5
+
+    times = ["2026-02-01 00:00:00", "2026-03-01 00:00:00", "2026-04-01 00:00:00"]
+    for i, t in enumerate(times):
+        lo = 5 + i * 20
+        rows = [
+            {"ID": k, "SeqNr": k, "name": f"n{k}", "data": f"d{k}"}
+            for k in range(lo, lo + 20)
+        ]
+        write_slice(spark, md, f"g{i}.parquet", rows)
+        p = Processing(spark, md, 1, f"g{i}.parquet", {"processing.time": t, **opts})
+        p.process("merge")
+
+    table = p.silver_table()
+    mf = table.latest_manifest()
+    # growth: 5 -> 25 (wholesale, records total) -> upgrade to 25//10 = 2
+    # buckets during the next wholesale rewrite; sticky thereafter
+    assert mf.bucketing == {"pk": p.pk_name, "n": 2}
+    out = table.read()
+    assert out.count() == 65
+    assert "__dlf_bucket" not in out.columns
+    assert {r["ID"] for r in out.collect()} == set(range(65))
+
+    # the NEXT merge prunes against the upgraded bucketed layout
+    write_slice(spark, md, "u1.parquet", [dict(rows_v1(5)[2], data="changed")])
+    pn = Processing(spark, md, 1, "u1.parquet", {"processing.time": "2026-05-01 00:00:00", **opts})
+    assert pn._bucketed and pn.n_buckets == 2
+    pn.process("merge")
+    mf2 = pn.silver_table().latest_manifest()
+    assert len(mf2.segments[-1].partitions) == 1  # one touched bucket rewritten
+    assert pn.silver_table().read().where(F.col("data") == "changed").count() == 1
+
+
 def test_duplicate_businesskey_raises(spark, lake_root, prefix):
     md = make_metadata(lake_root, prefix)
     rows = rows_v1(5) + [dict(rows_v1(5)[0])]
