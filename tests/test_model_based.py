@@ -1,0 +1,192 @@
+"""Model-based merge test: random slice sequences vs a dict reference model.
+
+The example-based tests pin individual clauses (J1-J5); this drives the
+WHOLE merge strategy with seeded-random multi-slice histories and checks the
+final table against an independent Python simulation of the reference
+semantics (Merge.scala:96-125 clause order: source-deleted -> hash-differs
+-> touch; unmatched non-deleted inserts; unmatched deleted skipped).
+Catches interaction bugs no hand-written example covers (revive-after-
+soft-delete, delete-then-reinsert, repeated touches, hash covering the
+deleted flag)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakefoundation_spark.processing import Processing
+from tests.helpers import make_metadata, write_slice
+
+TIMES = [
+    "2026-01-01 00:00:00",
+    "2026-02-01 00:00:00",
+    "2026-03-01 00:00:00",
+    "2026-04-01 00:00:00",
+    "2026-05-01 00:00:00",
+]
+VALUE_COLS = ("SeqNr", "name", "data")
+
+
+def _gen_history(seed: int) -> list[list[dict]]:
+    rng = random.Random(seed)
+    slices = []
+    for i, _t in enumerate(TIMES):
+        ids = rng.sample(range(26), rng.randint(8, 15))
+        rows = []
+        for id_ in sorted(ids):
+            rows.append(
+                {
+                    "ID": id_,
+                    "SeqNr": i * 100 + rng.randint(0, 3),
+                    "name": f"n{rng.randint(0, 4)}",
+                    "data": f"d{rng.randint(0, 4)}",
+                    # first slice runs as a full load: keep it clean of
+                    # deleted flags so the model's starting state is simple
+                    "deleted": bool(i > 0 and rng.random() < 0.2),
+                }
+            )
+        slices.append(rows)
+    return slices
+
+
+def _model(slices: list[list[dict]]) -> dict[int, dict]:
+    """Reference simulation. Table: ID -> {values..., deleted, lastSeen}."""
+    table: dict[int, dict] = {}
+    for i, rows in enumerate(slices):
+        t = TIMES[i]
+        for r in rows:
+            vals = {c: r[c] for c in VALUE_COLS}
+            if i == 0:
+                # full load: slice lands as-is
+                table[r["ID"]] = {**vals, "deleted": r["deleted"], "lastSeen": t}
+                continue
+            cur = table.get(r["ID"])
+            if cur is None:
+                if not r["deleted"]:
+                    table[r["ID"]] = {**vals, "deleted": False, "lastSeen": t}
+                continue  # unmatched deleted source row: skipped
+            if r["deleted"]:
+                # J2: flip the flag, touch lastSeen, keep target values
+                cur["deleted"] = True
+                cur["lastSeen"] = t
+            elif any(cur[c] != vals[c] for c in VALUE_COLS) or cur["deleted"]:
+                # J3: SourceHash covers value columns AND the deleted flag,
+                # so a revive (same values, deleted flipping true->false)
+                # hash-differs and updates all
+                table[r["ID"]] = {**vals, "deleted": False, "lastSeen": t}
+            else:
+                cur["lastSeen"] = t  # J4 touch
+    return table
+
+
+def _scd2_model(slices: list[list[dict]], sentinel: str) -> dict[tuple, dict]:
+    """SCD2 simulation (Historic.scala J6/J8): version chains keyed by
+    (ID, ValidFrom). First slice = full historic load."""
+    versions: dict[int, list[dict]] = {}
+    for i, rows in enumerate(slices):
+        t = TIMES[i]
+        for r in rows:
+            vals = {c: r[c] for c in VALUE_COLS}
+            chain = versions.setdefault(r["ID"], [])
+            cur = next((v for v in chain if v["IsCurrent"]), None)
+            if cur is None:
+                chain.append(
+                    {**vals, "ValidFrom": t, "ValidTo": sentinel, "IsCurrent": True}
+                )
+            elif any(cur[c] != vals[c] for c in VALUE_COLS):
+                cur["ValidTo"] = t
+                cur["IsCurrent"] = False
+                chain.append(
+                    {**vals, "ValidFrom": t, "ValidTo": sentinel, "IsCurrent": True}
+                )
+            # else: hash-equal -> unchanged, no new version
+    return {
+        (id_, v["ValidFrom"]): v for id_, chain in versions.items() for v in chain
+    }
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_scd2_history_matches_reference_model(spark, lake_root, prefix, seed):
+    from datalakefoundation_spark import pipeline as P
+
+    md = make_metadata(lake_root, prefix, processtype="historic")
+    # no deleted flags: canonical SCD2 upsert histories
+    slices = [
+        [{k: v for k, v in r.items() if k != "deleted"} for r in rows]
+        for rows in _gen_history(seed)
+    ]
+    p = None
+    for i, rows in enumerate(slices):
+        write_slice(spark, md, f"s{i}.parquet", rows)
+        p = Processing(spark, md, 1, f"s{i}.parquet", {"processing.time": TIMES[i]})
+        p.process("historic")
+
+    sentinel = P.VALID_TO_SENTINEL
+    expected = _scd2_model(slices, sentinel)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    got = {
+        (r["ID"], r["ValidFrom"]): r
+        for r in p.silver_table().read().select(
+            "ID", *VALUE_COLS,
+            F.date_format(f"{prefix}ValidFrom", fmt).alias("ValidFrom"),
+            F.date_format(f"{prefix}ValidTo", fmt).alias("ValidTo"),
+            F.col(f"{prefix}IsCurrent").alias("IsCurrent"),
+        ).collect()
+    }
+    assert set(got) == set(expected), (
+        f"seed {seed}: version-set mismatch {sorted(set(got) ^ set(expected))}"
+    )
+    for key, exp in expected.items():
+        row = got[key]
+        actual = {
+            **{c: row[c] for c in VALUE_COLS},
+            "ValidFrom": row["ValidFrom"],
+            "ValidTo": row["ValidTo"],
+            "IsCurrent": row["IsCurrent"],
+        }
+        assert actual == exp, f"seed {seed}, version {key}: {actual} != {exp}"
+    # invariant: exactly one current version per live key
+    per_key = {}
+    for (id_, _vf), r in got.items():
+        per_key[id_] = per_key.get(id_, 0) + (1 if r["IsCurrent"] else 0)
+    assert all(n == 1 for n in per_key.values())
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_merge_history_matches_reference_model(spark, lake_root, prefix, seed):
+    md = make_metadata(lake_root, prefix)
+    slices = _gen_history(seed)
+    p = None
+    for i, rows in enumerate(slices):
+        out_rows = []
+        for r in rows:
+            row = {k: v for k, v in r.items() if k != "deleted"}
+            if i > 0:
+                row[f"{prefix}deleted"] = r["deleted"]
+            out_rows.append(row)
+        write_slice(spark, md, f"s{i}.parquet", out_rows)
+        p = Processing(spark, md, 1, f"s{i}.parquet", {"processing.time": TIMES[i]})
+        p.process("merge")
+
+    expected = _model(slices)
+    got = {
+        r["ID"]: r
+        for r in p.silver_table().read().select(
+            "ID", *VALUE_COLS,
+            F.col(f"{prefix}deleted").alias("deleted"),
+            F.date_format(f"{prefix}lastSeen", "yyyy-MM-dd HH:mm:ss").alias("lastSeen"),
+        ).collect()
+    }
+    assert set(got) == set(expected), (
+        f"seed {seed}: row-set mismatch {sorted(set(got) ^ set(expected))}"
+    )
+    for id_, exp in expected.items():
+        row = got[id_]
+        actual = {
+            **{c: row[c] for c in VALUE_COLS},
+            "deleted": row["deleted"],
+            "lastSeen": row["lastSeen"],
+        }
+        assert actual == exp, f"seed {seed}, ID {id_}: {actual} != {exp}"
