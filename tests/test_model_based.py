@@ -81,6 +81,103 @@ def _model(slices: list[list[dict]]) -> dict[int, dict]:
     return table
 
 
+def _gen_overlapping_history(seed: int) -> list[list[dict]]:
+    """Like _gen_history but with SeqNr drawn from one shared range, so
+    watermark windows [prev_max, cur_max] genuinely overlap target rows and
+    delete inference has something to bite on."""
+    rng = random.Random(seed)
+    slices = []
+    for i, _t in enumerate(TIMES):
+        ids = rng.sample(range(26), rng.randint(8, 15))
+        slices.append(
+            [
+                {
+                    "ID": id_,
+                    "SeqNr": rng.randint(0, 40),
+                    "name": f"n{rng.randint(0, 4)}",
+                    "data": f"d{rng.randint(0, 4)}",
+                    "deleted": False,
+                }
+                for id_ in sorted(ids)
+            ]
+        )
+    return slices
+
+
+def _merge_model_with_inference(slices: list[list[dict]]) -> dict[int, dict]:
+    """Merge model plus J5 delete inference: after each incremental run,
+    target rows absent from the slice, not already deleted, with SeqNr
+    inside the inclusive [previous_bookmark, current_max] window flip to
+    deleted (values kept, lastSeen touched). The bookmark is the PREVIOUS
+    slice's max SeqNr (the store keeps the latest written value)."""
+    table: dict[int, dict] = {}
+    stored_wm: int | None = None
+    for i, rows in enumerate(slices):
+        t = TIMES[i]
+        cur_wm = max(r["SeqNr"] for r in rows)
+        slice_ids = {r["ID"] for r in rows}
+        for r in rows:
+            vals = {c: r[c] for c in VALUE_COLS}
+            if i == 0:
+                table[r["ID"]] = {**vals, "deleted": False, "lastSeen": t}
+                continue
+            cur = table.get(r["ID"])
+            if cur is None:
+                table[r["ID"]] = {**vals, "deleted": False, "lastSeen": t}
+            elif any(cur[c] != vals[c] for c in VALUE_COLS) or cur["deleted"]:
+                table[r["ID"]] = {**vals, "deleted": False, "lastSeen": t}
+            else:
+                cur["lastSeen"] = t
+        if i > 0 and stored_wm is not None:
+            for id_, cur in table.items():
+                if (
+                    id_ not in slice_ids
+                    and not cur["deleted"]
+                    and stored_wm <= cur["SeqNr"] <= cur_wm
+                ):
+                    cur["deleted"] = True
+                    cur["lastSeen"] = t
+        stored_wm = cur_wm
+    return table
+
+
+# seeds chosen so the model infers >=2 deletions (non-vacuous windows)
+@pytest.mark.parametrize("seed", [1, 28, 32])
+def test_merge_delete_inference_matches_reference_model(spark, lake_root, prefix, seed):
+    md = make_metadata(lake_root, prefix, delete_missing=True)
+    slices = _gen_overlapping_history(seed)
+    p = None
+    for i, rows in enumerate(slices):
+        write_slice(
+            spark, md, f"s{i}.parquet",
+            [{k: v for k, v in r.items() if k != "deleted"} for r in rows],
+        )
+        p = Processing(spark, md, 1, f"s{i}.parquet", {"processing.time": TIMES[i]})
+        p.process("merge")
+
+    expected = _merge_model_with_inference(slices)
+    got = {
+        r["ID"]: r
+        for r in p.silver_table().read().select(
+            "ID", *VALUE_COLS,
+            F.col(f"{prefix}deleted").alias("deleted"),
+            F.date_format(f"{prefix}lastSeen", "yyyy-MM-dd HH:mm:ss").alias("lastSeen"),
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for id_, exp in expected.items():
+        row = got[id_]
+        actual = {
+            **{c: row[c] for c in VALUE_COLS},
+            "deleted": row["deleted"],
+            "lastSeen": row["lastSeen"],
+        }
+        assert actual == exp, f"seed {seed}, ID {id_}: {actual} != {exp}"
+    # the windows must actually have inferred something across the history,
+    # or this test is vacuous — true for these seeds by construction
+    assert any(v["deleted"] for v in expected.values()), f"seed {seed} vacuous"
+
+
 def _scd2_model(slices: list[list[dict]], sentinel: str) -> dict[tuple, dict]:
     """SCD2 simulation (Historic.scala J6/J8): version chains keyed by
     (ID, ValidFrom). First slice = full historic load."""
