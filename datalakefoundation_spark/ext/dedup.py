@@ -11,7 +11,7 @@ Scale design (100 TB corpus):
 * n-gram Jaccard— exact verification for candidate pairs (bounded join).
 * embedding     — cosine over a bounded candidate set; the all-pairs form is
                   for verification at small SF, the scale path goes through
-                  similarity.lsh_bucket prefiltering.
+                  similarity.lsh_near_dup_candidates prefiltering.
 
 Text/hash expressions are JVM higher-order functions (transform / aggregate /
 array_min). Embedding cosine is the one deliberate Arrow-batched pandas UDF:
@@ -328,7 +328,8 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs with cosine >= threshold. Without ``candidates`` this is the
     all-pairs verification form (small SF only); at scale pass the LSH-bucket
-    candidate pairs from similarity.lsh_bucket so the join is bounded."""
+    candidate pairs from similarity.lsh_near_dup_candidates so the join is
+    bounded."""
     v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))

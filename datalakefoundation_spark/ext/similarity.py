@@ -52,21 +52,6 @@ def hyperplane_signs(num_planes: int = 8, dim: int = 64) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec_col: Column, num_planes: int = 8, dim: int = 64) -> Column:
-    """num_planes-char '0'/'1' bucket key: sign of <v, plane_p> per plane.
-    Column-expression form for small plane counts; the banded path uses
-    ``lsh_signature`` (SQL-string build) which scales to 32+ planes."""
-    v = vec_col.cast("array<double>")
-    chars = []
-    for row in hyperplane_signs(num_planes, dim):
-        w = F.array(*[F.lit(x) for x in row])
-        dot = F.aggregate(
-            F.zip_with(v, w, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-        )
-        chars.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*chars)
-
-
 def lsh_signature(
     df: DataFrame,
     id_col: str = "vec_id",
