@@ -170,3 +170,65 @@ def test_stream_merge_to_silver_upserts(spark, tmp_path):
     assert out.count() == 9
     by_id = {r["ID"]: r["data"] for r in out.collect()}
     assert by_id[2] == 1.0 and by_id[3] == 9.0 and by_id[8] == 9.0
+
+
+def test_sessionize_stream_matches_batch_model(spark, tmp_path):
+    """Equivalence: the stateful streaming sessionizer must produce exactly
+    the session boundaries a batch gap-split over the same events produces
+    — closed sessions where later activity exists, one open tail session
+    per user. Randomized (seeded) event history across 3 users."""
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    eid = 0
+    for user in (1, 2, 3):
+        t = dt.datetime(2026, 8, 1, 8, 0, 0)
+        for _ in range(rng.randint(15, 25)):
+            # gaps: mostly short (same session), sometimes >30min (split)
+            gap_min = rng.choice([1, 2, 5, 8, 40, 95])
+            t = t + dt.timedelta(minutes=gap_min, seconds=rng.randint(0, 59))
+            rows.append((eid, t, user, "click", 1.0))
+            eid += 1
+
+    # batch reference model: sort per user, split on >30min inactivity
+    expected = set()
+    by_user = {}
+    for _eid, t, user, _et, _v in rows:
+        by_user.setdefault(user, []).append(t)
+    for user, times in by_user.items():
+        times.sort()
+        start, last, n = times[0], times[0], 1
+        for t in times[1:]:
+            if t - last > dt.timedelta(minutes=30):
+                expected.add((user, start, last, n, True))
+                start, n = t, 0
+            n += 1
+            last = t
+        expected.add((user, start, last, n, False))  # open tail session
+
+    src = str(tmp_path / "events_eq")
+    _write_events(spark, src, rows)
+    q = (
+        sessionize(read_event_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("sessions_eq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM sessions_eq").collect()
+    # a session re-emitted across micro-batches only ever grows: keep the
+    # final emission per (user, start) — closed wins, else max n_events
+    final = {}
+    for r in emitted:
+        key = (r["user_id"], r["session_start"])
+        cur = final.get(key)
+        if cur is None or (r["closed"], r["n_events"]) > (cur["closed"], cur["n_events"]):
+            final[key] = r
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["closed"])
+        for r in final.values()
+    }
+    assert got == expected
