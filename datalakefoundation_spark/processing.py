@@ -27,11 +27,17 @@ from datalakefoundation_spark.core.normalize import schema_compare
 from datalakefoundation_spark.log import DatalakeLogManager
 from datalakefoundation_spark.logging_ import ProcessingSummary
 from datalakefoundation_spark.metadata.models import Entity, Metadata
-from datalakefoundation_spark.tables.lake_table import BUCKET_COL, LakeTable, bucket_expr
+from datalakefoundation_spark.tables.lake_table import (
+    BUCKET_COL,
+    LakeTable,
+    bucket_expr,
+    segment_may_match,
+)
 from datalakefoundation_spark.watermark import (
     WatermarkStore,
     build_watermark_values,
     build_window_condition,
+    build_window_spec,
 )
 
 logger = logging.getLogger(__name__)
@@ -318,6 +324,22 @@ class Processing:
                 pcond = pcond | c
         return cond if pcond is None else (cond & pcond)
 
+    def delete_window_spec(self, target: DataFrame | None = None):
+        """Interval form of ``delete_window`` for segment-stats data skipping
+        (same schema/field filtering, see watermark.build_window_spec).
+        Returns None exactly when ``delete_window``'s core condition would."""
+        src = self.get_source()
+        fields = list(src.schema.fields)
+        if target is not None:
+            tcols = set(target.columns)
+            fields = [f for f in fields if f.name in tcols]
+        return build_window_spec(
+            type(src.schema)(fields),
+            self.entity.watermarks,
+            self.previous_watermarks(),
+            self.current_watermarks(),
+        )
+
     # ------------------------------------------------------------ silver table
     def silver_table(self) -> LakeTable:
         # memoized: each construction costs a control-plane manifest read
@@ -340,6 +362,12 @@ class Processing:
             # the engine sizes bucket layout adaptively, so a stored layout
             # differing from the configured cap is expected, not a misconfig
             warn_on_layout_mismatch=False,
+            # per-segment min/max stats for the entity's watermark +
+            # businesskey columns — recorded free (df.observe during the
+            # write) and used to skip segments that can't intersect a
+            # delete-inference window (Delta file-skipping parity)
+            stats_columns=[w.column_name for w in self.entity.watermarks]
+            + list(self.entity.businesskeys or []),
         )
         return self._silver_table
 
@@ -547,9 +575,48 @@ class Processing:
         window = (
             self.delete_window(target=target_probe) if self.delete_missing else None
         )
+        bucket_values = list(self._bucket_values)
         if bucketed and window is not None:
-            bucketed = False
-            target = table.read(keep_bucket=False)
+            # Delete inference needs every target row that can fall inside
+            # the watermark window (a slice-missing row can live in any
+            # bucket). Per-segment min/max stats prove most segments can't
+            # intersect the window, so the read/rewrite set is: slice
+            # buckets + every bucket owned by a window-intersecting segment
+            # (Delta file-skipping parity for whenNotMatchedBySource; the
+            # old behavior was a full-table rewrite). Rows in those buckets
+            # are read from ALL segments — replacement stays at bucket-value
+            # granularity, so no segment's rows can be dropped. Segments
+            # without recorded stats are conservatively window-intersecting.
+            spec = self.delete_window_spec(target=target_probe)
+            window_buckets: set[int] = set()
+            prunable = spec is not None
+            if prunable:
+                for seg in mf.segments:
+                    if not segment_may_match(seg.stats, spec):
+                        continue
+                    for pv in seg.partitions or []:
+                        b = pv.get(BUCKET_COL)
+                        if b is None:  # foreign layout — bail to full read
+                            prunable = False
+                            break
+                        window_buckets.add(int(b))
+                    if not prunable:
+                        break
+            if prunable:
+                all_owned = {
+                    int(pv[BUCKET_COL])
+                    for seg in mf.segments
+                    for pv in (seg.partitions or [])
+                }
+                bucket_values = sorted(set(bucket_values) | window_buckets)
+                logger.info(
+                    "delete-inference stats pruning for %s: reading %d/%d buckets",
+                    self.entity.destination, len(bucket_values), len(all_owned),
+                )
+                target = target_probe
+            else:
+                bucketed = False
+                target = table.read(keep_bucket=False)
         else:
             target = target_probe
         if bucketed and BUCKET_COL not in target.columns:
@@ -580,7 +647,7 @@ class Processing:
             target_pruned = target.where(table._partition_filter(pvs))
         elif bucketed:
             target_pruned = target.where(
-                F.col(BUCKET_COL).isin(self._bucket_values)
+                F.col(BUCKET_COL).isin(bucket_values)
             ).drop(BUCKET_COL)
         else:
             target_pruned = target
@@ -627,7 +694,7 @@ class Processing:
         elif bucketed:
             table.replace_partitions(
                 final,
-                [{BUCKET_COL: str(b)} for b in self._bucket_values],
+                [{BUCKET_COL: str(b)} for b in bucket_values],
                 operation=op,
             )
         else:

@@ -56,6 +56,16 @@ class Segment:
     # None => owns the whole (unpartitioned) table.
     # Otherwise: list of partition-value dicts {col: string_value}.
     partitions: list[dict[str, str]] | None = None
+    # Per-column min/max recorded at write time (the Delta file-statistics
+    # analog at segment granularity): {col: {"min": v, "max": v, "t": kind}}
+    # where kind is "num" (compare as float) or "str" (ISO timestamps/dates/
+    # strings — lexicographic compare is order-correct for the fixed-width
+    # ISO encodings the engine writes). A column entry with min=max=None
+    # means the column was recorded and is all-NULL in the segment (no row
+    # can satisfy a range predicate on it). None/missing => unknown, never
+    # prunable. Collected via df.observe DURING the write action — zero
+    # extra scan.
+    stats: dict[str, dict] | None = None
 
 
 @dataclass
@@ -78,7 +88,8 @@ class Manifest:
                 "version": self.version,
                 "partition_by": self.partition_by,
                 "segments": [
-                    {"dir": s.dir, "partitions": s.partitions} for s in self.segments
+                    {"dir": s.dir, "partitions": s.partitions, "stats": s.stats}
+                    for s in self.segments
                 ],
                 "operation": self.operation,
                 "timestamp": self.timestamp,
@@ -95,7 +106,7 @@ class Manifest:
             version=obj["version"],
             partition_by=list(obj.get("partition_by", [])),
             segments=[
-                Segment(dir=s["dir"], partitions=s.get("partitions"))
+                Segment(dir=s["dir"], partitions=s.get("partitions"), stats=s.get("stats"))
                 for s in obj.get("segments", [])
             ],
             operation=obj.get("operation", ""),
@@ -120,6 +131,100 @@ def bucket_expr(pk_col: str, n_buckets: int) -> Column:
     return F.pmod(F.conv(F.substring(F.col(pk_col), 1, 4), 16, 10).cast("int"), F.lit(n_buckets))
 
 
+# ------------------------------------------------------------ segment stats
+def _encode_stat(v):
+    """JSON-encode one observed min/max value -> (value, kind). kind "num"
+    compares as float; "str" compares lexicographically — order-correct for
+    the fixed-width ISO encodings str(datetime)/str(date) produce, and for
+    string columns it matches Spark's UTF8 binary comparison (UTF-8 byte
+    order preserves code-point order)."""
+    import datetime as dt
+    import decimal
+
+    if v is None:
+        return None, None
+    if isinstance(v, bool):
+        return int(v), "num"
+    if isinstance(v, (int, float)):
+        return v, "num"
+    if isinstance(v, decimal.Decimal):
+        return float(v), "num"
+    if isinstance(v, (dt.datetime, dt.date)):
+        return str(v), "str"
+    return str(v), "str"
+
+
+def _cond_may_match(stats: dict | None, col: str, lo, hi) -> bool:
+    """Can any row of a segment with ``stats`` satisfy lo <= col <= hi?
+    Missing stats/column -> unknown -> True (never prune blind). A recorded
+    all-NULL column (min=max=None) satisfies no range predicate -> False."""
+    if not stats or col not in stats:
+        return True
+    e = stats[col]
+    mn, mx = e.get("min"), e.get("max")
+    if mn is None and mx is None:
+        return False
+    try:
+        if e.get("t") == "num":
+            mn, mx = float(mn), float(mx)
+            lo = None if lo is None else float(lo)
+            hi = None if hi is None else float(hi)
+        else:
+            mn, mx = str(mn), str(mx)
+            lo = None if lo is None else str(lo)
+            hi = None if hi is None else str(hi)
+            # Datetime-looking values compare as parsed datetimes so mixed
+            # ISO separators ('T' vs ' ') can't mis-order; non-datetime
+            # strings fall back to lexicographic (= Spark's UTF8 order).
+            parsed = [_try_iso(v) for v in (mn, mx, lo, hi)]
+            if all(p is not None for v, p in zip((mn, mx, lo, hi), parsed) if v is not None):
+                mn, mx, lo, hi = parsed
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+    except (TypeError, ValueError):
+        return True  # uncomparable bound -> unknown, conservative
+    return True
+
+
+def _try_iso(v):
+    """datetime.fromisoformat if v parses as an ISO date/datetime, else None."""
+    import datetime as dt
+
+    if v is None:
+        return None
+    try:
+        return dt.datetime.fromisoformat(v)
+    except (TypeError, ValueError):
+        return None
+
+
+def segment_may_match(stats: dict | None, spec) -> bool:
+    """Conservative interval evaluation of a window ``spec`` (see
+    watermark.build_window_spec: groups AND together; inside a group each
+    condition folds with its own and/or) against a segment's recorded
+    stats. True = the segment MIGHT hold a matching row; False = provably
+    none does (safe to skip the segment entirely). Over-approximates by
+    construction: may(A AND B) <= may(A) AND may(B), may(A OR B) ==
+    may(A) OR may(B)."""
+    if not spec:
+        return True
+    for group in spec:
+        g_may: bool | None = None
+        for op, col, lo, hi in group:
+            may = _cond_may_match(stats, col, lo, hi)
+            if g_may is None:
+                g_may = may
+            elif op == "or":
+                g_may = g_may or may
+            else:
+                g_may = g_may and may
+        if g_may is False:
+            return False
+    return True
+
+
 class LakeTable:
     def __init__(
         self,
@@ -129,6 +234,7 @@ class LakeTable:
         bucket_pk: str | None = None,
         n_buckets: int = 32,
         warn_on_layout_mismatch: bool = True,
+        stats_columns: Sequence[str] = (),
     ) -> None:
         """``bucket_pk`` (only honored when ``partition_by`` is empty) stores
         the table hive-partitioned by a PK-hash bucket so incremental merges
@@ -150,6 +256,11 @@ class LakeTable:
         # FileSystem for scheme-qualified URIs (hdfs://, s3a://, file://...).
         # Data-plane segment I/O is always Spark and needs no abstraction.
         self.fs = fs_for_path(spark, self.path)
+        # Columns to record per-segment min/max for at write time (the Delta
+        # file-statistics analog): typically the entity's watermark +
+        # businesskey columns. Collected via df.observe during the write
+        # action, so recording them costs no extra scan.
+        self.stats_columns = tuple(stats_columns)
         self.bucket_pk = bucket_pk if not partition_by else None
         self.n_buckets = n_buckets
         self.partition_by = list(partition_by) if partition_by else (
@@ -261,15 +372,42 @@ class LakeTable:
             )
 
     # ------------------------------------------------------------ segment io
-    def _write_segment(self, df: DataFrame) -> str:
+    def _write_segment(self, df: DataFrame) -> tuple[str, dict | None]:
+        """Write one immutable segment; returns (relative dir, per-column
+        min/max stats or None). Stats are collected with ``df.observe``
+        DURING the write action — no second pass over the data."""
+        from pyspark.sql import Observation
+
         mf = self.latest_manifest()
         next_v = (mf.version + 1) if mf else 0
         seg_rel = f"data/v{next_v:05d}"
-        writer = self._with_bucket(df).write.mode("overwrite")
+        df = self._with_bucket(df)
+        stat_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name in self.stats_columns and "<" not in f.dataType.simpleString()
+        ]
+        obs = None
+        if stat_cols:
+            obs = Observation()
+            aggs = []
+            for c in stat_cols:
+                aggs.append(F.min(F.col(c)).alias(f"mn_{c}"))
+                aggs.append(F.max(F.col(c)).alias(f"mx_{c}"))
+            df = df.observe(obs, *aggs)
+        writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(f"{self.path}/{seg_rel}")
-        return seg_rel
+        stats = None
+        if obs is not None:
+            got = obs.get
+            stats = {}
+            for c in stat_cols:
+                mn, kind_mn = _encode_stat(got[f"mn_{c}"])
+                mx, kind_mx = _encode_stat(got[f"mx_{c}"])
+                stats[c] = {"min": mn, "max": mx, "t": kind_mn or kind_mx or "str"}
+        return seg_rel, stats
 
     def _partition_values(self, df: DataFrame) -> list[dict[str, str]]:
         """Distinct partition values present in df (Processing.scala:144-156).
@@ -316,19 +454,40 @@ class LakeTable:
         version: int | None = None,
         keep_bucket: bool = False,
         as_of_timestamp: float | None = None,
+        prune_spec=None,
     ) -> DataFrame:
         """``keep_bucket=True`` retains the internal bucket column so callers
         can prune to specific buckets (predicates on it are pure hive-dir
         pruning) before dropping it themselves. ``as_of_timestamp`` reads
         the newest version committed at or before the given unix time
-        (ignored when an explicit ``version`` is passed)."""
+        (ignored when an explicit ``version`` is passed).
+
+        ``prune_spec`` (a window spec from ``watermark.build_window_spec``)
+        skips segments whose recorded min/max stats prove no row can match —
+        data skipping at segment granularity, the Delta file-statistics
+        analog. The result is a SUPERSET of the matching rows (callers still
+        apply the row-level predicate); segments without stats are always
+        read."""
         if version is None and as_of_timestamp is not None:
             version = self.version_at_timestamp(as_of_timestamp)
         mf = self.manifest_at(version) if version is not None else self.latest_manifest()
         if mf is None:
             raise FileNotFoundError(f"LakeTable does not exist: {self.path}")
+        segs = list(mf.segments)
+        if prune_spec is not None:
+            segs = [s for s in segs if segment_may_match(s.stats, prune_spec)]
+            if not segs and mf.segments:
+                # every segment pruned: preserve the schema with a zero-row
+                # scan of one segment (limit 0 — footer read only)
+                segs = []
+                empty = (
+                    self.spark.read.parquet(f"{self.path}/{mf.segments[0].dir}").limit(0)
+                )
+                if not keep_bucket and BUCKET_COL in empty.columns:
+                    empty = empty.drop(BUCKET_COL)
+                return empty
         parts: list[DataFrame] = []
-        for seg in mf.segments:
+        for seg in segs:
             df = self.spark.read.parquet(f"{self.path}/{seg.dir}")
             if seg.partitions is not None and self.partition_by:
                 # equality predicates on hive partition dirs -> pure dir pruning
@@ -360,12 +519,18 @@ class LakeTable:
         and merged into the commit metrics — the hook for observation-based
         counts (e.g. total_rows) that only exist once the job has run."""
         mf = self.latest_manifest()
-        seg_rel = self._write_segment(df)
+        seg_rel, stats = self._write_segment(df)
         if metrics_fn is not None:
             metrics = {**(metrics or {}), **metrics_fn()}
         next_v = (mf.version + 1) if mf else 0
         if not dynamic or not self.partition_by or mf is None:
-            segments = [Segment(seg_rel, None if not self.partition_by else self._read_segment_partitions(seg_rel))]
+            segments = [
+                Segment(
+                    seg_rel,
+                    None if not self.partition_by else self._read_segment_partitions(seg_rel),
+                    stats=stats,
+                )
+            ]
         else:
             new_pvs = self._read_segment_partitions(seg_rel)
             new_keys = {_pv_key(pv) for pv in new_pvs}
@@ -375,8 +540,8 @@ class LakeTable:
                     continue  # fully replaced below is wrong; but unpartitioned+dynamic can't happen
                 kept = [pv for pv in seg.partitions if _pv_key(pv) not in new_keys]
                 if kept:
-                    segments.append(Segment(seg.dir, kept))
-            segments.append(Segment(seg_rel, new_pvs))
+                    segments.append(Segment(seg.dir, kept, stats=seg.stats))
+            segments.append(Segment(seg_rel, new_pvs, stats=stats))
         self._commit(
             Manifest(
                 version=next_v,
@@ -453,11 +618,15 @@ class LakeTable:
 
     def append(self, df: DataFrame, metrics: dict | None = None) -> None:
         mf = self.latest_manifest()
-        seg_rel = self._write_segment(df)
+        seg_rel, stats = self._write_segment(df)
         next_v = (mf.version + 1) if mf else 0
         segments = list(mf.segments) if mf else []
         segments.append(
-            Segment(seg_rel, None if not self.partition_by else self._read_segment_partitions(seg_rel))
+            Segment(
+                seg_rel,
+                None if not self.partition_by else self._read_segment_partitions(seg_rel),
+                stats=stats,
+            )
         )
         self._commit(
             Manifest(
@@ -527,7 +696,7 @@ class LakeTable:
         mf = self.latest_manifest()
         if mf is None:
             raise FileNotFoundError(f"LakeTable does not exist: {self.path}")
-        seg_rel = self._write_segment(df)
+        seg_rel, stats = self._write_segment(df)
         # Rows may land outside the requested partitions (a merge that updates
         # a partition column). Those extra partitions get co-owned by the new
         # segment so the rows stay visible (matches the reference's Delta
@@ -544,8 +713,8 @@ class LakeTable:
                 continue  # unpartitioned tables replace wholesale via overwrite()
             kept = [pv for pv in seg.partitions if _pv_key(pv) not in replaced]
             if kept:
-                segments.append(Segment(seg.dir, kept))
-        segments.append(Segment(seg_rel, partition_values))
+                segments.append(Segment(seg.dir, kept, stats=seg.stats))
+        segments.append(Segment(seg_rel, partition_values, stats=stats))
         self._commit(
             Manifest(
                 version=mf.version + 1,

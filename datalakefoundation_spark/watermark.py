@@ -218,6 +218,37 @@ def build_watermark_values(
     return out
 
 
+def build_window_spec(
+    df_schema,
+    watermarks: Sequence[Watermark],
+    previous: dict[str, str | None],
+    current: dict[str, str | None],
+) -> list[list[tuple[str, str, str, str]]] | None:
+    """Interval form of ``build_window_condition`` for segment-stats data
+    skipping (``lake_table.segment_may_match``): a list of groups; each
+    group a list of ``(operation, column, lo, hi)`` folded left with each
+    condition's and/or, groups combining with AND. Returns None exactly
+    when ``build_window_condition`` would (no buildable window) — the two
+    builders share their skip rules (missing column, one-sided bounds) and
+    MUST stay in sync, or stats pruning would skip segments the row-level
+    window still selects."""
+    fields = {f.name for f in df_schema.fields}
+    groups: dict[int, list[tuple[str, str, str, str]]] = {}
+    for wm in watermarks:
+        if wm.column_name not in fields:
+            continue
+        prev_v = previous.get(wm.column_name)
+        cur_v = current.get(wm.column_name)
+        if prev_v is None or cur_v is None:
+            continue
+        groups.setdefault(wm.operation_group, []).append(
+            (wm.operation, wm.column_name, _strip_quotes(prev_v), _strip_quotes(cur_v))
+        )
+    if not groups:
+        return None
+    return [groups[g] for g in sorted(groups)]
+
+
 def build_window_condition(
     df_schema,
     watermarks: Sequence[Watermark],
