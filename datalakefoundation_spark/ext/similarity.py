@@ -52,14 +52,8 @@ def hyperplane_signs(num_planes: int = 8, dim: int = 64) -> list[list[float]]:
     return planes
 
 
-def lsh_signature(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    num_planes: int = 32,
-    dim: int = 64,
-) -> DataFrame:
-    """(id, __sig) with a num_planes-char sign signature per vector.
+def _signature_column(vec: Column, num_planes: int = 32, dim: int = 64) -> Column:
+    """num_planes-char sign-signature Column for a vector column.
 
     Arrow-batched pandas UDF: the whole batch's ``num_planes`` dots are
     computed as ``dim`` vectorized accumulate steps in ascending dimension
@@ -94,7 +88,21 @@ def lsh_signature(
         out[valid.to_numpy()] = ["".join(r) for r in bits]
         return out
 
-    return df.select(F.col(id_col), _sig(F.col(vec_col)).alias("__sig"))
+    return _sig(vec)
+
+
+def lsh_signature(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 32,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, __sig) with a num_planes-char sign signature per vector
+    (see _signature_column for the bit-exactness contract)."""
+    return df.select(
+        F.col(id_col), _signature_column(F.col(vec_col), num_planes, dim).alias("__sig")
+    )
 
 
 def lsh_band_keys(
@@ -117,40 +125,92 @@ def lsh_band_keys(
     return sig.selectExpr(id_col, f"array({keys}) AS bks")
 
 
-def _band_bucket_pairs(
+def _banded_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     bands: int,
     planes_per_band: int,
     dim: int,
-    left: str,
-    right: str,
     ordered: bool,
+    with_vectors: bool,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Shared candidate-pair expansion for the banded-LSH paths: explode the
     band keys, groupBy(bucket) + in-bucket pair expansion (NOT a band
     self-join — a self-join duplicates the signature subtree into both plan
     branches and recomputes every plane sum per side; exchange reuse does
     not fire across the explode). One shuffle on the band key, signatures
-    computed exactly once. ``ordered=True`` keeps each unordered pair once
-    (left < right); ``False`` keeps both directions (per-query candidate
-    lists)."""
-    with_keys = lsh_band_keys(
-        ensure_compute_parallelism(df), id_col, vec_col, bands, planes_per_band, dim
+    computed exactly once.
+
+    Global dedup without a ``distinct`` shuffle: a pair colliding in
+    several bands is emitted ONLY from its first matching band (both full
+    signatures ride along in each bucket member, so "does an earlier band
+    also match?" is a few JVM substring compares at expansion time). That
+    removes the old plan's global pair-``distinct`` exchange entirely.
+
+    ``with_vectors=True`` additionally carries each vector through the one
+    band shuffle so scoring happens in place — no join back to the vector
+    table (the old plan paid two shuffling joins). The cost is ``bands``
+    copies of each vector through a single exchange; the win is two fewer
+    shuffles of the (much larger) pair set. Candidate-only callers keep
+    the shuffle payload to (id, sig).
+
+    ``ordered=True`` keeps each unordered pair once (a.__id < b.__id);
+    ``False`` keeps both directions (per-query candidate lists).
+
+    ``max_bucket_width`` (100 TB knob, default off) caps degenerate
+    buckets: members are sorted by id and only the first N take part in
+    pair expansion, bounding the worst bucket at N^2 pairs. Off by
+    default — capping trades recall and is only needed when
+    ``planes_per_band`` can't be raised enough to keep buckets narrow."""
+    num_planes = bands * planes_per_band
+    base = ensure_compute_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    e = with_keys.select(F.col(id_col), F.explode("bks").alias("bk"))
+    sig = _signature_column(F.col("__v"), num_planes, dim)
+    keyed = base.select(
+        "__id", *(["__v"] if with_vectors else []), sig.alias("__sig")
+    )
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(str(b)), F.lit("|"),
+                F.substring("__sig", b * planes_per_band + 1, planes_per_band),
+            )
+            for b in range(bands)
+        ]
+    )
+    e = keyed.select("*", F.explode(band_keys).alias("__bk"))
+    member = F.struct(
+        F.col("__id"), F.col("__sig"), *([F.col("__v")] if with_vectors else [])
+    )
+    mem = F.collect_list(member)
+    if max_bucket_width is not None:
+        # deterministic cap: sort_array orders by the struct's first field
+        # (__id), so every run keeps the same members
+        mem = F.slice(F.sort_array(mem), 1, int(max_bucket_width))
     buckets = (
-        e.groupBy("bk")
-        .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .where(F.size("ids") > 1)
+        e.groupBy("__bk").agg(mem.alias("mem")).where(F.size("mem") > 1)
     )
-    expanded = (
-        buckets.select(F.explode("ids").alias(left), "ids")
-        .select(left, F.explode("ids").alias(right))
+    pairs = buckets.select(
+        "__bk", F.explode("mem").alias("a"), "mem"
+    ).select("__bk", "a", F.explode("mem").alias("b"))
+    idcond = (
+        (F.col("a.__id") < F.col("b.__id"))
+        if ordered
+        else (F.col("a.__id") != F.col("b.__id"))
     )
-    cond = F.col(left) < F.col(right) if ordered else F.col(left) != F.col(right)
-    return expanded.where(cond).distinct()
+    # first band whose sub-signatures agree; emitting only from that band
+    # makes each pair globally unique with zero extra shuffles
+    first_match = F.lit(bands)
+    for b in reversed(range(bands)):
+        sa = F.substring(F.col("a.__sig"), b * planes_per_band + 1, planes_per_band)
+        sb = F.substring(F.col("b.__sig"), b * planes_per_band + 1, planes_per_band)
+        first_match = F.when(sa == sb, F.lit(b)).otherwise(first_match)
+    band_idx = F.split(F.col("__bk"), "\\|").getItem(0).cast("int")
+    return pairs.where(idcond & (first_match == band_idx))
 
 
 def lsh_near_dup_candidates(
@@ -167,9 +227,12 @@ def lsh_near_dup_candidates(
     band key and in-bucket pair expansion, never an all-pairs join. Recall
     tunes with ``bands`` (more bands = more chances to collide); precision
     is restored by the exact cosine filter downstream."""
-    return _band_bucket_pairs(
+    pairs = _banded_pairs(
         df, id_col, vec_col, bands, planes_per_band, dim,
-        left="id_a", right="id_b", ordered=True,
+        ordered=True, with_vectors=False,
+    )
+    return pairs.select(
+        F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
     )
 
 
@@ -314,33 +377,23 @@ def lsh_topk(
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k via banded LSH: candidates are pairs sharing ANY
-    band key (OR over bands boosts recall; each band's join shuffles on its
-    own key, keyspace = bands * 2^planes_per_band). Signatures are computed
-    once (see _band_bucket_pairs); the pair set is deduped on ids before
-    scoring so a pair colliding in several bands is scored once."""
-    pairs = _band_bucket_pairs(
+    band key (OR over bands boosts recall; each band's groupBy shuffles on
+    its own key, keyspace = bands * 2^planes_per_band). Signatures are
+    computed once; each pair is emitted exactly once (first-matching-band
+    rule — no pair-distinct shuffle) WITH both vectors riding along, so
+    scoring is in-place: the whole query is scan -> one band-key shuffle ->
+    expand+score -> one top-k window shuffle. (The previous plan paid a
+    global pair distinct plus two shuffling joins back to the vector
+    table.) Cosine via the Arrow-batched sequential-fold UDF — op order
+    identical to the per-pair oracle."""
+    pairs = _banded_pairs(
         df, id_col, vec_col, bands, planes_per_band, dim,
-        left="query_id", right="neighbor_id", ordered=False,
+        ordered=False, with_vectors=True,
     )
-    # Cosine via the Arrow-batched sequential-fold UDF: per-pair norm
-    # recompute is free once scoring is a vectorized numpy accumulate (the
-    # earlier precomputed-norm expression only existed to cut interpreted
-    # HOF work), and the op order stays identical to the per-pair oracle.
-    v = F.col(vec_col).cast("array<double>")
-    vecs = df.select(F.col(id_col), v.alias("v"))
-    scored = (
-        pairs.join(
-            vecs.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv")),
-            "query_id",
-        )
-        .join(
-            vecs.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv")),
-            "neighbor_id",
-        )
-        .select(
-            "query_id", "neighbor_id",
-            cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
-        )
+    scored = pairs.select(
+        F.col("a.__id").alias("query_id"),
+        F.col("b.__id").alias("neighbor_id"),
+        cosine_similarity(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
