@@ -431,6 +431,7 @@ class Processing:
             summary.duration_ms = (time.time() - started) * 1000
             self._write_watermarks()
             self._maybe_auto_optimize()
+            self._gc_orphans()
             self.register_silver_in_catalog()
             if self.log_sink:
                 self.log_sink.log_summary(summary)
@@ -483,6 +484,33 @@ class Processing:
                         self.n_buckets = new_layout[1]
         table.optimize(cluster_by=cluster)
         table.vacuum()
+
+    def _gc_orphans(self) -> None:
+        """Maintenance sweep for crash leftovers: a prior writer that died
+        between segment write and manifest commit leaves an orphaned
+        ``data/v*`` dir no manifest references. Swept after every
+        successful run; the age guard (``maintenance.gc_orphans_age``
+        seconds, default 1h, negative disables) keeps the sweep from
+        racing a concurrent in-flight writer. No-op cost is one
+        control-plane listdir (LakeTable.gc_orphans)."""
+        settings = self.entity.merged_settings()
+        age = float(
+            self.options.get(
+                "maintenance.gc_orphans_age", settings.get("maintenance.gc_orphans_age", 3600.0)
+            )
+        )
+        if age < 0:
+            return
+        try:
+            removed = self.silver_table().gc_orphans(older_than_seconds=age)
+        except Exception as exc:  # pragma: no cover - best-effort maintenance
+            logger.warning("orphan GC for %s failed: %s", self.entity.destination, exc)
+            return
+        if removed:
+            logger.info(
+                "orphan GC for %s reclaimed %d crash-leftover segment dirs: %s",
+                self.entity.destination, len(removed), removed,
+            )
 
     def _write_watermarks(self) -> None:
         # never clobber a stored bookmark with null (empty slice)

@@ -79,6 +79,10 @@ class LocalFS:
     def makedirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
 
+    def mtime(self, path: str) -> float:
+        """Last-modification unix time of a file or directory."""
+        return os.path.getmtime(path)
+
     def delete_tree(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -141,6 +145,10 @@ class HadoopFS:
 
     def makedirs(self, path: str) -> None:
         self._fs.mkdirs(self._path(path))
+
+    def mtime(self, path: str) -> float:
+        """Last-modification unix time (Hadoop reports millis)."""
+        return self._fs.getFileStatus(self._path(path)).getModificationTime() / 1000.0
 
     def delete_tree(self, path: str) -> None:
         self._fs.delete(self._path(path), True)

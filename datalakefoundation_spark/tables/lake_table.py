@@ -772,6 +772,47 @@ class LakeTable:
         walk(base, {}, 0)
         return out
 
+    def gc_orphans(self, older_than_seconds: float = 3600.0) -> list[str]:
+        """Reclaim crash leftovers: segment dirs referenced by NO manifest
+        version (a writer dying between ``_write_segment`` and ``_commit``
+        leaves the freshly-written dir with no manifest pointing at it).
+        Unlike ``vacuum()``, history/time travel is untouched — every dir
+        any committed version references survives.
+
+        ``older_than_seconds`` guards against racing an in-flight writer:
+        a concurrent commit-in-progress has already written its segment dir
+        but not yet its manifest, which is indistinguishable from a crash
+        leftover by listing alone. Only dirs older than the threshold are
+        deleted (the same retention idea as Delta's VACUUM); pass 0 only
+        when no concurrent writer can exist (tests, single-writer
+        maintenance windows).
+
+        Cost when there is nothing to do: one control-plane listdir — the
+        full manifest-history read happens only when unreferenced
+        candidates exist."""
+        mf = self.latest_manifest()
+        if mf is None:
+            return []
+        live_latest = {s.dir for s in mf.segments}
+        names = [f"data/{n}" for n in self.fs.listdir(f"{self.path}/data")]
+        candidates = [d for d in names if d not in live_latest]
+        if not candidates:
+            return []
+        referenced = {s.dir for m in self.history() for s in m.segments}
+        now = time.time()
+        removed: list[str] = []
+        for rel in candidates:
+            if rel in referenced:
+                continue  # older version still time-travel readable
+            try:
+                age = now - self.fs.mtime(f"{self.path}/{rel}")
+            except Exception:  # pragma: no cover - raced deletion etc.
+                continue
+            if age >= older_than_seconds:
+                self.fs.delete_tree(f"{self.path}/{rel}")
+                removed.append(rel)
+        return removed
+
     def vacuum(self) -> list[str]:
         """Delete segment dirs + manifests not referenced by the latest version."""
         mf = self.latest_manifest()

@@ -1,0 +1,150 @@
+"""Crash recovery: a writer dying between segment write and manifest commit
+must leave the table readable (the manifest flip is the commit point) and
+its orphaned segment dir must be reclaimable by ``gc_orphans`` without
+touching time-travel history.
+
+The crash is injected by patching ``_commit`` to raise after
+``_write_segment`` has fully materialized the new segment dir — byte-wise
+the same on-disk state a SIGKILL between the two steps produces.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datalakefoundation_spark.processing import Processing
+from datalakefoundation_spark.tables.lake_table import LakeTable
+from tests.helpers import T0, T1, make_metadata, rows_v1, write_slice
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame([(i, f"n{i}") for i in range(lo, hi)], "seq int, name string")
+
+
+def _crash(table, monkeypatch):
+    def boom(manifest):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(table, "_commit", boom)
+
+
+def _data_dirs(path):
+    d = f"{path}/data"
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def test_crash_between_write_and_commit_append(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path, stats_columns=["seq"])
+    t.overwrite(_df(spark, 0, 10))
+
+    _crash(t, monkeypatch)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        t.append(_df(spark, 10, 20))
+    monkeypatch.undo()
+
+    # the orphaned segment dir exists, but the table reads clean (v0 only)
+    assert "v00001" in _data_dirs(path)
+    fresh = LakeTable(spark, path, stats_columns=["seq"])
+    assert fresh.read().count() == 10
+    assert fresh.latest_manifest().version == 0
+
+    # GC reclaims it (age 0: no concurrent writers in the test)
+    removed = fresh.gc_orphans(older_than_seconds=0)
+    assert removed == ["data/v00001"]
+    assert "v00001" not in _data_dirs(path)
+
+    # and the table keeps working: the next append reuses the version slot
+    fresh.append(_df(spark, 10, 20))
+    assert fresh.read().count() == 20
+    assert fresh.latest_manifest().version == 1
+
+
+def test_crash_during_replace_partitions(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path, partition_by=["p"])
+    df = spark.createDataFrame([(i, i % 2) for i in range(10)], "seq int, p int")
+    t.overwrite(df)
+
+    _crash(t, monkeypatch)
+    repl = spark.createDataFrame([(100 + i, 0) for i in range(3)], "seq int, p int")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        t.replace_partitions(repl, [{"p": "0"}])
+    monkeypatch.undo()
+
+    fresh = LakeTable(spark, path, partition_by=["p"])
+    assert fresh.read().count() == 10  # pre-crash content intact
+    assert fresh.gc_orphans(older_than_seconds=0) == ["data/v00001"]
+    # replayed write succeeds
+    fresh.replace_partitions(repl, [{"p": "0"}])
+    out = fresh.read()
+    assert out.count() == 8  # 5 rows of p=1 + 3 replacement rows of p=0
+    assert out.where("p = 0").count() == 3
+
+
+def test_gc_keeps_time_travel_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path)
+    t.overwrite(_df(spark, 0, 5))
+    t.overwrite(_df(spark, 0, 8))
+    # data/v00000 is not in the LATEST manifest but v0's manifest references
+    # it — gc must keep it; vacuum (and only vacuum) may drop it
+    assert t.gc_orphans(older_than_seconds=0) == []
+    assert t.read(version=0).count() == 5
+    assert t.read().count() == 8
+
+
+def test_gc_age_guard(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path)
+    t.overwrite(_df(spark, 0, 5))
+    _crash(t, monkeypatch)
+    with pytest.raises(RuntimeError):
+        t.append(_df(spark, 5, 9))
+    monkeypatch.undo()
+    # a young orphan is indistinguishable from an in-flight concurrent
+    # write — the age guard must keep it
+    assert t.gc_orphans(older_than_seconds=3600) == []
+    assert "v00001" in _data_dirs(path)
+    assert t.gc_orphans(older_than_seconds=0) == ["data/v00001"]
+
+
+def test_gc_noop_is_listdir_only(spark, tmp_path, monkeypatch):
+    """With no unreferenced candidates, gc must not read manifest history."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 5))
+
+    def no_history():
+        raise AssertionError("history() must not be read on the no-op path")
+
+    monkeypatch.setattr(t, "history", no_history)
+    assert t.gc_orphans(older_than_seconds=0) == []
+
+
+def test_processing_run_sweeps_orphans(spark, lake_root, prefix):
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(10))
+    p1 = Processing(spark, md, 1, "s1.parquet", {"processing.time": T0})
+    p1.process()
+    table_path = p1.silver_table().path
+    # plant a crash leftover
+    orphan = f"{table_path}/data/v99999"
+    os.makedirs(orphan, exist_ok=True)
+    with open(f"{orphan}/part-00000.parquet", "wb") as fh:
+        fh.write(b"junk")
+
+    # age guard keeps it on a default run
+    write_slice(spark, md, "s2.parquet", rows_v1(12))
+    Processing(spark, md, 1, "s2.parquet", {"processing.time": T1}).process()
+    assert os.path.isdir(orphan)
+
+    # age 0 run sweeps it
+    p3 = Processing(
+        spark, md, 1, "s2.parquet",
+        {"processing.time": T1, "maintenance.gc_orphans_age": 0},
+    )
+    p3.process()
+    assert not os.path.isdir(orphan)
+    assert p3.silver_table().read().count() == 12
