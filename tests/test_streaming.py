@@ -172,6 +172,93 @@ def test_stream_merge_to_silver_upserts(spark, tmp_path):
     assert by_id[2] == 1.0 and by_id[3] == 9.0 and by_id[8] == 9.0
 
 
+def test_stream_merge_restart_replays_batch_exactly_once(spark, tmp_path):
+    """Exactly-once across a crash/restart: the query dies after a batch's
+    merge fully landed in silver but BEFORE its checkpoint commit was
+    recorded (crash injected at exactly that point inside foreachBatch).
+    On restart Structured Streaming replays that batch from the offsets
+    log with the same batch id and file set; the batch-id-keyed bronze
+    slice is overwritten in place and the merge is idempotent by PK, so
+    silver must hold zero duplicate PKs and exactly the distinct keys
+    ever streamed."""
+    import os
+
+    from datalakefoundation_spark.processing import Processing
+    from datalakefoundation_spark.streaming import stream_merge_to_silver
+    from tests.helpers import make_metadata
+
+    md = make_metadata(str(tmp_path / "root"), processtype="merge")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    def entity_stream():
+        return read_event_stream(spark, src, max_files_per_trigger=1).selectExpr(
+            "event_id AS ID", "event_id AS SeqNr",
+            "event_type AS name", "value AS data",
+        )
+
+    # 3 files -> 3 micro-batches (maxFilesPerTrigger=1)
+    for i in range(3):
+        _write_events(
+            spark, src,
+            [(i * 10 + j, _ts((i * 10 + j) % 60), i, "click", 1.0) for j in range(3)],
+        )
+
+    # crash AFTER the merge of batch 2 committed to silver, BEFORE the
+    # stream recorded the batch as done — the dangerous half-done state
+    state = {"crashed": False}
+    orig_process = Processing.process
+
+    def crashing_process(self, strategy=None):
+        result = orig_process(self, strategy)
+        if self.slice_file == "stream_batch_000000000002.parquet" and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash after merge, before checkpoint commit")
+        return result
+
+    Processing.process = crashing_process
+    try:
+        q = stream_merge_to_silver(entity_stream(), md, 1, ckpt)
+        try:
+            q.awaitTermination(180)
+            assert False, "query should have died on the injected crash"
+        except Exception:
+            pass
+    finally:
+        Processing.process = orig_process
+    assert state["crashed"]
+
+    silver = Processing(
+        spark, md, 1, "stream_batch_000000000000.parquet", {}
+    ).silver_table()
+    assert silver.read().count() == 9  # batch 2's merge DID land
+    committed = [c for c in os.listdir(f"{ckpt}/commits") if not c.startswith(".")]
+    assert len(committed) == 2  # ...but its checkpoint commit did not
+    n_slices_before = len(
+        [f for f in os.listdir(md.get_entity(1).get_output().bronzepath.value)
+         if f.startswith("stream_batch_")]
+    )
+
+    # restart with new data queued as well: the replayed batch re-merges
+    # the SAME rows (idempotent), then the new batch lands
+    _write_events(spark, src, [(100 + j, _ts(30), 99, "click", 2.0) for j in range(3)])
+    q2 = stream_merge_to_silver(entity_stream(), md, 1, ckpt)
+    assert q2.awaitTermination(180)
+
+    out = silver.read()
+    ids = [r["ID"] for r in out.select("ID").collect()]
+    assert sorted(ids) == sorted(set(ids)), "duplicate business keys after replay"
+    assert len(set(ids)) == 12
+    assert out.count() == out.select("PK_person").distinct().count()
+    # the replayed batch overwrote its own bronze slice, not a new one:
+    # slice count grew only by the genuinely-new batch
+    n_slices_after = len(
+        [f for f in os.listdir(md.get_entity(1).get_output().bronzepath.value)
+         if f.startswith("stream_batch_")]
+    )
+    assert n_slices_after == n_slices_before + 1
+
+
 def test_sessionize_stream_matches_batch_model(spark, tmp_path):
     """Equivalence: the stateful streaming sessionizer must produce exactly
     the session boundaries a batch gap-split over the same events produces
