@@ -265,58 +265,11 @@ def brute_force_topk(
     )
 
 
-def ivf_assign(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    centroid_stride: int = 37,
-) -> DataFrame:
-    """Assign every vector to its nearest centroid (cosine, ties -> lowest
-    centroid id). Centroids are the deterministic subset ``id % stride == 0``
-    — in production they'd come from k-means; the index structure (tiny
-    broadcast centroid table, one row_number per vector) is identical.
-
-    Returns (vec_id, v, cluster_id)."""
-    v = ensure_compute_parallelism(df).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    cent = v.where(F.col("vec_id") % centroid_stride == 0).select(
-        F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
-    )
+def _nearest_centroids(v: DataFrame, cent: DataFrame, nprobe: int = 1) -> DataFrame:
+    """(vec_id, v, cluster_id) giving each vector's ``nprobe`` nearest
+    centroids by cosine (ties -> lowest centroid id). The centroid table is
+    tiny and always broadcast; output fan-out is nprobe rows per vector."""
     scored = v.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "v", "cluster_id",
-        cosine_similarity(F.col("v"), F.col("cv")).alias("c_cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cluster_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "cluster_id")
-    )
-
-
-def ivf_probes(
-    df: DataFrame,
-    probe_cond: Column,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    centroid_stride: int = 37,
-    nprobe: int = 2,
-) -> DataFrame:
-    """(vec_id, v, cluster_id) rows giving, for each vector matching
-    ``probe_cond``, its ``nprobe`` nearest centroid cells (rank 1 = its
-    storage cell). Centroids are always drawn from the FULL input — the
-    same centroid set ``ivf_assign`` uses — so probe cells line up with
-    storage cells. The centroid table is tiny and broadcast; output
-    fan-out is nprobe rows per probed vector."""
-    v = ensure_compute_parallelism(df).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    cent = v.where(F.col("vec_id") % centroid_stride == 0).select(
-        F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
-    )
-    probing = v.where(probe_cond)
-    scored = probing.crossJoin(F.broadcast(cent)).select(
         "vec_id", "v", "cluster_id",
         cosine_similarity(F.col("v"), F.col("cv")).alias("c_cos"),
     )
@@ -328,6 +281,112 @@ def ivf_probes(
     )
 
 
+def _stride_centroids(v: DataFrame, centroid_stride: int) -> DataFrame:
+    """Deterministic centroid subset ``id % stride == 0`` -> (cluster_id, cv)."""
+    return v.where(F.col("vec_id") % centroid_stride == 0).select(
+        F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 37,
+    iterations: int = 5,
+) -> DataFrame:
+    """Deterministic k-means refinement of the stride centroid subset —
+    the production centroid trainer the IVF docstring names. Pure
+    DataFrame ops, no randomness:
+
+    * init: the same ``id % stride == 0`` subset ``ivf_assign`` uses, so
+      k and the cluster-id space are identical to the stride variant;
+    * iterate: assign every vector to its nearest centroid (broadcast
+      centroid table, one row_number per vector), then recompute each
+      centroid as the element-wise mean of its members (posexplode ->
+      per-(cluster, dim) avg -> array rebuild). Cosine ranking is
+      scale-invariant, so the plain mean needs no re-normalization
+      (spherical k-means direction update);
+    * empty clusters keep their previous centroid;
+    * ``localCheckpoint`` after each update truncates the otherwise
+      exponentially-nesting lineage — the centroid table is k rows, so
+      the checkpoint is control-plane sized.
+
+    At 100 TB: each iteration is one broadcast-join scan of the corpus +
+    one (cluster, dim)-keyed agg (dim x N rows through a single shuffle,
+    map-side combined). Swap the full pass for a ``df.sample`` mini-batch
+    when iteration cost dominates; kept full here for determinism."""
+    v = ensure_compute_parallelism(df).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cent = _stride_centroids(v, centroid_stride)
+    for _ in range(iterations):
+        assigned = _nearest_centroids(v, cent, 1)
+        means = (
+            assigned.select("cluster_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("m")))),
+                    lambda s: s.getField("m"),
+                ).alias("cv")
+            )
+        )
+        cent = (
+            cent.select("cluster_id", F.col("cv").alias("prev"))
+            .join(means, "cluster_id", "left")
+            .select("cluster_id", F.coalesce("cv", "prev").alias("cv"))
+            .localCheckpoint()
+        )
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 37,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (cosine, ties -> lowest
+    centroid id). Default centroids are the deterministic subset
+    ``id % stride == 0`` (the oracle-matched variant); pass
+    ``centroids=kmeans_centroids(df)`` for the trained production index —
+    the structure (tiny broadcast centroid table, one row_number per
+    vector) is identical either way.
+
+    Returns (vec_id, v, cluster_id)."""
+    v = ensure_compute_parallelism(df).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cent = centroids if centroids is not None else _stride_centroids(v, centroid_stride)
+    return _nearest_centroids(v, cent, 1)
+
+
+def ivf_probes(
+    df: DataFrame,
+    probe_cond: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 37,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, v, cluster_id) rows giving, for each vector matching
+    ``probe_cond``, its ``nprobe`` nearest centroid cells (rank 1 = its
+    storage cell). Centroids default to the stride subset drawn from the
+    FULL input — the same set ``ivf_assign`` uses — so probe cells line
+    up with storage cells; pass the same ``centroids`` to both for the
+    trained variant. Output fan-out is nprobe rows per probed vector."""
+    v = ensure_compute_parallelism(df).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cent = centroids if centroids is not None else _stride_centroids(v, centroid_stride)
+    return _nearest_centroids(v.where(probe_cond), cent, nprobe)
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 3,
@@ -336,14 +395,17 @@ def ivf_topk(
     centroid_stride: int = 37,
     query_stride: int = 50,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF multiprobe: queries (``id % query_stride``)
     search their ``nprobe`` nearest centroid cells; the corpus is stored
     once (top-1 cell). One shuffle on cluster_id; cells scan in parallel.
     Probing more cells multiplies only the query side's fan-out (queries
     are a small fraction of the corpus), closing most of the recall gap of
-    nprobe=1 for vectors near cell boundaries."""
-    assigned = ivf_assign(df, id_col, vec_col, centroid_stride)
+    nprobe=1 for vectors near cell boundaries. ``centroids`` (e.g. from
+    ``kmeans_centroids``) swaps in a trained index; default stride subset
+    stays the oracle-matched form."""
+    assigned = ivf_assign(df, id_col, vec_col, centroid_stride, centroids=centroids)
     q = ivf_probes(
         df,
         F.col("vec_id") % query_stride == 0,
@@ -351,6 +413,7 @@ def ivf_topk(
         vec_col,
         centroid_stride,
         nprobe,
+        centroids=centroids,
     ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cluster_id")
     c = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cluster_id"

@@ -114,6 +114,45 @@ def test_lsh_band_keyspace(spark, embs):
     assert n_distinct > 256
 
 
+def test_kmeans_centroids_improve_ivf_recall(spark, embs):
+    """The trained (deterministic k-means) centroid index must beat the
+    stride-subset index on recall@k against brute-force ground truth —
+    the production upgrade the IVF docstring names. Same k and cluster-id
+    space (k-means starts FROM the stride subset), same nprobe."""
+    K = 3
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(queries, embs, k=K).collect()
+    }
+
+    def recall(res):
+        got = {(r["query_id"], r["neighbor_id"]) for r in res.collect()}
+        return len(got & truth) / len(truth)
+
+    r_stride = recall(SIM.ivf_topk(embs, k=K))
+    cents = SIM.kmeans_centroids(embs, iterations=2)
+    r_kmeans = recall(SIM.ivf_topk(embs, k=K, centroids=cents))
+    assert r_kmeans > r_stride, (r_kmeans, r_stride)
+    # same centroid-id space: k-means only refines positions
+    n_cents = cents.count()
+    assert n_cents == embs.where(F.col("vec_id") % 37 == 0).count()
+    # every centroid has the vector dimensionality
+    assert cents.where(F.size("cv") != 64).count() == 0
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """A centroid that attracts no members must survive the update
+    unchanged instead of disappearing (cluster-id space is stable)."""
+    rows = [(i, [float(i % 7)] * 4) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # stride 29 -> centroids at ids 0 and 29; all vectors are near one of
+    # 7 directions, some centroid may end up empty across iterations
+    cents = SIM.kmeans_centroids(df, centroid_stride=29, iterations=3)
+    assert cents.count() == 2
+    assert cents.where(F.col("cv").isNull()).count() == 0
+
+
 def test_ivf_topk_finds_clone(spark, embs):
     """A cloned vector lands in the same IVF cell and ranks first for its
     original (query ids are multiples of 50, so clone base ids must be too)."""
