@@ -25,6 +25,22 @@ _RECOMBINE = {
 }
 
 
+def salt_expr(df: DataFrame, salt_buckets: int):
+    """Uniform deterministic per-row salt: xxhash64 of the whole row PLUS
+    the row's scan position (``monotonically_increasing_id``). Hashing
+    column values alone has a classic degeneracy: a hot key's rows are
+    often bit-identical duplicates (replayed records, default rows), which
+    all hash to ONE salt and re-create the very straggler salting exists
+    to kill. Folding in the scan position spreads even identical rows;
+    determinism holds for any deterministic scan (same files -> same
+    partition layout -> same ids), and aggregation results never depend on
+    WHICH salt a row gets — only the partial grouping does."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns], F.monotonically_increasing_id()),
+        F.lit(salt_buckets),
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -35,15 +51,15 @@ def salted_agg(
 
     ``aggs``: output column -> (fn, input column) with fn in
     count/sum/min/max; the input column is ignored for count.
-    The salt is a uniform deterministic function of the whole row
-    (xxhash64), so results are reproducible and hot keys spread evenly.
-    Produces exactly the same rows as ``df.groupBy(keys).agg(...)``.
+    The salt spreads every key — including hot keys made of identical
+    duplicate rows (see ``salt_expr``) — over ``salt_buckets`` stage-1
+    reducers. Produces exactly the same rows as
+    ``df.groupBy(keys).agg(...)``.
     """
     for out, (fn, _c) in aggs.items():
         if fn not in _RECOMBINE:
             raise ValueError(f"{out}: '{fn}' is not an algebraic aggregate")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
-    stage1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt")
+    stage1 = df.withColumn("__salt", salt_expr(df, salt_buckets)).groupBy(*keys, "__salt")
     partials = []
     for out, (fn, c) in aggs.items():
         agg1 = _RECOMBINE[fn][0]

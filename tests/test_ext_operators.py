@@ -248,6 +248,62 @@ def test_salted_agg_matches_plain(spark):
     assert a == b and len(a) > 0
 
 
+def test_salted_agg_adversarial_skew_no_straggler(spark):
+    """Adversarial 90%-single-key distribution, worst case included: the
+    hot key's rows are bit-IDENTICAL duplicates (value-hash salting would
+    send them all to one reducer). Asserts (a) exact result parity with
+    the plain groupBy, (b) the stage-1 partial groups spread the hot key
+    near-uniformly over the salt space — the largest partial is a small
+    multiple of hot_rows/salt_buckets, so no reducer processes the hot
+    key alone — and (c) the physical plan shows the two-stage shape:
+    a salted exchange then a key-only exchange."""
+    import random
+
+    from datalakefoundation_spark.ext.skew import salt_expr, salted_agg
+
+    rng = random.Random(41)
+    n, buckets = 20_000, 16
+    rows = []
+    for i in range(n):
+        if i < int(n * 0.9):
+            rows.append(("hot", 7, 1.0))  # identical payload too
+        else:
+            rows.append((f"k{rng.randint(0, 50)}", rng.randint(0, 9), rng.random()))
+    df = spark.createDataFrame(rows, "key string, a int, x double")
+
+    salted = salted_agg(
+        df, ["key"],
+        {"n": ("count", "key"), "mx": ("max", "a"), "mn": ("min", "x")},
+        salt_buckets=buckets,
+    )
+    plain = df.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"), F.max("a").alias("mx"), F.min("x").alias("mn")
+    )
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+    # (b) stage-1 spread: same salt expression the operator uses
+    partials = (
+        df.withColumn("__salt", salt_expr(df, buckets))
+        .groupBy("key", "__salt")
+        .count()
+        .where(F.col("key") == "hot")
+        .collect()
+    )
+    hot_rows = int(n * 0.9)
+    assert len(partials) == buckets  # every salt bucket got a share
+    assert max(r["count"] for r in partials) <= 3 * hot_rows / buckets, (
+        "hot key straggles on one stage-1 reducer"
+    )
+
+    # (c) plan shape: salted exchange before the key-only exchange
+    plan = salted._jdf.queryExecution().toString()
+    assert "__salt" in plan
+    import re
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("__salt" in e for e in exchanges), exchanges
+    assert any("key" in e and "__salt" not in e for e in exchanges), exchanges
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     from datalakefoundation_spark.ext.skew import write_bucketed
 
