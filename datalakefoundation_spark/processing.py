@@ -442,16 +442,34 @@ class Processing:
             if self.log_sink:
                 self.log_sink.flush()
 
+    # Default auto-compaction threshold for UNPARTITIONED entities: kicks in
+    # once incremental runs have stacked this many live segments. 32 keeps
+    # read-side file listing and version fan-out bounded while compacting
+    # rarely enough (once per ~32 runs) that its full-rewrite cost amortizes
+    # to ~3% of steady-state ingest work.
+    AUTO_OPTIMIZE_DEFAULT = 32
+
     def _maybe_auto_optimize(self) -> None:
-        """Opt-in table maintenance inside the ingestion loop: when repeated
+        """Table maintenance inside the ingestion loop: when repeated
         incremental runs have accumulated more than
         ``maintenance.auto_optimize`` segments (entity setting or run
         option), compact them (and vacuum) so read-side file listing and
-        row-group sizes stay healthy without a separate maintenance job."""
+        row-group sizes stay healthy without a separate maintenance job.
+
+        ON BY DEFAULT for unpartitioned entities (threshold
+        ``AUTO_OPTIMIZE_DEFAULT``; set the option/setting to 0 to disable)
+        — a long-running incremental entity self-compacts without operator
+        action. Partitioned entities stay opt-in: ``optimize()`` rewrites
+        the WHOLE table, which for a large partitioned entity is exactly
+        the cost partition-pruned merges exist to avoid. Note the
+        compaction's ``vacuum()`` drops older versions — time travel for
+        the entity resets at each auto-compaction."""
         settings = self.entity.merged_settings()
         threshold = self.options.get(
             "maintenance.auto_optimize", settings.get("maintenance.auto_optimize")
         )
+        if threshold is None and not self.entity.partition_columns:
+            threshold = self.AUTO_OPTIMIZE_DEFAULT
         if not threshold:
             return
         table = self.silver_table()

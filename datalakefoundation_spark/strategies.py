@@ -9,16 +9,20 @@ physically; the storage layer (tables/lake_table.py) adds partition pruning so
 only affected partitions are rewritten.
 
 Scale notes (100 TB):
-* The join shuffles on the PK hash — a sha256 hex string, uniformly
+* Joins shuffle on the PK hash — a sha256 hex string, uniformly
   distributed, so no key skew by construction.
 * Target is pre-filtered to the source slice's partitions (IN-list pushdown,
   reference Merge.scala:38-48) before the join; untouched partitions are not
   read at all.
-* The source slice is typically tiny vs the target; Spark full-outer requires
-  a shuffle join, but AQE coalesces the small side's partitions. A broadcast
-  variant is impossible for full-outer in Spark — the partition-pruned
-  copy-on-write is the scalable plan (it is what Delta/Iceberg MERGE lowers
-  to as well).
+* The source slice is typically tiny vs the target. A full-outer join can
+  never broadcast in Spark, so the state is built from an equivalent
+  decomposition that can: ``target LEFT JOIN source`` (covers matched +
+  target-only rows; AQE broadcasts the slice, so the TARGET IS NEVER
+  SHUFFLED) unioned with ``source LEFT ANTI JOIN target(pk)`` (the inserts;
+  the anti join's target side is a pk-only projection, so even its SMJ
+  fallback shuffles one 64-char column instead of every target column).
+  Row-for-row identical to the full-outer form; strictly cheaper whenever
+  the slice fits the broadcast threshold and never worse when it doesn't.
 * No Python UDFs; every clause is a ``when`` chain inside whole-stage codegen.
 """
 
@@ -99,10 +103,15 @@ def merge_state(
 
     t = target.alias("t")
     s = source.alias("s")
-    joined = t.join(s, F.col(f"t.{pk}") == F.col(f"s.{pk}"), "full_outer")
 
-    matched = F.col(f"t.{pk}").isNotNull() & F.col(f"s.{pk}").isNotNull()
-    src_only = F.col(f"t.{pk}").isNull()
+    # --- part 1: target LEFT JOIN source — matched + target-only rows.
+    # The slice sits on the broadcastable (right) side, so AQE turns this
+    # into a BroadcastHashJoin for any normally-sized slice: the target is
+    # scanned, never shuffled. (A full-outer join — the previous form —
+    # can never broadcast.)
+    part1 = t.join(s, F.col(f"t.{pk}") == F.col(f"s.{pk}"), "left")
+
+    matched = F.col(f"s.{pk}").isNotNull()
     tgt_only = F.col(f"s.{pk}").isNull()
 
     src_deleted = F.col(f"s.{deleted_c}")
@@ -110,21 +119,7 @@ def merge_state(
 
     infer_delete = _infer_delete_cond(delete_missing, delete_window, tgt_only, deleted_c)
 
-    keep = (
-        matched
-        | (src_only & ~src_deleted)  # insert clause condition (Merge.scala:109)
-        | tgt_only
-    )
-    # With the action column, unmatched-deleted source rows survive the
-    # filter tagged 'skip_delete' so downstream observe-based metrics can
-    # count them — the reference includes them in recordsInSlice and the
-    # deleted count (Merge.scala:35,92,132). The caller drops them after
-    # the observe; without the action column they are filtered here.
-    if with_action_column:
-        keep = keep | (src_only & src_deleted)
-    joined = joined.where(keep)
-
-    take_source_row = (matched & ~src_deleted & hash_differs) | (src_only & ~src_deleted)
+    take_source_row = matched & ~src_deleted & hash_differs
 
     projections = []
     for c in out_cols:
@@ -143,7 +138,6 @@ def merge_state(
         elif c == lastseen_c:
             col = (
                 F.when(matched, sc)  # all three matched clauses set lastSeen from source
-                .when(take_source_row, sc)
                 .when(infer_delete, ts_lit(processing_time))
                 .otherwise(tc)
             )
@@ -155,13 +149,40 @@ def merge_state(
             F.when(matched & src_deleted, F.lit("soft_delete"))
             .when(matched & hash_differs, F.lit("update"))
             .when(matched, F.lit("touch"))
-            .when(src_only & src_deleted, F.lit("skip_delete"))
-            .when(src_only, F.lit("insert"))
             .when(infer_delete, F.lit("infer_delete"))
             .otherwise(F.lit("keep"))
             .alias("__action")
         )
-    return joined.select(*projections)
+    part1 = part1.select(*projections)
+
+    # --- part 2: source-only rows (the insert clause, Merge.scala:109).
+    # The anti join's right side is a pk-only projection of the target, so
+    # even when both sides are too big to broadcast, the shuffle moves one
+    # 64-char column — not every target column the full-outer form moved.
+    inserts = s.join(t.select(F.col(f"t.{pk}")), on=pk, how="left_anti")
+    if not with_action_column:
+        inserts = inserts.where(~F.col(deleted_c))
+    ins_proj = []
+    for c in out_cols:
+        if c in source.columns:
+            col = F.col(c)
+        else:
+            # full-outer src_only rows carried NULL target values — typed
+            col = F.lit(None).cast(target.schema[c].dataType)
+        ins_proj.append(col.alias(c))
+    if with_action_column:
+        # unmatched-deleted source rows survive tagged 'skip_delete' so
+        # downstream observe-based metrics can count them — the reference
+        # includes them in recordsInSlice and the deleted count
+        # (Merge.scala:35,92,132). The caller drops them after the observe.
+        ins_proj.append(
+            F.when(F.col(deleted_c), F.lit("skip_delete"))
+            .otherwise(F.lit("insert"))
+            .alias("__action")
+        )
+    part2 = inserts.select(*ins_proj)
+
+    return part1.unionByName(part2)
 
 
 def scd2_state(
@@ -206,10 +227,14 @@ def scd2_state(
 
     t = current.alias("t")
     s = source.alias("s")
-    joined = t.join(s, F.col(f"t.{pk}") == F.col(f"s.{pk}"), "full_outer")
+    # Same broadcast-capable decomposition as merge_state: current LEFT
+    # JOIN source (matched + target-only; slice broadcastable, current
+    # versions never shuffled) + source ANTI current-pk (inserts; pk-only
+    # shuffle on the fallback path). Row-for-row equal to the full-outer
+    # form, which can never broadcast.
+    joined = t.join(s, F.col(f"t.{pk}") == F.col(f"s.{pk}"), "left")
 
-    matched = F.col(f"t.{pk}").isNotNull() & F.col(f"s.{pk}").isNotNull()
-    src_only = F.col(f"t.{pk}").isNull()
+    matched = F.col(f"s.{pk}").isNotNull()
     tgt_only = F.col(f"s.{pk}").isNull()
     hash_differs = F.col(f"s.{hash_c}") != F.col(f"t.{hash_c}")
 
@@ -220,7 +245,7 @@ def scd2_state(
     # One pass over the join: each joined row explodes into 1-2 output rows
     # (the surviving target-side row, and/or the new current version from
     # the source). Expressing the two shapes as separate selects unioned
-    # together (the previous form) put the join subtree in the plan twice —
+    # together (the round-1 form) put the join subtree in the plan twice —
     # exchange reuse shares the shuffle files but the sort-merge + project
     # still executed twice, doubling join compute on the one path whose
     # design goal is a single pass at 100 TB.
@@ -250,30 +275,39 @@ def scd2_state(
             .alias("__action")
         )
 
-    # shape B: new current version from source (insert or new-version, J8);
-    # a target column missing from the source (schema drift) carries the
-    # previous version's value forward instead of NULL or a crash
+    # shape B: new current version from source (new-version, J8); a target
+    # column missing from the source (schema drift) carries the previous
+    # version's value forward instead of NULL or a crash
     b_fields = [
         (F.col(f"s.{c}") if c in source.columns else F.col(f"t.{c}")).alias(c)
         for c in out_cols
     ]
     if with_action_column:
-        b_fields.append(
-            F.when(close_old, F.lit("new_version")).otherwise(F.lit("insert")).alias("__action")
-        )
+        b_fields.append(F.lit("new_version").alias("__action"))
 
     a_struct, b_struct = F.struct(*a_fields), F.struct(*b_fields)
     emitted = (
-        F.when(src_only, F.array(b_struct))
-        .when(close_old, F.array(a_struct, b_struct))
+        F.when(close_old, F.array(a_struct, b_struct))
         .otherwise(F.array(a_struct))
     )
     merged = joined.select(F.explode(emitted).alias("__r")).select("__r.*")
 
+    # inserts: source rows with no current target version (the full-outer
+    # form's src_only branch); missing source columns become typed NULLs,
+    # exactly what the outer join's all-NULL t-side produced
+    ins = source.join(current.select(F.col(pk)), on=pk, how="left_anti")
+    ins_proj = [
+        (F.col(c) if c in source.columns else F.lit(None).cast(target.schema[c].dataType)).alias(c)
+        for c in out_cols
+    ]
+    if with_action_column:
+        ins_proj.append(F.lit("insert").alias("__action"))
+    inserts = ins.select(*ins_proj)
+
     hist = historical.select(*out_cols)
     if with_action_column:
         hist = hist.withColumn("__action", F.lit("historical"))
-    return hist.unionByName(merged)
+    return hist.unionByName(merged).unionByName(inserts)
 
 
 def merge_metrics(

@@ -593,6 +593,49 @@ def test_watermark_store_compaction(spark, tmp_path):
     assert ws.latest(1)["SeqNr"] == "99"
 
 
+def test_auto_optimize_default_on_for_unpartitioned(spark, tmp_path, monkeypatch):
+    """Unpartitioned entities self-compact at the default threshold with NO
+    configuration (threshold shrunk via the class default to keep the test
+    to 3 runs); partitioned stay opt-in; explicit 0 disables."""
+    from datalakefoundation_spark.processing import Processing
+    from tests.helpers import T0, make_metadata, rows_v1, write_slice
+
+    monkeypatch.setattr(Processing, "AUTO_OPTIMIZE_DEFAULT", 2)
+
+    # bucketed so each merge stacks segments (plain dirs rewrite wholesale)
+    md = make_metadata(str(tmp_path / "root"), watermark=False)
+    opts = {"processing.time": T0, "bucketing.rows_per_bucket": 1, "bucketing.buckets": 4}
+    write_slice(spark, md, "s0.parquet", rows_v1(40))
+    p = Processing(spark, md, 1, "s0.parquet", opts)
+    p.process()
+    for i in (1, 2):
+        write_slice(
+            spark, md, f"s{i}.parquet",
+            [{"ID": 100 + i, "SeqNr": 100 + i, "name": "n", "data": "d"}],
+        )
+        p = Processing(spark, md, 1, f"s{i}.parquet", opts)
+        p.process()
+    table = p.silver_table()
+    mf = table.latest_manifest()
+    assert mf.operation == "optimize"  # default threshold engaged
+    assert len(mf.segments) == 1
+    assert table.read().count() == 42
+
+    # explicit 0 disables the default
+    md2 = make_metadata(str(tmp_path / "root2"), watermark=False)
+    opts2 = {**opts, "maintenance.auto_optimize": 0}
+    write_slice(spark, md2, "s0.parquet", rows_v1(40))
+    Processing(spark, md2, 1, "s0.parquet", opts2).process()
+    for i in (1, 2):
+        write_slice(
+            spark, md2, f"s{i}.parquet",
+            [{"ID": 100 + i, "SeqNr": 100 + i, "name": "n", "data": "d"}],
+        )
+        p2 = Processing(spark, md2, 1, f"s{i}.parquet", opts2)
+        p2.process()
+    assert p2.silver_table().latest_manifest().operation != "optimize"
+
+
 def test_auto_optimize_compacts_after_threshold(spark, tmp_path):
     """maintenance.auto_optimize compacts accumulated partitioned segments
     (and vacuums) inside the ingestion loop."""
