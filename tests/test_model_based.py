@@ -178,6 +178,56 @@ def test_merge_delete_inference_matches_reference_model(spark, lake_root, prefix
     assert any(v["deleted"] for v in expected.values()), f"seed {seed} vacuous"
 
 
+# seeds as above; forced PK-hash bucketing exercises the multi-segment
+# manifest path: per-segment min/max stats recorded each run, and the
+# windowed delete-inference merge pruning its read/rewrite set to slice
+# buckets + window-intersecting segments (processing.py _merge_like). The
+# reference model is identical — pruning must be invisible in the results.
+@pytest.mark.parametrize("seed", [1, 28, 32])
+def test_merge_delete_inference_bucketed_pruned_matches_model(
+    spark, lake_root, prefix, seed
+):
+    md = make_metadata(lake_root, prefix, delete_missing=True)
+    opts = {"bucketing.rows_per_bucket": 1, "bucketing.buckets": 8}
+    slices = _gen_overlapping_history(seed)
+    p = None
+    for i, rows in enumerate(slices):
+        write_slice(
+            spark, md, f"s{i}.parquet",
+            [{k: v for k, v in r.items() if k != "deleted"} for r in rows],
+        )
+        p = Processing(
+            spark, md, 1, f"s{i}.parquet", {"processing.time": TIMES[i], **opts}
+        )
+        p.process("merge")
+
+    # the scenario must actually be multi-segment + bucketed, or this test
+    # degenerates into the plain variant above
+    mf = p.silver_table().latest_manifest()
+    assert mf.bucketing is not None
+    assert any(seg.stats for seg in mf.segments)
+
+    expected = _merge_model_with_inference(slices)
+    got = {
+        r["ID"]: r
+        for r in p.silver_table().read().select(
+            "ID", *VALUE_COLS,
+            F.col(f"{prefix}deleted").alias("deleted"),
+            F.date_format(f"{prefix}lastSeen", "yyyy-MM-dd HH:mm:ss").alias("lastSeen"),
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for id_, exp in expected.items():
+        row = got[id_]
+        actual = {
+            **{c: row[c] for c in VALUE_COLS},
+            "deleted": row["deleted"],
+            "lastSeen": row["lastSeen"],
+        }
+        assert actual == exp, f"seed {seed}, ID {id_}: {actual} != {exp}"
+    assert any(v["deleted"] for v in expected.values()), f"seed {seed} vacuous"
+
+
 def _scd2_model(slices: list[list[dict]], sentinel: str) -> dict[tuple, dict]:
     """SCD2 simulation (Historic.scala J6/J8): version chains keyed by
     (ID, ValidFrom). First slice = full historic load."""
