@@ -132,6 +132,10 @@ _MATCHED = "(t.PK_orders IS NOT NULL AND s.PK_orders IS NOT NULL)"
 
 
 def _merge_oracle_sql(with_deleted: bool, delete_missing: bool) -> str:
+    return f"{_slice_ctes(with_deleted)}\n{_merge_select(with_deleted, delete_missing)}"
+
+
+def _merge_select(with_deleted: bool, delete_missing: bool) -> str:
     take_src = (
         f"(({_MATCHED} AND NOT s.deleted AND s.SourceHash <> t.SourceHash)"
         " OR (t.PK_orders IS NULL AND NOT s.deleted))"
@@ -156,8 +160,7 @@ def _merge_oracle_sql(with_deleted: bool, delete_missing: bool) -> str:
         f" ELSE t.lastSeen END AS lastSeen"
     )
     select_list = ",\n  ".join(cols)
-    return f"""{_slice_ctes(with_deleted)}
-SELECT
+    return f"""SELECT
   {select_list}
 FROM t FULL OUTER JOIN s ON t.PK_orders = s.PK_orders
 WHERE {_MATCHED} OR (t.PK_orders IS NULL AND NOT s.deleted) OR s.PK_orders IS NULL
@@ -361,6 +364,57 @@ SQL_WATERMARK_WINDOW = """
 SELECT o_orderkey, o_orderstatus, o_orderdate FROM orders
 WHERE o_orderkey >= 500 AND o_orderkey <= 4000
 """
+
+
+# ---------------------------------------------------------------- change feed
+_CHANGE_COLS = PAYLOAD + ["SourceHash", "PK_orders", "deleted", "lastSeen"]
+
+
+def q_change_feed(spark, sf_dir):
+    """Derived change feed (tables/changes.py — the Delta CDF analog):
+    row-level diff between the post-full-load state (T0) and the
+    post-merge state (T1), keyed by PK. Inserts from slice2's new keys,
+    update_preimage/postimage pairs for hash-changed and touched rows
+    (lastSeen moves on every matched row), no physical deletes in a merge."""
+    from datalakefoundation_spark.tables.changes import compute_changes
+
+    before = _pipe(_slice1(spark, sf_dir), T0)
+    after = merge_state(
+        before, _pipe(_slice2(spark, sf_dir, with_deleted=False), T1),
+        "PK_orders", processing_time=T1,
+    )
+    return compute_changes(before, after, "PK_orders")
+
+
+def _change_feed_oracle_sql() -> str:
+    compare = [c for c in _CHANGE_COLS if c != "PK_orders"]
+    differs = " OR ".join(f"(b.{c} IS DISTINCT FROM a.{c})" for c in compare)
+    b_cols = ", ".join(f"b.{c} AS {c}" for c in _CHANGE_COLS)
+    a_cols = ", ".join(f"a.{c} AS {c}" for c in _CHANGE_COLS)
+    return f"""{_slice_ctes(False)},
+after AS (
+{_merge_select(False, False)}
+)
+SELECT {a_cols}, 'insert' AS _change_type
+FROM after a LEFT JOIN t b ON b.PK_orders = a.PK_orders WHERE b.PK_orders IS NULL
+UNION ALL
+SELECT {b_cols}, 'delete' AS _change_type
+FROM t b LEFT JOIN after a ON b.PK_orders = a.PK_orders WHERE a.PK_orders IS NULL
+UNION ALL
+SELECT {b_cols}, 'update_preimage' AS _change_type
+FROM t b JOIN after a ON b.PK_orders = a.PK_orders WHERE {differs}
+UNION ALL
+SELECT {a_cols}, 'update_postimage' AS _change_type
+FROM t b JOIN after a ON b.PK_orders = a.PK_orders WHERE {differs}
+"""
+
+
+# Oracle-paired but outside the driver's 50-row window (see
+# verification.extra_queries) — covered locally by tests/test_oracle_parity
+# and tools/check_oracle.
+EXTRA = {
+    "q_change_feed": (q_change_feed, _change_feed_oracle_sql()),
+}
 
 
 QUERIES = {

@@ -1,0 +1,98 @@
+"""Change feed (tables/changes.py — the Delta CDF analog, derived as a
+pk-keyed diff of two committed LakeTable versions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakefoundation_spark.tables.changes import compute_changes, read_changes
+from datalakefoundation_spark.tables.lake_table import LakeTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "pk string, val int, note string")
+
+
+def test_compute_changes_all_shapes(spark):
+    before = _df(spark, [("a", 1, "x"), ("b", 2, "y"), ("c", 3, None)])
+    after = _df(spark, [("a", 1, "x"), ("b", 20, "y"), ("d", 4, "z")])
+    out = compute_changes(before, after, "pk")
+    got = {(r["pk"], r["_change_type"]): (r["val"], r["note"]) for r in out.collect()}
+    assert got == {
+        ("b", "update_preimage"): (2, "y"),
+        ("b", "update_postimage"): (20, "y"),
+        ("c", "delete"): (3, None),
+        ("d", "insert"): (4, "z"),
+    }
+    # unchanged row 'a' emits nothing
+    assert out.count() == 4
+
+
+def test_compute_changes_null_safety(spark):
+    """NULL -> value and value -> NULL are updates; NULL == NULL is not."""
+    before = _df(spark, [("a", 1, None), ("b", 2, "set")])
+    after = _df(spark, [("a", 1, "now"), ("b", 2, None)])
+    out = compute_changes(before, after, "pk")
+    types = sorted((r["pk"], r["_change_type"]) for r in out.collect())
+    assert types == [
+        ("a", "update_postimage"), ("a", "update_preimage"),
+        ("b", "update_postimage"), ("b", "update_preimage"),
+    ]
+    same = compute_changes(before, before, "pk")
+    assert same.count() == 0
+
+
+def test_compute_changes_compare_cols_subset(spark):
+    """With compare_cols restricted, differences in other columns are
+    invisible (narrow consumers skip irrelevant churn)."""
+    before = _df(spark, [("a", 1, "x")])
+    after = _df(spark, [("a", 1, "CHANGED")])
+    assert compute_changes(before, after, "pk", compare_cols=["val"]).count() == 0
+    assert compute_changes(before, after, "pk", compare_cols=["note"]).count() == 2
+
+
+def test_read_changes_between_versions(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    df0 = spark.createDataFrame(
+        [("h1", 1, "a"), ("h2", 2, "b")], "PK_item string, val int, s string"
+    )
+    t.overwrite(df0)  # v0
+    df1 = spark.createDataFrame(
+        [("h1", 1, "a"), ("h3", 3, "c")], "PK_item string, val int, s string"
+    )
+    t.overwrite(df1)  # v1: h2 physically gone, h3 new
+    out = read_changes(t, from_version=0)  # pk inferred from PK_ prefix
+    got = {(r["PK_item"], r["_change_type"]) for r in out.collect()}
+    assert got == {("h2", "delete"), ("h3", "insert")}
+
+    # explicit to_version + no changes -> empty feed
+    assert read_changes(t, from_version=1, to_version=1).count() == 0
+
+
+def test_read_changes_pk_inference_fails_cleanly(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, 2)], "a int, b int"))
+    with pytest.raises(ValueError, match="cannot infer pk"):
+        read_changes(t, from_version=0)
+    # explicit pk works
+    t.overwrite(spark.createDataFrame([(1, 99)], "a int, b int"))
+    out = read_changes(t, from_version=0, pk="a")
+    assert {r["_change_type"] for r in out.collect()} == {
+        "update_preimage", "update_postimage",
+    }
+
+
+def test_change_feed_applies_forward(spark):
+    """Applying the feed to `before` reconstructs `after` exactly — the
+    CDF contract an incremental consumer relies on."""
+    before = _df(spark, [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")])
+    after = _df(spark, [("a", 10, "x"), ("d", 4, "q")])
+    feed = compute_changes(before, after, "pk")
+    deletes = feed.where(F.col("_change_type").isin("delete", "update_preimage"))
+    adds = feed.where(F.col("_change_type").isin("insert", "update_postimage"))
+    rebuilt = (
+        before.join(deletes.select("pk"), "pk", "left_anti")
+        .unionByName(adds.drop("_change_type"))
+    )
+    assert {tuple(r) for r in rebuilt.collect()} == {tuple(r) for r in after.collect()}
