@@ -103,3 +103,80 @@ def test_watermark_verbatim_pattern_roundtrips(value):
 @given(st.integers(-10**9, 10**9))
 def test_watermark_numeric_passthrough(v):
     assert evaluate_watermark_expression("${last_value}", v) == str(v)
+
+
+# ---------------------------------------------------------------- stats pruning
+# Soundness of the segment-stats interval evaluator: if it says a segment
+# can be SKIPPED (False), then no row the stats describe can satisfy the
+# window condition. The reverse (True with no matching row) is allowed —
+# pruning is conservative — but a false skip silently loses deletes.
+
+_num_vals = st.integers(min_value=-50, max_value=50)
+
+
+@st.composite
+def _segment_and_spec(draw):
+    cols = ["a", "b", "c"]
+    rows = draw(
+        st.lists(
+            st.fixed_dictionaries(
+                {c: st.none() | _num_vals for c in cols}
+            ),
+            min_size=0,
+            max_size=8,
+        )
+    )
+    # stats exactly as the writer records them: min/max over non-null values,
+    # all-null -> (None, None); columns can also be unrecorded (absent)
+    stats = {}
+    for c in draw(st.sets(st.sampled_from(cols), min_size=0, max_size=3)):
+        vals = [r[c] for r in rows if r[c] is not None]
+        stats[c] = {
+            "min": min(vals) if vals else None,
+            "max": max(vals) if vals else None,
+            "t": "num",
+        }
+    # window spec: 1-2 AND-groups, each 1-3 (op, col, lo, hi) conditions
+    def cond():
+        lo = draw(_num_vals)
+        hi = draw(_num_vals)
+        return (draw(st.sampled_from(["and", "or"])), draw(st.sampled_from(cols)),
+                str(min(lo, hi)), str(max(lo, hi)))
+
+    spec = [
+        [cond() for _ in range(draw(st.integers(1, 3)))]
+        for _ in range(draw(st.integers(1, 2)))
+    ]
+    return rows, stats, spec
+
+
+def _row_matches(row, spec):
+    """Python twin of build_window_condition's fold over one row (SQL
+    three-valued logic: a condition on NULL is False for this inclusive
+    between; the group fold mirrors segment_may_match's)."""
+    for group in spec:
+        g = None
+        for op, col, lo, hi in group:
+            v = row[col]
+            ok = v is not None and int(lo) <= v <= int(hi)
+            if g is None:
+                g = ok
+            elif op == "or":
+                g = g or ok
+            else:
+                g = g and ok
+        if not g:
+            return False
+    return True
+
+
+@given(_segment_and_spec())
+@settings(max_examples=300)
+def test_segment_may_match_is_sound(case):
+    from datalakefoundation_spark.tables.lake_table import segment_may_match
+
+    rows, stats, spec = case
+    if not segment_may_match(stats, spec):
+        assert not any(_row_matches(r, spec) for r in rows), (
+            f"pruned a segment containing a matching row: {rows} {stats} {spec}"
+        )
