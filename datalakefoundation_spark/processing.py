@@ -70,6 +70,17 @@ class Processing:
         self.check_duplicates = bool(
             self.options.get("check_duplicates", settings.get("check_duplicates", True))
         )
+        # Additive schema evolution (Delta mergeSchema analog): a column the
+        # bronze slice carries but silver lacks is ADDED to the target on
+        # merge/historic runs (existing rows/versions read typed NULLs)
+        # instead of warn-and-drop. Off by default — reference parity is
+        # drop + warn (core/normalize schema_compare).
+        self.schema_evolution_additive = bool(
+            self.options.get(
+                "schema_evolution.additive",
+                settings.get("schema_evolution.additive", False),
+            )
+        )
         # processing.time override: invalid ISO -> error log + now; "now" is
         # computed in environment.timezone (Processing.scala:58-73,
         # Environment.scala:42-43), not the driver host's local zone.
@@ -678,7 +689,14 @@ class Processing:
                 strategy="historic" if historic else "merge",
             )
         drift = schema_compare(source, target.drop(BUCKET_COL) if bucketed else target)
-        if drift["added"] or drift["removed"]:
+        evolved: list[str] = []
+        if drift["added"] and self.schema_evolution_additive:
+            evolved = list(drift["added"])
+            logger.info(
+                "schema evolution for %s: adding columns %s to silver "
+                "(existing rows read NULL)", self.entity.destination, evolved,
+            )
+        if (drift["added"] and not evolved) or drift["removed"]:
             logger.warning(
                 "schema drift for %s: added=%s removed=%s",
                 self.entity.destination,
@@ -707,6 +725,7 @@ class Processing:
             delete_window=window,
             delete_missing=self.delete_missing,
             with_action_column=True,
+            extra_columns=evolved,
         )
         # Per-action counts are collected DURING the write via df.observe —
         # the merged state is computed exactly once and never cached. (The

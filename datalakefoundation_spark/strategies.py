@@ -72,6 +72,20 @@ def _infer_delete_cond(
     return tgt_only & delete_window & ~F.col(f"t.{deleted_c}")
 
 
+def _output_columns(
+    target: DataFrame, source: DataFrame, extra_columns
+) -> list[str]:
+    """Output schema of a merge: the target's columns, plus (opt-in
+    additive schema evolution — Delta ``mergeSchema`` analog) source
+    columns named in ``extra_columns`` that the target lacks. Rows that
+    don't take the source side carry typed NULLs for evolved columns."""
+    out = list(target.columns)
+    for c in extra_columns or ():
+        if c not in out and c in source.columns:
+            out.append(c)
+    return out
+
+
 def merge_state(
     target: DataFrame,
     source: DataFrame,
@@ -81,6 +95,7 @@ def merge_state(
     delete_window: Column | None = None,
     delete_missing: bool = False,
     with_action_column: bool = False,
+    extra_columns=(),
 ) -> DataFrame:
     """Post-merge state of the 4-clause Delta merge J1-J5 (Merge.scala:96-125).
 
@@ -99,7 +114,7 @@ def merge_state(
     deleted_c = f"{prefix}deleted"
     lastseen_c = f"{prefix}lastSeen"
     hash_c = f"{prefix}SourceHash"
-    out_cols = target.columns
+    out_cols = _output_columns(target, source, extra_columns)
 
     t = target.alias("t")
     s = source.alias("s")
@@ -125,8 +140,13 @@ def merge_state(
     for c in out_cols:
         # a target column missing from the source (schema drift, already
         # warned about upstream) keeps its target value on updated rows —
-        # NULLing it would silently destroy data the source never carried
-        tc = F.col(f"t.{c}")
+        # NULLing it would silently destroy data the source never carried;
+        # an EVOLVED column (additive schema evolution) has no target side
+        # and reads as a typed NULL wherever the source row isn't taken
+        if c in target.columns:
+            tc = F.col(f"t.{c}")
+        else:
+            tc = F.lit(None).cast(source.schema[c].dataType)
         sc = F.col(f"s.{c}") if c in source.columns else tc
         if c == deleted_c:
             col = (
@@ -170,6 +190,8 @@ def merge_state(
             # full-outer src_only rows carried NULL target values — typed
             col = F.lit(None).cast(target.schema[c].dataType)
         ins_proj.append(col.alias(c))
+    # (evolved columns are source columns by construction, so the NULL
+    # branch above only ever consults genuine target columns)
     if with_action_column:
         # unmatched-deleted source rows survive tagged 'skip_delete' so
         # downstream observe-based metrics can count them — the reference
@@ -194,6 +216,7 @@ def scd2_state(
     delete_window: Column | None = None,
     delete_missing: bool = False,
     with_action_column: bool = False,
+    extra_columns=(),
 ) -> DataFrame:
     """Post-run SCD Type 2 state (Historic.scala:14-168, clauses J6-J8).
 
@@ -215,7 +238,7 @@ def scd2_state(
     vfrom_c = f"{prefix}ValidFrom"
     vto_c = f"{prefix}ValidTo"
     iscur_c = f"{prefix}IsCurrent"
-    out_cols = target.columns
+    out_cols = _output_columns(target, source, extra_columns)
 
     # NULL IsCurrent (a segment written without temporal columns, e.g. a
     # per-run strategy override) counts as CURRENT: the row is the latest
@@ -254,7 +277,10 @@ def scd2_state(
     # shape A: surviving target-side row (closed, deleted-closed, or untouched)
     a_fields = []
     for c in out_cols:
-        tc = F.col(f"t.{c}")
+        if c in target.columns:
+            tc = F.col(f"t.{c}")
+        else:  # evolved column: closed/untouched versions never had it
+            tc = F.lit(None).cast(source.schema[c].dataType)
         if c == vto_c:
             col = F.when(close_old | infer_delete, pt_ts).otherwise(tc)
         elif c == iscur_c:
@@ -281,7 +307,7 @@ def scd2_state(
     b_fields = [
         (F.col(f"s.{c}") if c in source.columns else F.col(f"t.{c}")).alias(c)
         for c in out_cols
-    ]
+    ]  # evolved columns are source columns, so t.{c} only hits real target cols
     if with_action_column:
         b_fields.append(F.lit("new_version").alias("__action"))
 
@@ -304,7 +330,16 @@ def scd2_state(
         ins_proj.append(F.lit("insert").alias("__action"))
     inserts = ins.select(*ins_proj)
 
-    hist = historical.select(*out_cols)
+    hist = historical.select(
+        *[
+            (
+                F.col(c)
+                if c in historical.columns
+                else F.lit(None).cast(source.schema[c].dataType).alias(c)
+            )
+            for c in out_cols
+        ]
+    )
     if with_action_column:
         hist = hist.withColumn("__action", F.lit("historical"))
     return hist.unionByName(merged).unionByName(inserts)

@@ -593,6 +593,77 @@ def test_watermark_store_compaction(spark, tmp_path):
     assert ws.latest(1)["SeqNr"] == "99"
 
 
+def test_schema_evolution_additive_merge(spark, lake_root, prefix):
+    """schema_evolution.additive: a new bronze column is ADDED to silver on
+    merge — slice rows carry values, untouched rows read NULL. Default
+    (off) keeps reference parity: warn + drop."""
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(10))
+    Processing(spark, md, 1, "s1.parquet", {"processing.time": T0}).process()
+
+    rows2 = [{**r, "extra": f"e{r['ID']}"} for r in rows_v1(6)]
+    write_slice(spark, md, "s2.parquet", rows2)
+
+    # default: dropped
+    p_off = Processing(spark, md, 1, "s2.parquet", {"processing.time": T1})
+    p_off.process()
+    assert "extra" not in silver(p_off).columns
+
+    # enabled: column appears; rows whose hash changed take the value,
+    # untouched/unmatched rows read NULL (hash-equal rows only touch
+    # lastSeen — same as Delta: no matched-update fires on equal hashes)
+    write_slice(
+        spark, md, "s3.parquet",
+        [{**r, "data": r["data"] + "_v3", "extra": f"e{r['ID']}"} for r in rows_v1(6)],
+    )
+    p_on = Processing(
+        spark, md, 1, "s3.parquet",
+        {"processing.time": T2, "schema_evolution.additive": True},
+    )
+    p_on.process()
+    out = silver(p_on)
+    assert "extra" in out.columns
+    vals = {r["ID"]: r["extra"] for r in out.collect()}
+    assert vals == {**{i: f"e{i}" for i in range(6)}, **{i: None for i in range(6, 10)}}
+
+    # a later slice WITHOUT the column updates rows but PRESERVES their
+    # evolved values (missing-from-source columns keep target values — the
+    # same drift rule that protects any target-only column)
+    write_slice(
+        spark, md, "s4.parquet",
+        [{**r, "data": r["data"] + "_v4"} for r in rows_v1(10)],
+    )
+    p_later = Processing(spark, md, 1, "s4.parquet", {"processing.time": T2})
+    p_later.process()
+    out2 = silver(p_later)
+    assert "extra" in out2.columns
+    vals2 = {r["ID"]: r["extra"] for r in out2.collect()}
+    assert vals2 == {**{i: f"e{i}" for i in range(6)}, **{i: None for i in range(6, 10)}}
+
+
+def test_schema_evolution_additive_scd2(spark, lake_root, prefix):
+    """SCD2 evolution: new versions carry the evolved column; closed and
+    historical versions read NULL."""
+    md = make_metadata(lake_root, prefix, processtype="historic")
+    write_slice(spark, md, "s1.parquet", rows_v1(4))
+    Processing(spark, md, 1, "s1.parquet", {"processing.time": T0}).process()
+
+    rows2 = [{**r, "data": r["data"] + "_v2", "extra": f"e{r['ID']}"} for r in rows_v1(2)]
+    write_slice(spark, md, "s2.parquet", rows2)
+    p = Processing(
+        spark, md, 1, "s2.parquet",
+        {"processing.time": T1, "schema_evolution.additive": True},
+    )
+    p.process()
+    out = silver(p)
+    assert "extra" in out.columns
+    cur = out.where(F.col(f"{prefix}IsCurrent"))
+    old = out.where(~F.col(f"{prefix}IsCurrent"))
+    assert {r["extra"] for r in cur.where(F.col("ID") < 2).collect()} == {"e0", "e1"}
+    assert cur.where((F.col("ID") >= 2) & F.col("extra").isNotNull()).count() == 0
+    assert old.where(F.col("extra").isNotNull()).count() == 0
+
+
 def test_auto_optimize_default_on_for_unpartitioned(spark, tmp_path, monkeypatch):
     """Unpartitioned entities self-compact at the default threshold with NO
     configuration (threshold shrunk via the class default to keep the test
