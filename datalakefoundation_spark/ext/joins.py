@@ -1,0 +1,89 @@
+"""Temporal joins Spark lacks as built-ins — as-of join.
+
+The reference engine has no temporal-join surface; this is part of the
+100 TB extension goals (event streams joined to slowly-updating reference
+series: trades→quotes, events→feature snapshots, logs→deploy markers).
+
+Spark-first formulation: an as-of join is NOT expressed as a range join
+(``l.ts >= r.ts`` alone explodes to all earlier rows per key before a
+per-row argmax — quadratic in the per-key history). Instead both sides
+union into one stream, one shuffle on the key, one event-time sort, and a
+running ``last(right_row, ignorenulls=true)`` window carries the most
+recent right row forward onto every left row — O(n log n) per key, no
+row explosion, and AQE handles the partition sizing. The right row rides
+as ONE struct so all matched columns come from the SAME row (per-column
+fills could mix rows when the right side carries NULLs).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    right_cols: Sequence[str] | None = None,
+    tolerance=None,
+    matched_ts_col: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row with
+    the LARGEST ``right_ts <= left_ts`` within the same ``on`` key (ties
+    at equal timestamps match — the right row sorts first). Left rows with
+    no earlier right row get NULLs (left-outer semantics, like pandas
+    ``merge_asof`` / DuckDB ``ASOF LEFT JOIN``).
+
+    * ``right_cols`` — right columns to attach (default: all but key/ts);
+      names must not collide with left's (rename upstream).
+    * ``tolerance`` — max allowed ``left_ts - right_ts`` (same units as
+      the ts columns); matches farther back are nulled, like merge_asof.
+    * ``matched_ts_col`` — optionally emit the matched right timestamp.
+    * Duplicate right rows on the same (key, ts): which one wins is
+      unspecified — pre-aggregate the right side (e.g. ``max_by``) when
+      that matters.
+
+    Forward as-of: negate both ts columns and flip back afterwards.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in set(keys) and c != rts]
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right columns collide with left: {sorted(clash)}")
+
+    rstruct = F.struct(
+        F.col(rts).alias("__rts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    rside = (
+        right.select(*keys, F.col(rts).alias("__ts"), rstruct.alias("__r"))
+        .withColumn("__side", F.lit(0))
+    )
+    lside = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    u = lside.unionByName(rside, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(F.col("__r"), ignorenulls=True).over(w)
+    res = u.select(*left.columns, "__side", matched.alias("__m")).where(
+        F.col("__side") == 1
+    )
+
+    ok: Column = F.col("__m").isNotNull()
+    if tolerance is not None:
+        ok = ok & ((F.col(left_ts) - F.col("__m.__rts")) <= F.lit(tolerance))
+    out_cols = [F.col(c) for c in left.columns]
+    if matched_ts_col is not None:
+        out_cols.append(F.when(ok, F.col("__m.__rts")).alias(matched_ts_col))
+    out_cols += [F.when(ok, F.col(f"__m.{c}")).alias(c) for c in right_cols]
+    return res.select(*out_cols)

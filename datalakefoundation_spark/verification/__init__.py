@@ -50,10 +50,15 @@ def extra_queries() -> dict[str, tuple[QueryFn, str | None]]:
     (see ``core_queries.EXTRA``); these remain runnable for the benchmark
     and the local parity gates (tests/test_oracle_parity.py and
     tools/check_oracle.py, both of which include them unconditionally)."""
-    from datalakefoundation_spark.verification import core_queries, strategy_queries
+    from datalakefoundation_spark.verification import (
+        core_queries,
+        ext_queries,
+        strategy_queries,
+    )
 
     merged: dict[str, tuple[QueryFn, str | None]] = dict(core_queries.EXTRA)
     merged.update(strategy_queries.EXTRA)
+    merged.update(ext_queries.EXTRA)
     overlap = set(merged) & set(all_queries())
     if overlap:
         raise ValueError(f"extra queries shadow registry entries: {sorted(overlap)}")

@@ -532,6 +532,54 @@ LIMIT 50
 """
 
 
+# ---------------------------------------------------------------- as-of join
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (ext/joins.py): each 'view' event gets the most
+    recent same-user 'click' at-or-before its timestamp. The right side is
+    pre-aggregated to one row per (user, ts) (arg-max by event id) so the
+    as-of match is deterministic across engines."""
+    from datalakefoundation_spark.ext.joins import asof_join
+    from datalakefoundation_spark.verification.core_queries import read_events
+
+    ev = read_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    return asof_join(
+        views, clicks, on="user_id", left_ts="ts_us",
+        matched_ts_col="click_ts_us",
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events
+),
+clicks AS (
+  SELECT user_id, ts_us, arg_max(value, event_id) AS click_value
+  FROM ev WHERE event_type = 'click' GROUP BY user_id, ts_us
+),
+views AS (
+  SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'view'
+)
+SELECT v.event_id, v.user_id, v.ts_us, c.ts_us AS click_ts_us, c.click_value
+FROM views v ASOF LEFT JOIN clicks c
+  ON v.user_id = c.user_id AND v.ts_us >= c.ts_us
+"""
+
+
+# Oracle-paired but outside the driver's 50-row window (see
+# verification.extra_queries).
+EXTRA = {
+    "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+}
+
+
 QUERIES = {
     "q_multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "q_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
