@@ -512,7 +512,15 @@ class Processing:
                     if self._bucketed:
                         self.n_buckets = new_layout[1]
         table.optimize(cluster_by=cluster)
-        table.vacuum()
+        # maintenance.vacuum_retain: number of newest versions whose
+        # segments survive the post-compaction vacuum (1 = current only)
+        table.vacuum(
+            retain_last=int(
+                self.options.get(
+                    "maintenance.vacuum_retain", settings.get("maintenance.vacuum_retain", 1)
+                )
+            )
+        )
 
     def _gc_orphans(self) -> None:
         """Maintenance sweep for crash leftovers: a prior writer that died

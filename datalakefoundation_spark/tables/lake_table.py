@@ -813,12 +813,20 @@ class LakeTable:
                 removed.append(rel)
         return removed
 
-    def vacuum(self) -> list[str]:
-        """Delete segment dirs + manifests not referenced by the latest version."""
-        mf = self.latest_manifest()
-        if mf is None:
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Delete segment dirs + manifests not referenced by the newest
+        ``retain_last`` versions (the version-count analog of Delta's
+        time-based VACUUM retention). Default 1 keeps only the current
+        version — time travel resets; pass a larger value to keep a
+        rollback/debugging horizon. Values < 1 are clamped to 1 (the
+        current version is never droppable)."""
+        retain_last = max(1, int(retain_last))
+        history = self.history()
+        if not history:
             return []
-        live = {s.dir for s in mf.segments}
+        keep = sorted(history, key=lambda m: m.version, reverse=True)[:retain_last]
+        live = {s.dir for m in keep for s in m.segments}
+        keep_manifests = {f"v{m.version:05d}.json" for m in keep}
         removed = []
         for name in self.fs.listdir(f"{self.path}/data"):
             rel = f"data/{name}"
@@ -826,7 +834,7 @@ class LakeTable:
                 self.fs.delete_tree(f"{self.path}/{rel}")
                 removed.append(rel)
         for name in self.fs.listdir(self._manifest_dir):
-            if name.endswith(".json") and name != f"v{mf.version:05d}.json":
+            if name.endswith(".json") and name not in keep_manifests:
                 self.fs.delete_file(f"{self._manifest_dir}/{name}")
         return removed
 

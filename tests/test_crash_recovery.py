@@ -148,3 +148,21 @@ def test_processing_run_sweeps_orphans(spark, lake_root, prefix):
     p3.process()
     assert not os.path.isdir(orphan)
     assert p3.silver_table().read().count() == 12
+
+
+def test_vacuum_retention(spark, tmp_path):
+    """vacuum(retain_last=N) keeps the newest N versions time-travel
+    readable and reclaims everything older."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    for hi in (3, 5, 8, 13):
+        t.overwrite(_df(spark, 0, hi))  # v0..v3
+    removed = t.vacuum(retain_last=2)
+    assert removed  # v0/v1 segments reclaimed
+    assert t.read(version=3).count() == 13
+    assert t.read(version=2).count() == 8
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        t.manifest_at(1)
+    # clamp: retain_last=0 still keeps the current version
+    t.vacuum(retain_last=0)
+    assert t.read().count() == 13
