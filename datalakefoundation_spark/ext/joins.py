@@ -87,3 +87,49 @@ def asof_join(
         out_cols.append(F.when(ok, F.col("__m.__rts")).alias(matched_ts_col))
     out_cols += [F.when(ok, F.col(f"__m.{c}")).alias(c) for c in right_cols]
     return res.select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    on: str | Sequence[str] | None = None,
+    granule: int = 3_600,
+) -> DataFrame:
+    """Inner join of point rows to every interval row containing them
+    (``start_ts <= point_ts <= end_ts``, same ``on`` key if given) —
+    WITHOUT the nested-loop/cartesian plan a raw inequality join produces.
+
+    Granule bucketing: each interval explodes to the ``granule``-sized
+    buckets it covers, each point computes its one bucket, and the match
+    becomes an EQUI-join on (keys..., bucket) followed by the exact bound
+    filter. A point's bucket intersects a covering interval in exactly one
+    exploded copy, so no dedup pass is needed. One shuffle on
+    (keys, bucket); interval fan-out = ceil(length/granule) rows — pick
+    ``granule`` near the typical interval length so fan-out stays small
+    while buckets stay selective (the standard time-binning trade-off).
+    Timestamps are numeric (epoch seconds/us/ns — any consistent unit).
+
+    Output: all point columns + all interval columns (names must be
+    disjoint apart from the join keys)."""
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    clash = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if clash:
+        raise ValueError(f"overlapping non-key columns: {sorted(clash)}")
+    g = F.lit(int(granule))
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_ts) / g).cast("long"),
+                F.floor(F.col(end_ts) / g).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("__b", F.floor(F.col(point_ts) / g).cast("long"))
+    j = pt.join(iv, on=keys + ["__b"], how="inner").where(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return j.drop("__b")

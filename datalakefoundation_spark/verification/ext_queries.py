@@ -573,10 +573,61 @@ FROM views v ASOF LEFT JOIN clicks c
 """
 
 
+def q_interval_join(spark, sf_dir):
+    """Keyed interval join (ext/joins.py): events falling inside each
+    user's first and last 30-minute activity window. Granule-bucketed
+    equi-join — no nested-loop range join."""
+    from datalakefoundation_spark.ext.joins import interval_join
+    from datalakefoundation_spark.verification.core_queries import read_events
+
+    HALF_HOUR_US = 1_800_000_000
+    ev = (
+        read_events(spark, sf_dir)
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .select("event_id", "user_id", "ts_us")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx")
+    )
+    iv = bounds.selectExpr(
+        "user_id", "1 AS iv_id", "mn AS iv_start_us",
+        f"mn + {HALF_HOUR_US} AS iv_end_us",
+    ).unionByName(
+        bounds.selectExpr(
+            "user_id", "2 AS iv_id", f"mx - {HALF_HOUR_US} AS iv_start_us",
+            "mx AS iv_end_us",
+        )
+    )
+    return interval_join(
+        ev, iv, point_ts="ts_us", start_ts="iv_start_us", end_ts="iv_end_us",
+        on="user_id", granule=HALF_HOUR_US,
+    ).select("event_id", "user_id", "ts_us", "iv_id", "iv_start_us", "iv_end_us")
+
+
+SQL_INTERVAL_JOIN = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+),
+bounds AS (
+  SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx FROM ev GROUP BY user_id
+),
+iv AS (
+  SELECT user_id, 1 AS iv_id, mn AS iv_start_us, mn + 1800000000 AS iv_end_us FROM bounds
+  UNION ALL
+  SELECT user_id, 2 AS iv_id, mx - 1800000000 AS iv_start_us, mx AS iv_end_us FROM bounds
+)
+SELECT e.event_id, e.user_id, e.ts_us, iv.iv_id, iv.iv_start_us, iv.iv_end_us
+FROM ev e JOIN iv
+  ON e.user_id = iv.user_id
+ AND e.ts_us BETWEEN iv.iv_start_us AND iv.iv_end_us
+"""
+
+
 # Oracle-paired but outside the driver's 50-row window (see
 # verification.extra_queries).
 EXTRA = {
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
 }
 
 

@@ -89,3 +89,69 @@ def test_asof_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------- interval join
+from datalakefoundation_spark.ext.joins import interval_join
+
+
+def _iv_sides(spark):
+    points = spark.createDataFrame(
+        [("u1", 5, "a"), ("u1", 15, "b"), ("u1", 25, "c"), ("u2", 15, "d")],
+        "k string, ts long, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [("u1", 0, 10, "early"), ("u1", 10, 20, "mid"), ("u2", 100, 200, "late")],
+        "k string, lo long, hi long, label string",
+    )
+    return points, intervals
+
+
+def test_interval_join_keyed(spark):
+    points, intervals = _iv_sides(spark)
+    out = interval_join(points, intervals, "ts", "lo", "hi", on="k", granule=7)
+    got = {(r["tag"], r["label"]) for r in out.collect()}
+    # inclusive bounds: ts=15 is only in [10,20]; ts=25 matches nothing;
+    # u2's point at 15 is outside [100,200]
+    assert got == {("a", "early"), ("b", "mid")}
+
+
+def test_interval_join_boundary_inclusive_and_multi_match(spark):
+    points = spark.createDataFrame([("u1", 10, "edge")], "k string, ts long, tag string")
+    intervals = spark.createDataFrame(
+        [("u1", 0, 10, "ends_at"), ("u1", 10, 20, "starts_at")],
+        "k string, lo long, hi long, label string",
+    )
+    out = interval_join(points, intervals, "ts", "lo", "hi", on="k", granule=4)
+    # both inclusive bounds match; the overlapping interval pair yields 2 rows
+    assert {r["label"] for r in out.collect()} == {"ends_at", "starts_at"}
+
+
+def test_interval_join_no_duplicate_per_long_interval(spark):
+    """An interval spanning many granules still matches a point exactly
+    once (the equi-join hits the single exploded copy at the point's
+    bucket)."""
+    points = spark.createDataFrame([("u1", 50, "p")], "k string, ts long, tag string")
+    intervals = spark.createDataFrame(
+        [("u1", 0, 1000, "long")], "k string, lo long, hi long, label string"
+    )
+    out = interval_join(points, intervals, "ts", "lo", "hi", on="k", granule=3)
+    assert out.count() == 1
+
+
+def test_interval_join_unkeyed_and_clash(spark):
+    points = spark.createDataFrame([(5, "x")], "ts long, tag string")
+    intervals = spark.createDataFrame([(0, 10, "all")], "lo long, hi long, label string")
+    out = interval_join(points, intervals, "ts", "lo", "hi", granule=100)
+    assert out.collect()[0]["label"] == "all"
+    import pytest as _pytest
+    bad = spark.createDataFrame([(0, 10, "y")], "lo long, hi long, tag string")
+    with _pytest.raises(ValueError, match="overlapping"):
+        interval_join(points, bad, "ts", "lo", "hi")
+
+
+def test_interval_join_no_nested_loop_plan(spark):
+    points, intervals = _iv_sides(spark)
+    out = interval_join(points, intervals, "ts", "lo", "hi", on="k", granule=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
