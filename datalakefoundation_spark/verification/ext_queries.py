@@ -623,11 +623,39 @@ FROM ev e JOIN iv
 """
 
 
+def q_grouped_topk(spark, sf_dir):
+    """Two-stage grouped top-k (ext/topk.py): top-3 orders per priority by
+    (totalprice, orderkey) descending — map-side partial reduction, only
+    partitions*k rows per group shuffle."""
+    from datalakefoundation_spark.ext.topk import grouped_topk
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    return grouped_topk(
+        orders, "o_orderpriority", "o_totalprice", 3,
+        tiebreak=["o_orderkey"], payload=[],
+    )
+
+
+SQL_GROUPED_TOPK = """
+SELECT o_orderpriority, o_totalprice, o_orderkey, rank FROM (
+  SELECT o_orderpriority, o_totalprice, o_orderkey,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey DESC
+         ) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
 # Oracle-paired but outside the driver's 50-row window (see
 # verification.extra_queries).
 EXTRA = {
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "q_grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
 }
 
 

@@ -629,3 +629,54 @@ def test_novelty_planted_copy(spark, docs):
     assert rows[700000]["novelty_ratio"] == pytest.approx(0.0)
     assert rows[700000]["n_seen_before"] == rows[700000]["n_shingles"]
     assert rows[0]["novelty_ratio"] > 0.0
+
+
+# ---------------------------------------------------------------- grouped topk
+def test_grouped_topk_matches_window_formulation(spark):
+    """Equivalence with the idiomatic window top-k on seeded data with
+    heavy ties (many rows share order values; id gives the total order)."""
+    import random
+
+    from datalakefoundation_spark.ext.topk import grouped_topk
+    from pyspark.sql.window import Window
+
+    rng = random.Random(7)
+    rows = [(f"g{rng.randint(0, 5)}", rng.randint(0, 9), i, f"p{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v int, id long, note string").repartition(16)
+
+    got = grouped_topk(df, "g", "v", 4, tiebreak=["id"])
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.desc("id"))
+    ref = (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 4)
+        .select("g", "v", "id", "note", "rank")
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in ref.collect()}
+
+    # ascending mode
+    got_asc = grouped_topk(df, "g", "v", 2, descending=False, tiebreak=["id"])
+    w2 = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    ref_asc = (
+        df.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= 2)
+        .select("g", "v", "id", "note", "rank")
+    )
+    assert {tuple(r) for r in got_asc.collect()} == {tuple(r) for r in ref_asc.collect()}
+
+
+def test_grouped_topk_plan_reduces_before_shuffle(spark):
+    """Plan shape: the Arrow-batched local reduction runs BEFORE the single
+    rank-window exchange — no raw-row shuffle."""
+    from datalakefoundation_spark.ext.topk import grouped_topk
+
+    df = spark.createDataFrame(
+        [(f"g{i%3}", i, i) for i in range(100)], "g string, v int, id int"
+    ).repartition(8)
+    out = grouped_topk(df, "g", "v", 2, tiebreak=["id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    # the only hash exchange is the rank window's, downstream of the reduction
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.index("MapInPandas") > plan.index("Exchange hashpartitioning"), (
+        "plan prints top-down: MapInPandas must be BELOW (i.e. before) the exchange"
+    )
