@@ -492,11 +492,12 @@ class Processing:
             "auto-optimize %s: %d segments > %s", self.entity.destination,
             len(mf.segments), threshold,
         )
-        # The compaction rewrites every directory anyway, so it is also the
-        # moment a merge-only entity's layout catches up with its actual
-        # size (full overwrites re-derive in _process_full; merges never
-        # do). One count() against the table is trivial next to the rewrite,
-        # and optimize() recomputes bucket ids from the new layout.
+        # A full rewrite is also the moment a merge-only entity's layout
+        # catches up with its actual size (full overwrites re-derive in
+        # _process_full; merges never do). One count() against the table is
+        # trivial next to the rewrite, and optimize() recomputes bucket ids
+        # from the new layout.
+        did_layout = False
         if not self.entity.partition_columns and self.entity.businesskeys and self._bucket_cap > 0:
             total_rows = table.read().count()
             if total_rows > 0:
@@ -511,16 +512,38 @@ class Processing:
                     self._bucketed = new_layout[0] is not None
                     if self._bucketed:
                         self.n_buckets = new_layout[1]
-        table.optimize(cluster_by=cluster)
-        # maintenance.vacuum_retain: number of newest versions whose
-        # segments survive the post-compaction vacuum (1 = current only)
-        table.vacuum(
-            retain_last=int(
-                self.options.get(
-                    "maintenance.vacuum_retain", settings.get("maintenance.vacuum_retain", 1)
-                )
+                    did_layout = True
+        retain = int(
+            self.options.get(
+                "maintenance.vacuum_retain", settings.get("maintenance.vacuum_retain", 1)
             )
         )
+        # Layout changes and clustering need the full rewrite; otherwise
+        # fold ONLY the small-segment tail (incremental compaction — at
+        # scale a full optimize to fold micro-batch segments would rewrite
+        # the whole table). No vacuum when nothing was folded.
+        if did_layout or cluster:
+            table.optimize(cluster_by=cluster)
+            table.vacuum(retain_last=retain)
+        else:
+            folded = table.compact_small_segments(
+                # "smaller than one bucket's worth" unless overridden
+                small_rows=int(
+                    self.options.get(
+                        "maintenance.compact_small_rows",
+                        settings.get(
+                            "maintenance.compact_small_rows",
+                            max(1, self.rows_per_bucket or 100_000),
+                        ),
+                    )
+                )
+            )
+            if folded:
+                logger.info(
+                    "auto-optimize %s: folded %d small segments",
+                    self.entity.destination, len(folded),
+                )
+                table.vacuum(retain_last=retain)
 
     def _gc_orphans(self) -> None:
         """Maintenance sweep for crash leftovers: a prior writer that died

@@ -66,6 +66,9 @@ class Segment:
     # prunable. Collected via df.observe DURING the write action — zero
     # extra scan.
     stats: dict[str, dict] | None = None
+    # Rows written into the segment (same free observe); None on segments
+    # written before row counting existed or via driver-side arrow appends.
+    rows: int | None = None
 
 
 @dataclass
@@ -88,7 +91,12 @@ class Manifest:
                 "version": self.version,
                 "partition_by": self.partition_by,
                 "segments": [
-                    {"dir": s.dir, "partitions": s.partitions, "stats": s.stats}
+                    {
+                        "dir": s.dir,
+                        "partitions": s.partitions,
+                        "stats": s.stats,
+                        "rows": s.rows,
+                    }
                     for s in self.segments
                 ],
                 "operation": self.operation,
@@ -106,7 +114,12 @@ class Manifest:
             version=obj["version"],
             partition_by=list(obj.get("partition_by", [])),
             segments=[
-                Segment(dir=s["dir"], partitions=s.get("partitions"), stats=s.get("stats"))
+                Segment(
+                    dir=s["dir"],
+                    partitions=s.get("partitions"),
+                    stats=s.get("stats"),
+                    rows=s.get("rows"),
+                )
                 for s in obj.get("segments", [])
             ],
             operation=obj.get("operation", ""),
@@ -372,10 +385,10 @@ class LakeTable:
             )
 
     # ------------------------------------------------------------ segment io
-    def _write_segment(self, df: DataFrame) -> tuple[str, dict | None]:
+    def _write_segment(self, df: DataFrame) -> tuple[str, dict | None, int]:
         """Write one immutable segment; returns (relative dir, per-column
-        min/max stats or None). Stats are collected with ``df.observe``
-        DURING the write action — no second pass over the data."""
+        min/max stats or None, row count). Stats + count are collected
+        with ``df.observe`` DURING the write action — no second pass."""
         from pyspark.sql import Observation
 
         mf = self.latest_manifest()
@@ -387,27 +400,26 @@ class LakeTable:
             for f in df.schema.fields
             if f.name in self.stats_columns and "<" not in f.dataType.simpleString()
         ]
-        obs = None
-        if stat_cols:
-            obs = Observation()
-            aggs = []
-            for c in stat_cols:
-                aggs.append(F.min(F.col(c)).alias(f"mn_{c}"))
-                aggs.append(F.max(F.col(c)).alias(f"mx_{c}"))
-            df = df.observe(obs, *aggs)
+        obs = Observation()
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in stat_cols:
+            aggs.append(F.min(F.col(c)).alias(f"mn_{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"mx_{c}"))
+        df = df.observe(obs, *aggs)
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(f"{self.path}/{seg_rel}")
+        got = obs.get
+        rows = int(got["__n"] or 0)
         stats = None
-        if obs is not None:
-            got = obs.get
+        if stat_cols:
             stats = {}
             for c in stat_cols:
                 mn, kind_mn = _encode_stat(got[f"mn_{c}"])
                 mx, kind_mx = _encode_stat(got[f"mx_{c}"])
                 stats[c] = {"min": mn, "max": mx, "t": kind_mn or kind_mx or "str"}
-        return seg_rel, stats
+        return seg_rel, stats, rows
 
     def _partition_values(self, df: DataFrame) -> list[dict[str, str]]:
         """Distinct partition values present in df (Processing.scala:144-156).
@@ -519,7 +531,7 @@ class LakeTable:
         and merged into the commit metrics — the hook for observation-based
         counts (e.g. total_rows) that only exist once the job has run."""
         mf = self.latest_manifest()
-        seg_rel, stats = self._write_segment(df)
+        seg_rel, stats, rows = self._write_segment(df)
         if metrics_fn is not None:
             metrics = {**(metrics or {}), **metrics_fn()}
         next_v = (mf.version + 1) if mf else 0
@@ -529,6 +541,7 @@ class LakeTable:
                     seg_rel,
                     None if not self.partition_by else self._read_segment_partitions(seg_rel),
                     stats=stats,
+                    rows=rows,
                 )
             ]
         else:
@@ -540,8 +553,8 @@ class LakeTable:
                     continue  # fully replaced below is wrong; but unpartitioned+dynamic can't happen
                 kept = [pv for pv in seg.partitions if _pv_key(pv) not in new_keys]
                 if kept:
-                    segments.append(Segment(seg.dir, kept, stats=seg.stats))
-            segments.append(Segment(seg_rel, new_pvs, stats=stats))
+                    segments.append(Segment(seg.dir, kept, stats=seg.stats, rows=seg.rows))
+            segments.append(Segment(seg_rel, new_pvs, stats=stats, rows=rows))
         self._commit(
             Manifest(
                 version=next_v,
@@ -616,9 +629,62 @@ class LakeTable:
             metrics={"cluster_by": list(cluster_by)},
         )
 
+    def compact_small_segments(self, small_rows: int = 100_000) -> list[str]:
+        """Incremental compaction: fold only the segments smaller than
+        ``small_rows`` rows (or with unknown counts) into one fresh
+        segment; large segments keep their files untouched. This is the
+        maintenance shape that survives 100 TB — a full ``optimize()``
+        rewrites the entire table to fold a handful of micro-batch
+        segments, while this reads and rewrites only the small tail
+        (Delta/Iceberg bin-packing OPTIMIZE makes the same trade at file
+        granularity).
+
+        Recorded ``rows`` are the counts at write time; a segment that
+        later lost partition ownership may be smaller than recorded and
+        merely waits for a later pass — conservative, never wrong.
+        Returns the folded segment dirs ([] if fewer than two
+        candidates)."""
+        mf = self.latest_manifest()
+        if mf is None:
+            return []
+        small = [s for s in mf.segments if s.rows is None or s.rows < small_rows]
+        if self.partition_by:
+            # a None-ownership segment means "whole table" — never fold it
+            # into explicit partition ownership (shouldn't exist on a
+            # partitioned table, but stay safe)
+            small = [s for s in small if s.partitions is not None]
+        if len(small) < 2:
+            return []
+        parts: list[DataFrame] = []
+        for seg in small:
+            df = self.spark.read.parquet(f"{self.path}/{seg.dir}")
+            if seg.partitions is not None and self.partition_by:
+                df = df.where(self._partition_filter(seg.partitions))
+            parts.append(df)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p, allowMissingColumns=True)
+        seg_rel, stats, rows = self._write_segment(merged)
+        if any(s.partitions is None for s in small):
+            ownership = None  # unpartitioned append-style segments
+        else:
+            ownership = [pv for s in small for pv in s.partitions]
+        kept = [s for s in mf.segments if s not in small]
+        self._commit(
+            Manifest(
+                version=mf.version + 1,
+                partition_by=self.partition_by,
+                segments=kept + [Segment(seg_rel, ownership, stats=stats, rows=rows)],
+                operation="compact",
+                timestamp=time.time(),
+                metrics={"folded": len(small)},
+            )
+        )
+        return [s.dir for s in small]
+
     def append(self, df: DataFrame, metrics: dict | None = None) -> None:
         mf = self.latest_manifest()
-        seg_rel, stats = self._write_segment(df)
+        seg_rel, stats, rows = self._write_segment(df)
         next_v = (mf.version + 1) if mf else 0
         segments = list(mf.segments) if mf else []
         segments.append(
@@ -626,6 +692,7 @@ class LakeTable:
                 seg_rel,
                 None if not self.partition_by else self._read_segment_partitions(seg_rel),
                 stats=stats,
+                rows=rows,
             )
         )
         self._commit(
@@ -696,7 +763,7 @@ class LakeTable:
         mf = self.latest_manifest()
         if mf is None:
             raise FileNotFoundError(f"LakeTable does not exist: {self.path}")
-        seg_rel, stats = self._write_segment(df)
+        seg_rel, stats, rows = self._write_segment(df)
         # Rows may land outside the requested partitions (a merge that updates
         # a partition column). Those extra partitions get co-owned by the new
         # segment so the rows stay visible (matches the reference's Delta
@@ -713,8 +780,8 @@ class LakeTable:
                 continue  # unpartitioned tables replace wholesale via overwrite()
             kept = [pv for pv in seg.partitions if _pv_key(pv) not in replaced]
             if kept:
-                segments.append(Segment(seg.dir, kept, stats=seg.stats))
-        segments.append(Segment(seg_rel, partition_values, stats=stats))
+                segments.append(Segment(seg.dir, kept, stats=seg.stats, rows=seg.rows))
+        segments.append(Segment(seg_rel, partition_values, stats=stats, rows=rows))
         self._commit(
             Manifest(
                 version=mf.version + 1,

@@ -207,3 +207,42 @@ def test_optimize_bucketed_table_clusters_within_buckets(spark, tmp_path):
     t2 = LakeTable(spark, str(tmp_path / "bop"))
     assert t2.bucket_pk == "pk" and t2.n_buckets == 4
     assert "__dlf_bucket" not in t2.read().columns
+
+
+def test_compact_small_segments_folds_only_the_tail(spark, tmp_path):
+    """Incremental compaction folds small segments into one and leaves the
+    large segment's files untouched (the 100 TB maintenance shape)."""
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), stats_columns=["seq"])
+    big = spark.createDataFrame([(i, "big") for i in range(500)], "seq int, src string")
+    t.overwrite(big)
+    for lo in (1000, 2000, 3000):
+        t.append(spark.createDataFrame(
+            [(lo + i, "tail") for i in range(5)], "seq int, src string"
+        ))
+    mf0 = t.latest_manifest()
+    assert len(mf0.segments) == 4
+    big_dir = mf0.segments[0].dir
+    assert mf0.segments[0].rows == 500 and mf0.segments[1].rows == 5
+
+    folded = t.compact_small_segments(small_rows=100)
+    assert len(folded) == 3 and big_dir not in folded
+    mf1 = t.latest_manifest()
+    assert mf1.operation == "compact"
+    assert [s.dir for s in mf1.segments][0] == big_dir  # untouched
+    assert len(mf1.segments) == 2
+    merged = [s for s in mf1.segments if s.dir != big_dir][0]
+    assert merged.rows == 15
+    assert merged.stats["seq"] == {"min": 1000, "max": 3004, "t": "num"}
+    assert t.read().count() == 515
+    # nothing else to fold now (one small merged segment is below 2 candidates)
+    assert t.compact_small_segments(small_rows=100) == []
+
+
+def test_compact_small_segments_needs_two_candidates(spark, tmp_path):
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1,)], "a int"))
+    assert t.compact_small_segments() == []

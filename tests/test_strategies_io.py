@@ -675,7 +675,13 @@ def test_auto_optimize_default_on_for_unpartitioned(spark, tmp_path, monkeypatch
 
     # bucketed so each merge stacks segments (plain dirs rewrite wholesale)
     md = make_metadata(str(tmp_path / "root"), watermark=False)
-    opts = {"processing.time": T0, "bucketing.rows_per_bucket": 1, "bucketing.buckets": 4}
+    opts = {
+        "processing.time": T0,
+        "bucketing.rows_per_bucket": 1,
+        "bucketing.buckets": 4,
+        # every segment in this test is tiny — make them all foldable
+        "maintenance.compact_small_rows": 1000,
+    }
     write_slice(spark, md, "s0.parquet", rows_v1(40))
     p = Processing(spark, md, 1, "s0.parquet", opts)
     p.process()
@@ -688,7 +694,8 @@ def test_auto_optimize_default_on_for_unpartitioned(spark, tmp_path, monkeypatch
         p.process()
     table = p.silver_table()
     mf = table.latest_manifest()
-    assert mf.operation == "optimize"  # default threshold engaged
+    # default threshold engaged -> incremental small-segment fold
+    assert mf.operation == "compact"
     assert len(mf.segments) == 1
     assert table.read().count() == 42
 
@@ -704,7 +711,7 @@ def test_auto_optimize_default_on_for_unpartitioned(spark, tmp_path, monkeypatch
         )
         p2 = Processing(spark, md2, 1, f"s{i}.parquet", opts2)
         p2.process()
-    assert p2.silver_table().latest_manifest().operation != "optimize"
+    assert p2.silver_table().latest_manifest().operation not in ("optimize", "compact")
 
 
 def test_auto_optimize_compacts_after_threshold(spark, tmp_path):
@@ -729,7 +736,7 @@ def test_auto_optimize_compacts_after_threshold(spark, tmp_path):
     p.process()
     table = p.silver_table()
     mf = table.latest_manifest()
-    assert mf.operation == "optimize"
+    assert mf.operation == "compact"  # incremental fold of the small tail
     assert len(mf.segments) == 1
     out = table.read()
     assert out.count() == 8
