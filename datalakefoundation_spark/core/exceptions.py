@@ -32,3 +32,9 @@ class EntityNotFoundException(DatalakeException):
 class ConcurrentCommitException(DatalakeException):
     """Another writer committed the same table version first (optimistic
     concurrency conflict); re-read the latest manifest and retry."""
+
+
+class ConstraintViolationException(DatalakeException):
+    """A CHECK constraint with action='fail' matched violating slice rows
+    (rebuild addition — the Delta CHECK-constraint analog; message carries
+    per-constraint violation counts)."""

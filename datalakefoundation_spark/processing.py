@@ -22,7 +22,10 @@ from pyspark.sql import functions as F
 
 from datalakefoundation_spark import pipeline as P
 from datalakefoundation_spark import strategies as S
-from datalakefoundation_spark.core.exceptions import DatalakeException
+from datalakefoundation_spark.core.exceptions import (
+    ConstraintViolationException,
+    DatalakeException,
+)
 from datalakefoundation_spark.core.normalize import schema_compare
 from datalakefoundation_spark.log import DatalakeLogManager
 from datalakefoundation_spark.logging_ import ProcessingSummary
@@ -70,6 +73,24 @@ class Processing:
         self.check_duplicates = bool(
             self.options.get("check_duplicates", settings.get("check_duplicates", True))
         )
+        # CHECK constraints (Delta analog, rebuild addition): list of
+        # {"name", "expression" (SQL boolean over post-pipeline columns),
+        # "action": "fail" (default) | "drop"}. SQL CHECK semantics: a row
+        # violates only when the expression is FALSE — NULL passes.
+        # Violations are counted inside the fused bookkeeping aggregate
+        # (zero extra scan); 'fail' aborts the run before any write,
+        # 'drop' excludes the rows from the slice (and from watermarks,
+        # partition sets, and counts).
+        self.constraints = list(
+            self.options.get("constraints", settings.get("constraints", [])) or []
+        )
+        for c in self.constraints:
+            if "expression" not in c:
+                raise DatalakeException(f"constraint missing 'expression': {c}")
+            c.setdefault("name", c["expression"])
+            c.setdefault("action", "fail")
+            if c["action"] not in ("fail", "drop"):
+                raise DatalakeException(f"constraint action must be fail|drop: {c}")
         # Additive schema evolution (Delta mergeSchema analog): a column the
         # bronze slice carries but silver lacks is ADDED to the target on
         # merge/historic runs (existing rows/versions read typed NULLs)
@@ -200,22 +221,34 @@ class Processing:
             # an inline plan-build action it would scan bronze + P1-P5 twice
             check_duplicates=False,
         )
+        # CHECK-constraint flags ride the plan so the cache holds them once;
+        # violating rows stay OUT of every bookkeeping result below
+        viols: dict[str, Any] = {}
+        kept = F.lit(True)
+        if self.constraints:
+            for c in self.constraints:
+                v = ~F.coalesce(F.expr(c["expression"]), F.lit(True))
+                viols[c["name"]] = v
+                kept = kept & ~v
         df = df.cache()
-        if self.check_duplicates and e.businesskeys:
-            # first action over the cache: populates it AND guards
-            P.check_duplicate_keys(df, e.destination, e.businesskeys, pk_col=self.pk_name)
-        # ONE bookkeeping action over the cached slice: row count (empty
-        # check + Full metrics), watermark max per column, and the distinct
-        # partition-value set — the reference runs these as three separate
+        # ONE bookkeeping action over the cached slice (it also populates
+        # the cache): row count (empty check + Full metrics), watermark max
+        # per column, the distinct partition-value set, and constraint
+        # violation counts — the reference runs the first three as separate
         # jobs (Processing.scala:109,123-135,144-156); at 100 TB fusing them
         # means a single scan.
         wm_cols = [w.column_name for w in e.watermarks if w.column_name in df.columns]
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        aggs += [F.max(F.col(c)).alias(f"__wm_{c}") for c in wm_cols]
+        aggs = [F.sum(kept.cast("long")).alias("__n")]
+        aggs += [F.max(F.when(kept, F.col(c))).alias(f"__wm_{c}") for c in wm_cols]
+        aggs += [F.sum(v.cast("long")).alias(f"__viol_{i}") for i, v in enumerate(viols.values())]
         if e.partition_columns:
             aggs.append(
                 F.collect_set(
-                    F.struct(*[F.col(c).cast("string").alias(c) for c in e.partition_columns])
+                    # when() yields NULL for dropped rows; collect_set skips NULLs
+                    F.when(
+                        kept,
+                        F.struct(*[F.col(c).cast("string").alias(c) for c in e.partition_columns]),
+                    )
                 ).alias("__pvs")
             )
         elif self._bucketed and not self._layout_pending:
@@ -223,11 +256,40 @@ class Processing:
             # target dirs to prune yet) and the modulus isn't even decided —
             # only collect them against a committed layout
             aggs.append(
-                F.collect_set(bucket_expr(self.pk_name, self.n_buckets)).alias("__bkts")
+                F.collect_set(
+                    F.when(kept, bucket_expr(self.pk_name, self.n_buckets))
+                ).alias("__bkts")
             )
         collected_buckets = self._bucketed and not self._layout_pending
         row = df.agg(*aggs).head()
-        self._slice_count = row["__n"]
+        if viols:
+            counts = {
+                name: int(row[f"__viol_{i}"] or 0)
+                for i, name in enumerate(viols.keys())
+            }
+            failing = {
+                c["name"]: counts[c["name"]]
+                for c in self.constraints
+                if c["action"] == "fail" and counts[c["name"]] > 0
+            }
+            if failing:
+                raise ConstraintViolationException(
+                    f"entity {e.destination}: slice {self.slice_file} violates "
+                    f"CHECK constraints {failing}"
+                )
+            dropped = {k: v for k, v in counts.items() if v > 0}
+            if dropped:
+                logger.warning(
+                    "entity %s: dropping constraint-violating rows %s",
+                    e.destination, dropped,
+                )
+            # downstream consumers see only clean rows (filter over the
+            # populated cache — no recompute)
+            df = df.where(kept)
+        if self.check_duplicates and e.businesskeys:
+            # guard over the (possibly constraint-filtered) cached slice
+            P.check_duplicate_keys(df, e.destination, e.businesskeys, pk_col=self.pk_name)
+        self._slice_count = int(row["__n"] or 0)
         if self._layout_pending:
             self._resolve_layout(self._slice_count)
         if self._slice_count == 0:

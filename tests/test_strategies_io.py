@@ -593,6 +593,54 @@ def test_watermark_store_compaction(spark, tmp_path):
     assert ws.latest(1)["SeqNr"] == "99"
 
 
+def test_check_constraint_fail_aborts_before_write(spark, lake_root, prefix):
+    from datalakefoundation_spark.core.exceptions import ConstraintViolationException
+
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(10))  # SeqNr 0..9
+    p = Processing(
+        spark, md, 1, "s1.parquet",
+        {"processing.time": T0,
+         "constraints": [{"name": "small_seq", "expression": "SeqNr < 5"}]},
+    )
+    with pytest.raises(ConstraintViolationException, match="small_seq.*5"):
+        p.process("full")
+    assert not p.silver_table().exists()  # aborted before any write
+
+
+def test_check_constraint_drop_excludes_rows_and_watermarks(spark, lake_root, prefix):
+    md = make_metadata(lake_root, prefix)
+    rows = rows_v1(10)
+    rows.append({"ID": 99, "SeqNr": None, "name": "nullseq", "data": "d"})
+    write_slice(spark, md, "s1.parquet", rows)
+    p = Processing(
+        spark, md, 1, "s1.parquet",
+        {"processing.time": T0,
+         "constraints": [
+             {"name": "small_seq", "expression": "SeqNr < 8", "action": "drop"}
+         ]},
+    )
+    summary = p.process("full")
+    # SQL CHECK semantics: NULL passes — kept = SeqNr 0..7 plus the NULL row
+    assert summary.records_in_slice == 9
+    out = silver(p)
+    assert out.count() == 9
+    assert {r["ID"] for r in out.collect()} == set(range(8)) | {99}
+    # the stored watermark ignores dropped rows (max kept SeqNr = 7, not 9)
+    assert p.current_watermarks()["SeqNr"] == "7"
+
+
+def test_check_constraint_clean_slice_passes(spark, lake_root, prefix):
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(5))
+    p = Processing(
+        spark, md, 1, "s1.parquet",
+        {"processing.time": T0,
+         "constraints": [{"name": "ok", "expression": "SeqNr >= 0"}]},
+    )
+    assert p.process("full").records_in_slice == 5
+
+
 def test_schema_evolution_additive_merge(spark, lake_root, prefix):
     """schema_evolution.additive: a new bronze column is ADDED to silver on
     merge — slice rows carry values, untouched rows read NULL. Default
