@@ -147,18 +147,29 @@ def bench_loads(spark, sf_dir: str, errors: dict[str, str]) -> dict[str, float]:
                 md = make_metadata(f"{root}/{strategy}", processtype=strategy)
                 bronze = md.get_entity(1).get_output().bronzepath.value
                 orders.write.mode("overwrite").parquet(f"{bronze}/s1.parquet")
-                slice2 = orders.withColumn(
-                    "data",
-                    F.when(F.col("ID") % 3 == 0, F.concat(F.col("data"), F.lit("_v2"))).otherwise(
-                        F.col("data")
-                    ),
-                )
-                slice2.write.mode("overwrite").parquet(f"{bronze}/s2.parquet")
-                # first run (target creation) is setup, not the measured op
+                for i, suffix in ((2, "_v2"), (3, "_v3")):
+                    sl = orders.withColumn(
+                        "data",
+                        F.when(
+                            F.col("ID") % 3 == 0, F.concat(F.col("data"), F.lit(suffix))
+                        ).otherwise(F.col("data")),
+                    )
+                    sl.write.mode("overwrite").parquet(f"{bronze}/s{i}.parquet")
+                # first run (target creation) is setup, not the measured op;
+                # two timed incremental runs, min recorded — same
+                # steady-state methodology as the query bench (whole-stage
+                # codegen JIT is per plan shape and the strategy plans
+                # don't exist until the first incremental run)
                 Processing(spark, md, 1, "s1.parquet", {"processing.time": "2026-01-01 00:00:00"}).process()
-                start = time.time()
-                Processing(spark, md, 1, "s2.parquet", {"processing.time": "2026-02-01 00:00:00"}).process()
-                times[f"load_{strategy}_10k"] = round(time.time() - start, 3)
+                best = float("inf")
+                for i in (2, 3):
+                    start = time.time()
+                    Processing(
+                        spark, md, 1, f"s{i}.parquet",
+                        {"processing.time": f"2026-0{i}-01 00:00:00"},
+                    ).process()
+                    best = min(best, time.time() - start)
+                times[f"load_{strategy}_10k"] = round(best, 3)
             except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
                 errors[f"load_{strategy}_10k"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
