@@ -171,3 +171,55 @@ def fingerprint(text_col: str | Column) -> Column:
 
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fingerprint(text_col))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    idf: str = "log",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF.
+
+    ``idf="log"`` (default) uses the standard smooth form
+    ``tf * (ln((N+1)/(df+1)) + 1)`` and emits a ``score`` column.
+    ``idf="linear"`` ranks by ``tf/df`` (the N-cancelled linear-IDF
+    ordering) and emits only integers + rank — IEEE division is exactly
+    specified, so this variant is bit-reproducible across engines (``ln``
+    is implementation-defined to 1 ulp), which is what the cross-engine
+    oracle uses.
+
+    Plan: explode tokens -> (doc, token) tf counts (one shuffle) ->
+    token df counts (one shuffle of the tf table, vocab-sized output) ->
+    join tf with df on token (shuffle on token) -> per-doc top-k window.
+    The 1-row corpus count joins via broadcast. Output:
+    (doc_id, token, tf, df [, score], rank)."""
+    if idf not in ("log", "linear"):
+        raise ValueError(f"idf must be 'log' or 'linear': {idf!r}")
+    from pyspark.sql.window import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "token")
+    if idf == "log":
+        n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__N"))
+        scored = scored.crossJoin(F.broadcast(n_docs)).withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("__N") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+        )
+        order_col = "score"
+    else:
+        scored = scored.withColumn(
+            "__r", F.col("tf").cast("double") / F.col("df")
+        )
+        order_col = "__r"
+    w = Window.partitionBy(id_col).orderBy(F.desc(order_col), F.asc("token"))
+    out_cols = [id_col, "token", "tf", "df"] + (["score"] if idf == "log" else [])
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*out_cols, "rank")
+    )

@@ -652,10 +652,41 @@ SELECT o_orderpriority, o_totalprice, o_orderkey, rank FROM (
 
 # Oracle-paired but outside the driver's 50-row window (see
 # verification.extra_queries).
+def q_tfidf_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document (ext/text.py
+    tfidf_top_terms, linear-IDF variant: the tf/df ordering is one IEEE
+    division — bit-reproducible across engines, unlike ln)."""
+    from datalakefoundation_spark.ext.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, k=3, idf="linear")
+
+
+SQL_TFIDF_TERMS = """
+WITH tf AS (
+  SELECT doc_id, t.token AS token, count(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  GROUP BY doc_id, t.token
+),
+dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+)
+SELECT doc_id, token, tf, df, rank FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / dfreq.df DESC, tf.token ASC
+         ) AS rank
+  FROM tf JOIN dfreq USING (token)
+) WHERE rank <= 3
+"""
+
+
 EXTRA = {
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "q_grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
+    "q_tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
 }
 
 
