@@ -96,3 +96,85 @@ def test_change_feed_applies_forward(spark):
         .unionByName(adds.drop("_change_type"))
     )
     assert {tuple(r) for r in rebuilt.collect()} == {tuple(r) for r in after.collect()}
+
+
+# ------------------------------------------------------- incremental refresh
+def _agg_of(df, spark):
+    return df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("val").alias("sum_val")
+    )
+
+
+def test_refresh_agg_equals_full_recompute(spark):
+    """The incremental refresh from a change feed must equal the full
+    recompute over the post-change table — across inserts, updates,
+    deletes, a fully-emptied group, and a brand-new group."""
+    from datalakefoundation_spark.tables.incremental import refresh_agg
+
+    before = spark.createDataFrame(
+        [("a", "g1", 10), ("b", "g1", 5), ("c", "g2", 7), ("d", "g3", 1)],
+        "pk string, g string, val int",
+    )
+    after = spark.createDataFrame(
+        [
+            ("a", "g1", 20),   # update: val 10 -> 20
+            ("b", "g1", 5),    # unchanged
+            ("e", "g4", 9),    # insert into a new group
+            # c deleted -> g2 empties entirely; d deleted from g3
+        ],
+        "pk string, g string, val int",
+    )
+    feed = compute_changes(before, after, "pk")
+    current = _agg_of(before, spark)
+    refreshed = refresh_agg(current, feed, "g", sums={"sum_val": "val"})
+    expect = {tuple(r) for r in _agg_of(after, spark).collect()}
+    assert {tuple(r) for r in refreshed.collect()} == expect
+    # g2 vanished, g4 appeared
+    gs = {r["g"] for r in refreshed.collect()}
+    assert gs == {"g1", "g4"}
+
+
+def test_refresh_agg_group_migration(spark):
+    """An update that MOVES a row between groups must decrement the old
+    group and increment the new one (pre/post images carry different
+    keys)."""
+    from datalakefoundation_spark.tables.incremental import refresh_agg
+
+    before = spark.createDataFrame(
+        [("a", "g1", 3), ("b", "g2", 4)], "pk string, g string, val int"
+    )
+    after = spark.createDataFrame(
+        [("a", "g2", 3), ("b", "g2", 4)], "pk string, g string, val int"
+    )
+    feed = compute_changes(before, after, "pk")
+    refreshed = refresh_agg(_agg_of(before, spark), feed, "g", sums={"sum_val": "val"})
+    got = {r["g"]: (r["n_rows"], r["sum_val"]) for r in refreshed.collect()}
+    assert got == {"g2": (2, 7)}
+
+
+def test_refresh_agg_first_build(spark):
+    """current=None with an insert-only feed bootstraps the aggregate."""
+    from datalakefoundation_spark.tables.incremental import refresh_agg
+
+    empty = spark.createDataFrame([], "pk string, g string, val int")
+    after = spark.createDataFrame(
+        [("a", "g1", 1), ("b", "g1", 2)], "pk string, g string, val int"
+    )
+    feed = compute_changes(empty, after, "pk")
+    got = refresh_agg(None, feed, "g", sums={"sum_val": "val"}).collect()
+    assert [(r["g"], r["n_rows"], r["sum_val"]) for r in got] == [("g1", 2, 3)]
+
+
+def test_refresh_agg_null_values_count_but_add_zero(spark):
+    from datalakefoundation_spark.tables.incremental import refresh_agg
+
+    before = spark.createDataFrame([("a", "g1", None)], "pk string, g string, val int")
+    after = spark.createDataFrame(
+        [("a", "g1", None), ("b", "g1", 5)], "pk string, g string, val int"
+    )
+    feed = compute_changes(before, after, "pk")
+    got = refresh_agg(
+        _agg_of(before, spark).fillna(0, ["sum_val"]), feed, "g",
+        sums={"sum_val": "val"},
+    ).collect()
+    assert [(r["g"], r["n_rows"], r["sum_val"]) for r in got] == [("g1", 2, 5)]
