@@ -97,10 +97,17 @@ def interval_join(
     end_ts: str,
     on: str | Sequence[str] | None = None,
     granule: int = 3_600,
+    max_granules: int | None = None,
 ) -> DataFrame:
     """Inner join of point rows to every interval row containing them
     (``start_ts <= point_ts <= end_ts``, same ``on`` key if given) —
     WITHOUT the nested-loop/cartesian plan a raw inequality join produces.
+
+    ``max_granules`` is the runaway guard: an interval covering more than
+    this many buckets (a years-long interval against a seconds-sized
+    granule — usually a data bug or a mis-chosen granule) FAILS the job
+    with a clear message instead of exploding into millions of rows and
+    dying opaquely downstream. Off by default.
 
     Granule bucketing: each interval explodes to the ``granule``-sized
     buckets it covers, each point computes its one bucket, and the match
@@ -119,15 +126,27 @@ def interval_join(
     if clash:
         raise ValueError(f"overlapping non-key columns: {sorted(clash)}")
     g = F.lit(int(granule))
-    iv = intervals.withColumn(
-        "__b",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start_ts) / g).cast("long"),
-                F.floor(F.col(end_ts) / g).cast("long"),
-            )
-        ),
-    )
+    lo_b = F.floor(F.col(start_ts) / g).cast("long")
+    hi_b = F.floor(F.col(end_ts) / g).cast("long")
+    if max_granules is not None:
+        # the guard lives INSIDE the sequence bound so column pruning can't
+        # eliminate it (a dropped standalone check column never evaluates)
+        hi_b = F.when(
+            hi_b - lo_b >= F.lit(int(max_granules)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_join: interval spans >= {int(max_granules)} "
+                        f"granules of {int(granule)} (start="
+                    ),
+                    F.col(start_ts).cast("string"),
+                    F.lit(", end="),
+                    F.col(end_ts).cast("string"),
+                    F.lit(") - raise `granule` or fix the interval"),
+                )
+            ).cast("long"),
+        ).otherwise(hi_b)
+    iv = intervals.withColumn("__b", F.explode(F.sequence(lo_b, hi_b)))
     pt = points.withColumn("__b", F.floor(F.col(point_ts) / g).cast("long"))
     j = pt.join(iv, on=keys + ["__b"], how="inner").where(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))

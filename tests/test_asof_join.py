@@ -155,3 +155,21 @@ def test_interval_join_no_nested_loop_plan(spark):
     out = interval_join(points, intervals, "ts", "lo", "hi", on="k", granule=7)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_max_granules_guard(spark):
+    """A runaway interval fails fast with a clear message instead of
+    exploding into millions of granule rows; sane intervals still pass
+    under the same guard."""
+    points = spark.createDataFrame([("u1", 50, "p")], "k string, ts long, tag string")
+    ok = spark.createDataFrame([("u1", 0, 90, "fine")], "k string, lo long, hi long, label string")
+    out = interval_join(points, ok, "ts", "lo", "hi", on="k", granule=10, max_granules=100)
+    assert out.count() == 1
+    runaway = spark.createDataFrame(
+        [("u1", 0, 10_000_000, "bug")], "k string, lo long, hi long, label string"
+    )
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="interval_join: interval spans"):
+        interval_join(
+            points, runaway, "ts", "lo", "hi", on="k", granule=10, max_granules=100
+        ).count()
