@@ -372,6 +372,52 @@ def decontamination(
     )
 
 
+def decontamination_fraction(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Fuzzy decontamination score: for EVERY corpus document, the fraction
+    of its distinct ``shingle_size``-grams that appear in any benchmark
+    document. Unlike :func:`decontamination` (which returns only contaminated
+    docs and their absolute overlap), this keeps clean documents (fraction
+    0.0) so a pipeline can threshold at e.g. >= 0.1 "partially contaminated"
+    instead of only catching exact n-gram hits — the graduated policy most
+    published decontamination setups use on top of the binary test.
+
+    Same scale shape as :func:`decontamination`: the benchmark side reduces
+    to distinct shingles and broadcasts; the corpus streams through one
+    scan + one per-doc aggregation (map-side combine). The fraction is one
+    integer division — bit-reproducible across engines."""
+    c = ensure_compute_parallelism(corpus).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("__s"),
+    )
+    b = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("__s")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        c.join(F.broadcast(b), "__s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_shared"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared") / F.col("n_shingles")).alias("contaminated_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- novelty
 def novelty_stats(
     df: DataFrame,

@@ -62,3 +62,53 @@ def stratified_sample(
         F.lit(hash_threshold(default_rate))
     )
     return df.where(_bucket(F.col(key_col)) < thr)
+
+
+def mixture_rates(
+    counts: dict[str, int], weights: dict[str, float]
+) -> dict[str, float]:
+    """Per-stratum keep rates that realize a target mixture.
+
+    Given observed stratum sizes and target mixture ``weights`` (need not
+    sum to 1 — only ratios matter), returns the keep fractions that yield
+    the LARGEST sample with exactly those proportions: the stratum that is
+    scarcest relative to its weight is kept whole (rate 1.0) and every
+    other stratum is downsampled to match. All arithmetic is plain IEEE
+    multiply/divide in a fixed order, so an engine-side reimplementation
+    (the DuckDB oracle) reproduces the rates bit-for-bit."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    missing = [s for s, w in weights.items() if w > 0 and counts.get(s, 0) == 0]
+    if missing:
+        raise ValueError(f"strata with weight but no rows: {missing}")
+    total = min(counts[s] / w for s, w in weights.items() if w > 0)
+    return {
+        s: (w * total / counts[s] if w > 0 else 0.0) for s, w in weights.items()
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Deterministic training-mixture construction: sample each stratum so
+    the output follows the target ``weights`` proportions, keeping as much
+    data as feasible (the scarcest-relative stratum survives whole). Strata
+    not in ``weights`` are dropped.
+
+    One tiny control-plane aggregation collects the per-stratum counts
+    (|strata| rows — the same bounded-collect shape as the reference's
+    partition-value listing, Processing.scala:144-156); the sample itself
+    is a single codegen'd hash-threshold filter, so the data pass costs one
+    scan regardless of corpus size."""
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(strata_col).isin(*weights.keys()))
+        .groupBy(strata_col)
+        .count()
+        .collect()
+    }
+    rates = mixture_rates(counts, weights)
+    return stratified_sample(df, key_col, strata_col, rates, default_rate=0.0)

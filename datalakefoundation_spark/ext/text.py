@@ -161,6 +161,46 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def rare_token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 2,
+) -> DataFrame:
+    """Per-document rare-token fraction: the share of token OCCURRENCES
+    whose corpus document frequency is <= ``max_df``. A cheap integer-only
+    stand-in for LM-perplexity filtering — gibberish / OCR noise / heavy
+    machine generation scores high (many tokens no other document uses),
+    boilerplate scores ~0 — and because the signal is counts + one IEEE
+    division it is bit-reproducible across engines (ln-based perplexity is
+    not; same trade as tfidf_top_terms' linear variant).
+
+    Plan: explode -> (doc, token) tf counts (one shuffle, map-side
+    combine) -> token df counts (one shuffle of the already-reduced tf
+    table, vocab-sized output) -> join on token -> per-doc agg. The df
+    table is vocab-sized, so at 100 TB the token join is
+    broadcast-eligible after the agg; no Python anywhere."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(dfreq, "token")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("df") <= max_df, F.col("tf")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_rare",
+            (F.col("n_rare") / F.col("n_tokens")).alias("rare_ratio"),
+        )
+    )
+
+
 def fingerprint(text_col: str | Column) -> Column:
     """Order-insensitive content fingerprint: sha256 over the sorted distinct
     token set. Robust to token reordering; cheap (one projection)."""

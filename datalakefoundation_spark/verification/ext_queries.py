@@ -682,11 +682,173 @@ SELECT doc_id, token, tf, df, rank FROM (
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact (ext/pii.py). The fixture text is synthetic word
+    soup with no natural PII, so the query first APPENDS deterministic
+    doc_id-derived PII (an email, an IPv4, an account-number digit run, a
+    phone) with the identical string expression on both engines — the
+    oracle then proves the whole regex pipeline (counts on raw text +
+    ordered global redaction) is bit-identical between Java regex and
+    RE2."""
+    from datalakefoundation_spark.ext import pii as PII
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("u"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            F.concat(
+                F.lit("10.0."),
+                F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                F.lit(".25"),
+            ),
+            F.concat(
+                F.lit("4111"),
+                F.lpad(F.pmod(F.col("doc_id"), F.lit(100000)).cast("string"), 5, "0"),
+            ),
+            F.concat(
+                F.lit("+1 555 "),
+                F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+            ),
+        ),
+    )
+    return PII.pii_scrub(docs).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_digit_run", "redacted"
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from datalakefoundation_spark.ext import pii as PII
+
+    pats = {name: pat for name, pat, _ in PII.PATTERNS}
+    redact = "text"
+    for _, pat, token in PII.PATTERNS:
+        redact = f"regexp_replace({redact}, '{pat}', '{token}', 'g')"
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat in pats.items()
+    )
+    return f"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' u' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25'
+              || ' 4111' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+              || ' +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       {counts},
+       {redact} AS redacted
+FROM enriched
+"""
+
+
+def q_decontaminate_frac(spark, sf_dir):
+    """Fuzzy decontamination (ext/dedup.py decontamination_fraction): every
+    corpus doc scored by the share of its distinct 5-grams found in the
+    src0 'benchmark' — clean docs included at 0.0."""
+    docs = _docs(spark, sf_dir)
+    return D.decontamination_fraction(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        shingle_size=5,
+    )
+
+
+SQL_DECONTAMINATE_FRAC = """
+WITH w0 AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+iw AS (SELECT doc_id, source, w,
+              unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i FROM w0),
+sh AS (SELECT doc_id, source, array_to_string(list_slice(w, i, i + 4), ' ') AS s FROM iw),
+c AS (SELECT DISTINCT doc_id, s FROM sh WHERE source <> 'src0'),
+b AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+SELECT c.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) / count(*) AS contaminated_frac
+FROM c LEFT JOIN b ON b.s = c.s
+GROUP BY c.doc_id
+"""
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Training-mixture construction (ext/sampling.py mixture_sample):
+    sample src2/src3/src4 to 4:2:1 proportions, keeping the scarcest-
+    relative stratum whole. The oracle recomputes the data-derived keep
+    rates AND the hex thresholds entirely in SQL — the IEEE arithmetic and
+    truncation are replicated op-for-op, so the sampled id sets must match
+    exactly."""
+    from datalakefoundation_spark.ext import sampling as SA
+
+    return SA.mixture_sample(
+        _docs(spark, sf_dir),
+        key_col="doc_id",
+        strata_col="source",
+        weights={"src2": 0.5, "src3": 0.25, "src4": 0.125},
+    ).select("doc_id", "source")
+
+
+# Weight CASE shared by count->rate->threshold steps; weights are chosen
+# exactly representable in binary so the literal parse is unambiguous.
+_MIX_W = (
+    "CASE source WHEN 'src2' THEN CAST(0.5 AS DOUBLE) "
+    "WHEN 'src3' THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.125 AS DOUBLE) END"
+)
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH cnt AS (
+  SELECT source, count(*) AS n FROM documents
+  WHERE source IN ('src2', 'src3', 'src4') GROUP BY source
+),
+t AS (SELECT min(CAST(n AS DOUBLE) / {_MIX_W}) AS total FROM cnt),
+thr AS (
+  SELECT source,
+         lpad(lower(to_hex(least(
+           CAST(trunc({_MIX_W} * t.total / n * 4294967296.0) AS BIGINT),
+           4294967295))), 8, '0') AS thr
+  FROM cnt, t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr ON thr.source = d.source
+WHERE substring(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+"""
+
+
+def q_rare_tokens(spark, sf_dir):
+    """Rare-token fraction per document (ext/text.py rare_token_stats,
+    max_df=50 — the fixture's 'dup' token has df 25, every other token
+    df >= ~370, so the signal separates the planted near-duplicate docs)."""
+    return TX.rare_token_stats(_docs(spark, sf_dir), max_df=50)
+
+
+SQL_RARE_TOKENS = """
+WITH tf AS (
+  SELECT doc_id, t.token AS token, count(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  GROUP BY doc_id, t.token
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN dfreq.df <= 50 THEN tf.tf ELSE 0 END) AS BIGINT) AS n_rare,
+       sum(CASE WHEN dfreq.df <= 50 THEN tf.tf ELSE 0 END) / sum(tf.tf) AS rare_ratio
+FROM tf JOIN dfreq USING (token)
+GROUP BY tf.doc_id
+"""
+
+
 EXTRA = {
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "q_grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
     "q_tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
+    "q_pii_scrub": (q_pii_scrub, _pii_oracle_sql()),
+    "q_decontaminate_frac": (q_decontaminate_frac, SQL_DECONTAMINATE_FRAC),
+    "q_mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "q_rare_tokens": (q_rare_tokens, SQL_RARE_TOKENS),
 }
 
 

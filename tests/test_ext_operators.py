@@ -733,3 +733,115 @@ def test_tfidf_rejects_bad_idf(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="idf"):
         TX.tfidf_top_terms(docs, idf="nope")
+
+
+# ---------------------------------------------------------------- pii scrub
+def test_pii_scrub_planted(spark):
+    """Each PII type is counted on the raw text and replaced by its token;
+    clean text passes through byte-identical."""
+    from datalakefoundation_spark.ext.pii import pii_scrub
+
+    rows = [
+        (1, "mail bob.smith+x@sub.example.org end"),
+        (2, "host 192.168.0.1 and 10.0.0.255 twice"),
+        (3, "call +1 (555) 123-4567 now"),
+        (4, "acct 12345678901234 done"),
+        (5, "nothing personal here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["redacted"]
+    assert "bob" not in out[1]["redacted"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["redacted"].count("<IP>") == 2
+    assert out[3]["n_phone"] == 1 and "<PHONE>" in out[3]["redacted"]
+    assert "4567" not in out[3]["redacted"]
+    assert out[4]["n_digit_run"] == 1 and "<NUMBER>" in out[4]["redacted"]
+    assert out[5]["redacted"] == rows[4][1]
+    assert all(out[5][c] == 0 for c in ("n_email", "n_ipv4", "n_phone", "n_digit_run"))
+
+
+def test_pii_redaction_order_email_before_digits(spark):
+    """An address with a numeric local part becomes one <EMAIL>, not a
+    mangled <NUMBER> tail — PATTERNS order is load-bearing."""
+    from datalakefoundation_spark.ext.pii import pii_scrub
+
+    df = spark.createDataFrame([(1, "x 123456789012@example.com y")], "doc_id long, text string")
+    r = pii_scrub(df).collect()[0]
+    assert r["redacted"] == "x <EMAIL> y"
+
+
+# ---------------------------------------------------------------- mixture sample
+def test_mixture_rates_scarcest_kept_whole():
+    from datalakefoundation_spark.ext.sampling import mixture_rates
+
+    rates = mixture_rates(
+        {"a": 100, "b": 1000, "c": 1000}, {"a": 0.5, "b": 0.25, "c": 0.25}
+    )
+    # 'a' is scarcest relative to its weight -> kept whole; b/c sampled to
+    # hit 2:1:1 against a's 100 rows -> 50/1000
+    assert rates["a"] == pytest.approx(1.0)
+    assert rates["b"] == pytest.approx(0.05)
+    assert rates["c"] == pytest.approx(0.05)
+
+
+def test_mixture_rates_rejects_empty_stratum():
+    from datalakefoundation_spark.ext.sampling import mixture_rates
+
+    with pytest.raises(ValueError, match="no rows"):
+        mixture_rates({"a": 10}, {"a": 0.5, "missing": 0.5})
+
+
+def test_mixture_sample_proportions(spark, docs):
+    """Sampled strata follow the target ratios (hash sampling is exact in
+    expectation; with rate 1.0 the scarcest stratum is exactly whole)."""
+    from datalakefoundation_spark.ext.sampling import mixture_sample
+
+    out = mixture_sample(
+        docs, key_col="doc_id", strata_col="source",
+        weights={"src0": 0.5, "src1": 0.25},
+    )
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    base = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # equal-sized strata with 2:1 weights -> src0 kept whole
+    assert got["src0"] == base["src0"]
+    assert set(got) == {"src0", "src1"}
+    assert 0 < got["src1"] <= base["src1"]
+
+
+# ---------------------------------------------------------------- fuzzy decontamination
+def test_decontamination_fraction_bounds(spark, docs):
+    """Clone of a benchmark doc -> fraction 1.0; unrelated doc -> 0.0 and
+    still present in the output (unlike the binary decontamination op)."""
+    from datalakefoundation_spark.ext.dedup import decontamination_fraction
+
+    bench = docs.limit(1).select("doc_id", "text")
+    corpus = (
+        docs.limit(1)
+        .select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+        .unionByName(
+            spark.createDataFrame([(999999, "zz yy xx ww vv uu qq rr ss tt")], "doc_id long, text string")
+        )
+    )
+    out = {r["doc_id"]: r for r in decontamination_fraction(corpus, bench).collect()}
+    assert out[500000]["contaminated_frac"] == pytest.approx(1.0)
+    assert out[999999]["contaminated_frac"] == 0.0
+    assert out[999999]["n_shingles"] > 0
+
+
+# ---------------------------------------------------------------- rare tokens
+def test_rare_token_stats_planted(spark):
+    from datalakefoundation_spark.ext.text import rare_token_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common xylo"),   # xylo appears only here
+            (2, "common words here"),
+            (3, "common words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in rare_token_stats(df, max_df=1).collect()}
+    assert out[1]["n_rare"] == 1 and out[1]["rare_ratio"] == pytest.approx(1 / 3)
+    assert out[2]["n_rare"] == 0 and out[2]["rare_ratio"] == 0.0
+    # occurrences counted, not distinct tokens
+    assert out[1]["n_tokens"] == 3
