@@ -585,7 +585,18 @@ class Processing:
         # scale a full optimize to fold micro-batch segments would rewrite
         # the whole table). No vacuum when nothing was folded.
         if did_layout or cluster:
-            table.optimize(cluster_by=cluster)
+            table.optimize(
+                cluster_by=cluster,
+                # 2+ cluster columns: maintenance.zorder (default true)
+                # interleaves them so file stats prune on every dimension;
+                # a single column keeps the strictly-better range sort
+                zorder=len(cluster) >= 2
+                and bool(
+                    self.options.get(
+                        "maintenance.zorder", settings.get("maintenance.zorder", True)
+                    )
+                ),
+            )
             table.vacuum(retain_last=retain)
         else:
             folded = table.compact_small_segments(

@@ -69,6 +69,21 @@ class Segment:
     # Rows written into the segment (same free observe); None on segments
     # written before row counting existed or via driver-side arrow appends.
     rows: int | None = None
+    # Per-FILE min/max stats: {relative_file_path: {col: {...same encoding
+    # as `stats`...}}}. Finer-grained than the segment-level `stats` — lets
+    # a windowed read prune individual files inside a surviving segment
+    # (the full Delta file-skipping analog; `stats` alone skips only whole
+    # segments). None => unknown, read every file.
+    files: dict[str, dict] | None = None
+    # Deletion-vector refs (merge-on-read): entries {"dir": <data-relative
+    # dir of key parquet>, "keys": [col, ...], "flag": <bool col or None>}.
+    # A read of THIS segment anti-joins each entry's key projection
+    # (rows where `flag` is true, when set) — masking row versions
+    # superseded or hard-deleted by a later commit without rewriting this
+    # segment (the Delta deletion-vector / Iceberg merge-on-read idea at
+    # key granularity). Attached only to segments that existed BEFORE the
+    # masking commit, so re-inserted keys in later segments resurface.
+    dv: list[dict] = field(default_factory=list)
 
 
 @dataclass
@@ -96,6 +111,8 @@ class Manifest:
                         "partitions": s.partitions,
                         "stats": s.stats,
                         "rows": s.rows,
+                        "files": s.files,
+                        "dv": s.dv,
                     }
                     for s in self.segments
                 ],
@@ -119,6 +136,8 @@ class Manifest:
                     partitions=s.get("partitions"),
                     stats=s.get("stats"),
                     rows=s.get("rows"),
+                    files=s.get("files"),
+                    dv=list(s.get("dv") or []),
                 )
                 for s in obj.get("segments", [])
             ],
@@ -139,9 +158,50 @@ def _pv_key(pv: dict[str, str]) -> tuple:
 # buckets with zero skew by construction.
 BUCKET_COL = "__dlf_bucket"
 
+# Internal marker column persisted in merge-on-read patch segments: true on
+# rows whose key should mask the superseded version in older segments (see
+# Segment.dv / LakeTable.merge_patch). Dropped from every read, like the
+# bucket column.
+MASK_COL = "__dlf_mask"
+
 
 def bucket_expr(pk_col: str, n_buckets: int) -> Column:
     return F.pmod(F.conv(F.substring(F.col(pk_col), 1, 4), 16, 10).cast("int"), F.lit(n_buckets))
+
+
+def zorder_column(
+    cols: Sequence[str],
+    bounds: dict[str, tuple[float, float]],
+    bits: int = 16,
+) -> Column:
+    """Interleaved-bit (Morton / Z-order) clustering key over numeric or
+    temporal columns. Each column is normalized to ``2**bits`` equal-width
+    buckets between its observed min/max, then bucket bits are interleaved
+    (bit ``j`` of column ``i`` lands at position ``j*n_cols + i``), so
+    sorting on the key gives every column locality simultaneously — the
+    property that makes per-file min/max stats selective on ALL clustered
+    dimensions, where a lexicographic sort helps only the leading one.
+    NULLs and values outside the observed bounds clamp to the edge buckets.
+    Pure codegen'd bit arithmetic — no UDF, no shuffle of its own."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("zorder needs at least one column")
+    buckets = 1 << bits
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        lo, hi = bounds[c]
+        if not (hi > lo):  # constant or all-NULL column: every row bucket 0
+            hi = lo + 1.0
+        v = F.width_bucket(
+            F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(buckets)
+        ) - 1
+        v = F.coalesce(v, F.lit(0))
+        v = F.least(F.greatest(v, F.lit(0)), F.lit(buckets - 1)).cast("long")
+        for bit in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(v, bit).bitwiseAND(F.lit(1)), bit * n + ci)
+            )
+    return z
 
 
 # ------------------------------------------------------------ segment stats
@@ -384,11 +444,86 @@ class LakeTable:
                 f"version {manifest.version} of {self.path} was committed concurrently"
             )
 
+    # At most this many files per segment get footer-level stats recorded;
+    # beyond it only segment-level stats are kept (a manifest entry per file
+    # must stay control-plane-sized). At 100 TB the per-file stats would be
+    # collected by the write tasks themselves (the Delta approach) instead
+    # of driver-side footer reads — the manifest format is already shaped
+    # for that swap.
+    file_stats_max_files = 256
+
+    def _collect_file_stats(self, seg_rel: str) -> dict[str, dict] | None:
+        """Per-file min/max for ``stats_columns``, read from the parquet
+        footers of a just-written segment (seek-based: a few KB per file,
+        no data pages). Local filesystems only — on object stores the
+        production path is collecting the same numbers in the write tasks.
+
+        Parquet writers may truncate long BYTE_ARRAY min/max values, but
+        always conservatively (stored min <= actual min, stored max >=
+        actual max), so pruning on them can never drop a matching file.
+        A column without statistics in any row group is omitted for that
+        file (=> unknown => never pruned)."""
+        from datalakefoundation_spark.tables.fs import LocalFS
+
+        if not self.stats_columns or not isinstance(self.fs, LocalFS):
+            return None
+        import os
+
+        import pyarrow.parquet as pq
+
+        base = f"{self.path}/{seg_rel}"
+        paths: list[str] = []
+        for root, _dirs, names in os.walk(base):
+            paths.extend(
+                os.path.join(root, n) for n in names if n.endswith(".parquet")
+            )
+        if not paths or len(paths) > self.file_stats_max_files:
+            return None
+        out: dict[str, dict] = {}
+        for f in sorted(paths):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            fstats: dict[str, dict] = {}
+            for c in self.stats_columns:
+                if c not in idx:
+                    continue
+                i = idx[c]
+                mn = mx = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(i)
+                    st = col.statistics
+                    if st is None:
+                        ok = False
+                        break
+                    if (
+                        st.null_count is not None
+                        and st.null_count == md.row_group(rg).num_rows
+                    ):
+                        continue  # all-NULL row group: no min/max to add
+                    if not st.has_min_max:
+                        ok = False
+                        break
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                if not ok:
+                    continue
+                lo, k_lo = _encode_stat(mn)
+                hi, k_hi = _encode_stat(mx)
+                # mn=mx=None here means every row group was all-NULL — the
+                # same "no row can match a range predicate" encoding the
+                # segment-level stats use
+                fstats[c] = {"min": lo, "max": hi, "t": k_lo or k_hi or "str"}
+            out[os.path.relpath(f, base)] = fstats
+        return out
+
     # ------------------------------------------------------------ segment io
-    def _write_segment(self, df: DataFrame) -> tuple[str, dict | None, int]:
+    def _write_segment(self, df: DataFrame) -> tuple[str, dict | None, int, dict | None]:
         """Write one immutable segment; returns (relative dir, per-column
-        min/max stats or None, row count). Stats + count are collected
-        with ``df.observe`` DURING the write action — no second pass."""
+        min/max stats or None, row count, per-file stats or None). Segment
+        stats + count are collected with ``df.observe`` DURING the write
+        action — no second pass; file stats come from the written footers
+        (metadata-only reads)."""
         from pyspark.sql import Observation
 
         mf = self.latest_manifest()
@@ -419,7 +554,7 @@ class LakeTable:
                 mn, kind_mn = _encode_stat(got[f"mn_{c}"])
                 mx, kind_mx = _encode_stat(got[f"mx_{c}"])
                 stats[c] = {"min": mn, "max": mx, "t": kind_mn or kind_mx or "str"}
-        return seg_rel, stats, rows
+        return seg_rel, stats, rows, self._collect_file_stats(seg_rel)
 
     def _partition_values(self, df: DataFrame) -> list[dict[str, str]]:
         """Distinct partition values present in df (Processing.scala:144-156).
@@ -488,32 +623,100 @@ class LakeTable:
         segs = list(mf.segments)
         if prune_spec is not None:
             segs = [s for s in segs if segment_may_match(s.stats, prune_spec)]
-            if not segs and mf.segments:
-                # every segment pruned: preserve the schema with a zero-row
-                # scan of one segment (limit 0 — footer read only)
-                segs = []
-                empty = (
-                    self.spark.read.parquet(f"{self.path}/{mf.segments[0].dir}").limit(0)
-                )
-                if not keep_bucket and BUCKET_COL in empty.columns:
-                    empty = empty.drop(BUCKET_COL)
-                return empty
+        # one DataFrame per distinct deletion-vector entry, shared across
+        # the segments it masks so Spark can reuse the (tiny) scan
+        dv_frames = self._dv_frames(segs)
         parts: list[DataFrame] = []
         for seg in segs:
-            df = self.spark.read.parquet(f"{self.path}/{seg.dir}")
+            base = f"{self.path}/{seg.dir}"
+            if prune_spec is not None and seg.files:
+                # file-level skipping inside the surviving segment: read only
+                # the files whose footer stats might hold a matching row.
+                # basePath keeps the hive partition columns of bucketed/
+                # partitioned segments intact on an explicit file list.
+                keep = [
+                    p
+                    for p, fstats in seg.files.items()
+                    if segment_may_match(fstats, prune_spec)
+                ]
+                if not keep:
+                    continue
+                if len(keep) < len(seg.files):
+                    df = self.spark.read.option("basePath", base).parquet(
+                        *[f"{base}/{p}" for p in sorted(keep)]
+                    )
+                else:
+                    df = self.spark.read.parquet(base)
+            else:
+                df = self.spark.read.parquet(base)
             if seg.partitions is not None and self.partition_by:
                 # equality predicates on hive partition dirs -> pure dir pruning
                 df = df.where(self._partition_filter(seg.partitions))
+            df = self._apply_dv(df, seg, dv_frames)
             parts.append(df)
+        if not parts:
+            if not mf.segments:
+                raise FileNotFoundError(f"LakeTable has no segments: {self.path}")
+            # everything pruned: preserve the schema with a zero-row scan of
+            # one segment (limit 0 — footer read only)
+            empty = (
+                self.spark.read.parquet(f"{self.path}/{mf.segments[0].dir}").limit(0)
+            )
+            for c in (BUCKET_COL, MASK_COL):
+                if c in empty.columns and not (keep_bucket and c == BUCKET_COL):
+                    empty = empty.drop(c)
+            return empty
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        # the bucket column is internal regardless of this instance's config
-        # (e.g. a reader constructed with bucketing disabled on a bucketed
-        # table must not leak it as a data column)
+        # the bucket/mask columns are internal regardless of this instance's
+        # config (e.g. a reader constructed with bucketing disabled on a
+        # bucketed table must not leak them as data columns)
         if not keep_bucket and BUCKET_COL in out.columns:
             out = out.drop(BUCKET_COL)
+        if MASK_COL in out.columns:
+            out = out.drop(MASK_COL)
         return out
+
+    def _dv_key(self, entry: dict) -> tuple:
+        return (entry["dir"], tuple(entry["keys"]), entry.get("flag"))
+
+    def _dv_frames(self, segs: list[Segment]) -> dict[tuple, DataFrame]:
+        """One key-projection DataFrame per distinct deletion-vector entry
+        across ``segs`` (column-pruned scan of the masking commit's keys)."""
+        frames: dict[tuple, DataFrame] = {}
+        for seg in segs:
+            for entry in seg.dv or []:
+                k = self._dv_key(entry)
+                if k in frames:
+                    continue
+                df = self.spark.read.parquet(f"{self.path}/{entry['dir']}")
+                flag = entry.get("flag")
+                if flag:
+                    df = df.where(F.col(flag))
+                frames[k] = df.select(*entry["keys"])
+        return frames
+
+    def _apply_dv(
+        self, df: DataFrame, seg: Segment, dv_frames: dict[tuple, DataFrame]
+    ) -> DataFrame:
+        """Anti-join out the row versions this segment's deletion vectors
+        mask. Masking keys are non-null by construction (PK hashes /
+        temporal columns), so a plain LEFT ANTI equi-join is exact; the key
+        sides are change-sized, so AQE broadcasts them."""
+        for entry in seg.dv or []:
+            dv = dv_frames[self._dv_key(entry)]
+            keys = list(entry["keys"])
+            if any(k not in df.columns for k in keys):
+                continue  # segment predates the masked columns — nothing to mask
+            cond = None
+            d = df.alias("__t")
+            m = dv.alias("__d")
+            for k in keys:
+                c = F.col(f"__t.{k}") == F.col(f"__d.{k}")
+                cond = c if cond is None else (cond & c)
+            df = d.join(m, cond, "left_anti").select("__t.*")
+        return df
 
     # ------------------------------------------------------------ write ops
     def overwrite(
@@ -531,7 +734,7 @@ class LakeTable:
         and merged into the commit metrics — the hook for observation-based
         counts (e.g. total_rows) that only exist once the job has run."""
         mf = self.latest_manifest()
-        seg_rel, stats, rows = self._write_segment(df)
+        seg_rel, stats, rows, fstats = self._write_segment(df)
         if metrics_fn is not None:
             metrics = {**(metrics or {}), **metrics_fn()}
         next_v = (mf.version + 1) if mf else 0
@@ -542,6 +745,7 @@ class LakeTable:
                     None if not self.partition_by else self._read_segment_partitions(seg_rel),
                     stats=stats,
                     rows=rows,
+                    files=fstats,
                 )
             ]
         else:
@@ -553,8 +757,10 @@ class LakeTable:
                     continue  # fully replaced below is wrong; but unpartitioned+dynamic can't happen
                 kept = [pv for pv in seg.partitions if _pv_key(pv) not in new_keys]
                 if kept:
-                    segments.append(Segment(seg.dir, kept, stats=seg.stats, rows=seg.rows))
-            segments.append(Segment(seg_rel, new_pvs, stats=stats, rows=rows))
+                    segments.append(
+                        Segment(seg.dir, kept, stats=seg.stats, rows=seg.rows, files=seg.files)
+                    )
+            segments.append(Segment(seg_rel, new_pvs, stats=stats, rows=rows, files=fstats))
         self._commit(
             Manifest(
                 version=next_v,
@@ -570,6 +776,8 @@ class LakeTable:
         self,
         cluster_by: Sequence[str] = (),
         target_partitions: int | None = None,
+        zorder: bool = False,
+        zorder_bits: int = 16,
     ) -> None:
         """Table maintenance (the OPTIMIZE / ZORDER BY analog for a parquet
         lakehouse): rewrite the current version into one fresh compacted
@@ -594,7 +802,77 @@ class LakeTable:
         min/max stats on the cluster columns. A global range-repartition
         here would be undone by the bucket-directory write and just waste
         two shuffles.
+
+        ``zorder=True`` (with 2+ numeric/temporal ``cluster_by`` columns)
+        clusters on an interleaved-bit Morton key instead of the
+        lexicographic range sort: every clustered column gets locality, so
+        the per-file min/max stats recorded at write time prune selective
+        predicates on ANY of the dimensions, not just the leading one (the
+        Delta ZORDER BY trade — slightly wider per-file ranges on the first
+        column, bounded ranges on all of them). Costs one extra min/max
+        aggregation to fix the normalization bounds.
         """
+        if zorder and cluster_by:
+            zcols = list(cluster_by)
+            cur = self.read()
+            numeric_ok = {
+                f.name
+                for f in cur.schema.fields
+                if f.dataType.simpleString()
+                in ("tinyint", "smallint", "int", "bigint", "float", "double",
+                    "date", "timestamp", "timestamp_ntz", "boolean")
+                or f.dataType.simpleString().startswith("decimal")
+            }
+            bad = [c for c in zcols if c not in numeric_ok]
+            if bad:
+                # equal-width bucketing needs an ordered numeric domain; a
+                # string column would normalize to NULL -> bucket 0 and
+                # silently destroy the clustering. Range sort handles any
+                # orderable type, so fall back to it.
+                logger.warning(
+                    "zorder skipped for %s: non-numeric cluster columns %s; "
+                    "using lexicographic range clustering",
+                    self.path, bad,
+                )
+                zorder = False
+        if zorder and cluster_by:
+            agg = []
+            for c in zcols:
+                agg.append(F.min(F.col(c).cast("double")).alias(f"mn_{c}"))
+                agg.append(F.max(F.col(c).cast("double")).alias(f"mx_{c}"))
+            row = cur.agg(*agg).first()
+            bounds = {
+                c: (
+                    row[f"mn_{c}"] if row[f"mn_{c}"] is not None else 0.0,
+                    row[f"mx_{c}"] if row[f"mx_{c}"] is not None else 0.0,
+                )
+                for c in zcols
+            }
+            zkey = zorder_column(zcols, bounds, bits=zorder_bits)
+            if self.bucket_pk:
+                df = (
+                    cur.withColumn(BUCKET_COL, bucket_expr(self.bucket_pk, self.n_buckets))
+                    .withColumn("__dlf_z", zkey)
+                    .repartition(
+                        min(self.n_buckets, self.spark.sparkContext.defaultParallelism),
+                        BUCKET_COL,
+                    )
+                    .sortWithinPartitions(BUCKET_COL, "__dlf_z")
+                    .drop("__dlf_z")
+                )
+            else:
+                df = cur.withColumn("__dlf_z", zkey)
+                if target_partitions:
+                    df = df.repartitionByRange(target_partitions, "__dlf_z")
+                else:
+                    df = df.repartitionByRange("__dlf_z")
+                df = df.sortWithinPartitions("__dlf_z").drop("__dlf_z")
+            self.overwrite(
+                df,
+                operation="optimize",
+                metrics={"cluster_by": list(cluster_by), "zorder": True},
+            )
+            return
         if self.bucket_pk:
             # Recompute the bucket column from the CURRENT layout instead of
             # reusing the stored one: stored values are stale after
@@ -655,16 +933,23 @@ class LakeTable:
             small = [s for s in small if s.partitions is not None]
         if len(small) < 2:
             return []
+        dv_frames = self._dv_frames(small)
         parts: list[DataFrame] = []
         for seg in small:
             df = self.spark.read.parquet(f"{self.path}/{seg.dir}")
             if seg.partitions is not None and self.partition_by:
                 df = df.where(self._partition_filter(seg.partitions))
-            parts.append(df)
+            # deletion vectors materialize here: the folded segment holds
+            # the post-mask rows and needs no dv refs of its own (other
+            # segments' refs to a folded patch dir stay valid — the dir
+            # outlives the fold until vacuum)
+            parts.append(self._apply_dv(df, seg, dv_frames))
         merged = parts[0]
         for p in parts[1:]:
             merged = merged.unionByName(p, allowMissingColumns=True)
-        seg_rel, stats, rows = self._write_segment(merged)
+        if MASK_COL in merged.columns:
+            merged = merged.drop(MASK_COL)
+        seg_rel, stats, rows, fstats = self._write_segment(merged)
         if any(s.partitions is None for s in small):
             ownership = None  # unpartitioned append-style segments
         else:
@@ -674,7 +959,8 @@ class LakeTable:
             Manifest(
                 version=mf.version + 1,
                 partition_by=self.partition_by,
-                segments=kept + [Segment(seg_rel, ownership, stats=stats, rows=rows)],
+                segments=kept
+                + [Segment(seg_rel, ownership, stats=stats, rows=rows, files=fstats)],
                 operation="compact",
                 timestamp=time.time(),
                 metrics={"folded": len(small)},
@@ -684,7 +970,7 @@ class LakeTable:
 
     def append(self, df: DataFrame, metrics: dict | None = None) -> None:
         mf = self.latest_manifest()
-        seg_rel, stats, rows = self._write_segment(df)
+        seg_rel, stats, rows, fstats = self._write_segment(df)
         next_v = (mf.version + 1) if mf else 0
         segments = list(mf.segments) if mf else []
         segments.append(
@@ -693,6 +979,7 @@ class LakeTable:
                 None if not self.partition_by else self._read_segment_partitions(seg_rel),
                 stats=stats,
                 rows=rows,
+                files=fstats,
             )
         )
         self._commit(
@@ -763,7 +1050,7 @@ class LakeTable:
         mf = self.latest_manifest()
         if mf is None:
             raise FileNotFoundError(f"LakeTable does not exist: {self.path}")
-        seg_rel, stats, rows = self._write_segment(df)
+        seg_rel, stats, rows, fstats = self._write_segment(df)
         # Rows may land outside the requested partitions (a merge that updates
         # a partition column). Those extra partitions get co-owned by the new
         # segment so the rows stay visible (matches the reference's Delta
@@ -780,8 +1067,12 @@ class LakeTable:
                 continue  # unpartitioned tables replace wholesale via overwrite()
             kept = [pv for pv in seg.partitions if _pv_key(pv) not in replaced]
             if kept:
-                segments.append(Segment(seg.dir, kept, stats=seg.stats, rows=seg.rows))
-        segments.append(Segment(seg_rel, partition_values, stats=stats, rows=rows))
+                segments.append(
+                    Segment(seg.dir, kept, stats=seg.stats, rows=seg.rows, files=seg.files)
+                )
+        segments.append(
+            Segment(seg_rel, partition_values, stats=stats, rows=rows, files=fstats)
+        )
         self._commit(
             Manifest(
                 version=mf.version + 1,
@@ -793,6 +1084,99 @@ class LakeTable:
             )
         )
 
+    def merge_patch(
+        self,
+        df: DataFrame,
+        keys: Sequence[str],
+        mask_col: str | None = None,
+        metrics: dict | None = None,
+        operation: str = "merge_patch",
+        metrics_fn=None,
+    ) -> int:
+        """Merge-on-read commit: append ONLY the changed/inserted rows as a
+        patch segment and mask the superseded versions in every existing
+        segment via a deletion-vector reference to the patch's own key
+        projection — write cost O(changed rows) instead of rewriting every
+        touched partition/bucket (the Delta deletion-vector / Hudi MOR
+        trade: cheap writes, reads pay one small anti-join per live patch
+        until compaction folds them).
+
+        ``keys`` identify a row VERSION (merge: the PK hash; SCD2: PK +
+        ValidFrom). ``mask_col`` (persisted into the patch, stripped from
+        reads) marks which patch rows mask an old version — inserts mask
+        nothing, and excluding them keeps the DV exact. Returns the patch
+        row count; an empty patch commits nothing (the state is unchanged).
+        """
+        mf = self.latest_manifest()
+        if mf is None:
+            raise FileNotFoundError(f"LakeTable does not exist: {self.path}")
+        seg_rel, stats, rows, fstats = self._write_segment(df)
+        if rows == 0:
+            self.fs.delete_tree(f"{self.path}/{seg_rel}")
+            if metrics_fn is not None:
+                metrics_fn()  # evaluate observers so callers can read counts
+            return 0
+        if metrics_fn is not None:
+            metrics = {**(metrics or {}), **metrics_fn()}
+        entry = {"dir": seg_rel, "keys": list(keys), "flag": mask_col}
+        segments = [
+            Segment(
+                s.dir, s.partitions, stats=s.stats, rows=s.rows, files=s.files,
+                dv=list(s.dv or []) + [entry],
+            )
+            for s in mf.segments
+        ]
+        segments.append(
+            Segment(
+                seg_rel,
+                None if not self.partition_by else self._read_segment_partitions(seg_rel),
+                stats=stats,
+                rows=rows,
+                files=fstats,
+            )
+        )
+        self._commit(
+            Manifest(
+                version=mf.version + 1,
+                partition_by=self.partition_by,
+                segments=segments,
+                operation=operation,
+                timestamp=time.time(),
+                metrics=metrics or {},
+            )
+        )
+        return rows
+
+    def delete_keys(self, keys_df: DataFrame, keys: Sequence[str]) -> None:
+        """Hard delete by key without rewriting any data (the GDPR-erasure
+        shape): write the keys as a standalone deletion-vector dir — NOT a
+        data segment — and attach it to every current segment. Matching
+        rows vanish from every subsequent read; ``optimize()`` /
+        compaction materialize the deletion physically (run one before
+        vacuuming if the bytes themselves must go away)."""
+        mf = self.latest_manifest()
+        if mf is None:
+            raise FileNotFoundError(f"LakeTable does not exist: {self.path}")
+        dv_rel = f"data/v{mf.version + 1:05d}-dv-{uuid.uuid4().hex[:8]}"
+        keys_df.select(*keys).write.mode("overwrite").parquet(f"{self.path}/{dv_rel}")
+        entry = {"dir": dv_rel, "keys": list(keys), "flag": None}
+        segments = [
+            Segment(
+                s.dir, s.partitions, stats=s.stats, rows=s.rows, files=s.files,
+                dv=list(s.dv or []) + [entry],
+            )
+            for s in mf.segments
+        ]
+        self._commit(
+            Manifest(
+                version=mf.version + 1,
+                partition_by=self.partition_by,
+                segments=segments,
+                operation="delete",
+                timestamp=time.time(),
+            )
+        )
+
     def to_view_sql(self) -> str:
         """A self-contained SELECT over the current version's segments —
         usable to register a persistent catalog view (no temp-object refs).
@@ -800,10 +1184,19 @@ class LakeTable:
         mf = self.latest_manifest()
         if mf is None:
             raise FileNotFoundError(f"LakeTable does not exist: {self.path}")
-        star = f"* EXCEPT ({BUCKET_COL})" if self.bucket_pk else "*"
+        # dirs referenced as a flagged deletion vector are patch segments
+        # carrying the internal mask column — exclude it from their SELECT
+        flagged = {
+            e["dir"] for s in mf.segments for e in (s.dv or []) if e.get("flag")
+        }
         selects = []
         for seg in mf.segments:
+            internal = [BUCKET_COL] if self.bucket_pk else []
+            if seg.dir in flagged:
+                internal.append(MASK_COL)
+            star = f"* EXCEPT ({', '.join(internal)})" if internal else "*"
             sql = f"SELECT {star} FROM parquet.`{self.path}/{seg.dir}`"
+            clauses = []
             if seg.partitions is not None and self.partition_by:
                 ors = []
                 for pv in seg.partitions:
@@ -812,7 +1205,15 @@ class LakeTable:
                     )
                     ors.append(f"({ands})")
                 if ors:
-                    sql += " WHERE " + " OR ".join(ors)
+                    clauses.append("(" + " OR ".join(ors) + ")")
+            for entry in seg.dv or []:
+                keys = ", ".join(entry["keys"])
+                sub = f"SELECT {keys} FROM parquet.`{self.path}/{entry['dir']}`"
+                if entry.get("flag"):
+                    sub += f" WHERE {entry['flag']}"
+                clauses.append(f"({keys}) NOT IN ({sub})")
+            if clauses:
+                sql += " WHERE " + " AND ".join(clauses)
             selects.append(sql)
         return " UNION ALL ".join(selects)
 
@@ -860,12 +1261,12 @@ class LakeTable:
         mf = self.latest_manifest()
         if mf is None:
             return []
-        live_latest = {s.dir for s in mf.segments}
+        live_latest = self._referenced_dirs([mf])
         names = [f"data/{n}" for n in self.fs.listdir(f"{self.path}/data")]
         candidates = [d for d in names if d not in live_latest]
         if not candidates:
             return []
-        referenced = {s.dir for m in self.history() for s in m.segments}
+        referenced = self._referenced_dirs(self.history())
         now = time.time()
         removed: list[str] = []
         for rel in candidates:
@@ -892,7 +1293,7 @@ class LakeTable:
         if not history:
             return []
         keep = sorted(history, key=lambda m: m.version, reverse=True)[:retain_last]
-        live = {s.dir for m in keep for s in m.segments}
+        live = self._referenced_dirs(keep)
         keep_manifests = {f"v{m.version:05d}.json" for m in keep}
         removed = []
         for name in self.fs.listdir(f"{self.path}/data"):
@@ -904,6 +1305,20 @@ class LakeTable:
             if name.endswith(".json") and name not in keep_manifests:
                 self.fs.delete_file(f"{self._manifest_dir}/{name}")
         return removed
+
+    @staticmethod
+    def _referenced_dirs(manifests: Sequence[Manifest]) -> set[str]:
+        """Every data-relative dir a set of manifests keeps alive: the
+        segment dirs AND the deletion-vector dirs their segments reference
+        (a standalone delete_keys dir is data a read depends on exactly
+        like a segment — vacuuming it would resurrect deleted rows)."""
+        out: set[str] = set()
+        for m in manifests:
+            for s in m.segments:
+                out.add(s.dir)
+                for entry in s.dv or []:
+                    out.add(entry["dir"])
+        return out
 
     def history(self) -> list[Manifest]:
         d = self._manifest_dir

@@ -1,0 +1,188 @@
+"""File-level data skipping + Z-order clustering (tables/lake_table.py).
+
+Per-file min/max stats are recorded in the manifest at write time (parquet
+footer metadata reads); ``read(prune_spec=...)`` then skips individual
+files inside surviving segments. ``optimize(zorder=True)`` interleaves
+bucket bits of the cluster columns so the per-file stats become selective
+on every clustered dimension at once.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakefoundation_spark.tables.lake_table import (
+    BUCKET_COL,
+    LakeTable,
+    zorder_column,
+)
+
+N = 8192
+FILES = 16
+
+
+def _scrambled(spark, n=N):
+    """(pk, wm, b): wm ascending, b a bijective scramble of wm — the two
+    dims are uncorrelated, so lexicographic clustering on (wm, b) leaves b
+    unclustered while z-order bounds both."""
+    return spark.range(n).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("pk"),
+        F.col("id").alias("wm"),
+        F.pmod(F.col("id") * 2654435761, F.lit(n)).alias("b"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), stats_columns=("wm", "b"))
+    t.overwrite(_scrambled(spark).repartitionByRange(FILES, "wm").sortWithinPartitions("wm"))
+    return t
+
+
+def test_file_stats_recorded(table):
+    seg = table.latest_manifest().segments[0]
+    assert seg.files and len(seg.files) == FILES
+    for fstats in seg.files.values():
+        assert set(fstats) == {"wm", "b"}
+        assert fstats["wm"]["t"] == "num"
+        assert fstats["wm"]["min"] <= fstats["wm"]["max"]
+    # file ranges tile the full domain
+    assert min(f["wm"]["min"] for f in seg.files.values()) == 0
+    assert max(f["wm"]["max"] for f in seg.files.values()) == N - 1
+
+
+def test_file_pruning_reads_fewer_files_same_rows(spark, table):
+    spec = [[("and", "wm", "100", "300")]]
+    pruned = table.read(prune_spec=spec)
+    files_read = pruned.select(F.input_file_name()).distinct().count()
+    assert files_read < FILES  # skipped most of the tiling
+    # superset semantics: pruned + row filter == full + row filter
+    got = sorted(
+        r["pk"] for r in pruned.where("wm between 100 and 300").collect()
+    )
+    want = sorted(
+        r["pk"] for r in table.read().where("wm between 100 and 300").collect()
+    )
+    assert got == want and len(got) == 201
+
+
+def test_all_files_pruned_keeps_schema(table):
+    out = table.read(prune_spec=[[("and", "wm", "900000", "900001")]])
+    assert out.count() == 0
+    assert set(out.columns) == {"pk", "wm", "b"}
+
+
+def test_pruning_soundness_on_random_windows(spark, table):
+    for lo, hi in [(0, 0), (4095, 4097), (N - 1, N + 50), (17, 1700)]:
+        spec = [[("and", "wm", str(lo), str(hi))]]
+        got = table.read(prune_spec=spec).where(
+            (F.col("wm") >= lo) & (F.col("wm") <= hi)
+        ).count()
+        want = table.read().where((F.col("wm") >= lo) & (F.col("wm") <= hi)).count()
+        assert got == want
+
+
+def test_zorder_bounds_every_dimension(spark, tmp_path):
+    """Z-order: per-file b-ranges are a small fraction of the domain;
+    lexicographic (wm, b) clustering leaves b at nearly full width."""
+    lex = LakeTable(spark, str(tmp_path / "lex"), stats_columns=("wm", "b"))
+    lex.overwrite(_scrambled(spark))
+    lex.optimize(cluster_by=["wm", "b"], target_partitions=FILES)
+    zo = LakeTable(spark, str(tmp_path / "zo"), stats_columns=("wm", "b"))
+    zo.overwrite(_scrambled(spark))
+    zo.optimize(cluster_by=["wm", "b"], zorder=True, target_partitions=FILES)
+
+    def max_width(t, col):
+        seg = t.latest_manifest().segments[0]
+        assert seg.files
+        return max(f[col]["max"] - f[col]["min"] for f in seg.files.values())
+
+    # 16 z-tiles over 2 dims = a 4x4 grid: the SECOND dim's per-file width
+    # collapses vs lexicographic clustering (where b stays ~full-range).
+    # No max-width claim on wm: a sampled range boundary that straddles a
+    # Morton quadrant seam legitimately yields one file spanning most of a
+    # dimension — the pruning-count assertions below are the operative
+    # property.
+    assert max_width(zo, "b") < 0.5 * max_width(lex, "b")
+    # both layouts hold identical data
+    assert zo.read().count() == lex.read().count() == N
+    # selective predicates on EITHER dim prune files under z-order
+    for col in ("wm", "b"):
+        spec = [[("and", col, "10", "200")]]
+        z_files = (
+            zo.read(prune_spec=spec).select(F.input_file_name()).distinct().count()
+        )
+        assert z_files < FILES / 2, col
+    # ...while under lexicographic clustering the second dim prunes nothing
+    lex_files = (
+        lex.read(prune_spec=[[("and", "b", "10", "200")]])
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert lex_files == FILES
+
+
+def test_zorder_key_unit():
+    """bits=2, two cols with bounds [0,4): value pairs map to the textbook
+    Morton order (bit j of col i at position j*2+i)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (3.999, 0.0), (0.0, 3.999), (3.999, 3.999), (2.0, 1.0)],
+        "a double, b double",
+    )
+    z = df.select(
+        zorder_column(["a", "b"], {"a": (0.0, 4.0), "b": (0.0, 4.0)}, bits=2).alias("z")
+    ).collect()
+    vals = [r["z"] for r in z]
+    # (0,0)->0 ; (3,0)->0b0101=5 ; (0,3)->0b1010=10 ; (3,3)->15 ; (2,1)->0b0110=6
+    assert vals == [0, 5, 10, 15, 6]
+
+
+def test_bucketed_table_file_pruning_keeps_ownership(spark, tmp_path):
+    """Bucketed layout: per-file stats live under the bucket dirs; a pruned
+    read keeps hive bucket columns working and row content exact."""
+    t = LakeTable(
+        spark, str(tmp_path / "b"), bucket_pk="pk", n_buckets=4,
+        stats_columns=("wm",),
+    )
+    t.overwrite(_scrambled(spark, n=2000))
+    seg = t.latest_manifest().segments[0]
+    assert seg.files and all("=" in p for p in seg.files)  # bucket subdirs
+    spec = [[("and", "wm", "0", "50")]]
+    got = sorted(
+        r["wm"] for r in t.read(prune_spec=spec).where("wm <= 50").collect()
+    )
+    assert got == list(range(51))
+
+
+def test_compaction_and_merge_preserve_file_stats(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "c"), stats_columns=("wm",))
+    t.overwrite(_scrambled(spark, n=100))
+    t.append(_scrambled(spark, n=50))
+    t.compact_small_segments(small_rows=1000)
+    mf = t.latest_manifest()
+    assert mf.operation == "compact"
+    assert all(s.files for s in mf.segments)
+
+
+def test_zorder_string_columns_fall_back(spark, tmp_path, caplog):
+    """Non-numeric cluster columns can't equal-width bucket — optimize
+    warns and uses the lexicographic range sort instead of silently
+    clustering everything into bucket 0."""
+    import logging
+
+    t = LakeTable(spark, str(tmp_path / "s"), stats_columns=("name",))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"n{i:04d}", f"m{i:04d}") for i in range(100)],
+            "pk long, name string, other string",
+        )
+    )
+    with caplog.at_level(logging.WARNING):
+        t.optimize(cluster_by=["name", "other"], zorder=True, target_partitions=4)
+    assert any("zorder skipped" in r.message for r in caplog.records)
+    assert t.latest_manifest().metrics.get("zorder") is None
+    assert t.read().count() == 100

@@ -114,8 +114,13 @@ def test_stats_recorded_and_read_prunes(spark, tmp_path):
     got = t.read(prune_spec=spec(("and", "seq", "100", "200")))
     vals = {r["seq"] for r in got.collect()}
     assert vals == set(range(100, 110))
-    # superset semantics: a spec hitting both reads both
-    assert t.read(prune_spec=spec(("and", "seq", "5", "105"))).count() == 20
+    # superset semantics: a spec hitting both segments returns at least
+    # every matching row (seq 5-9 and 100-105 = 11). With file-level stats
+    # (test_file_skipping.py) the superset is tighter than the 20-row
+    # segment-granular read, but never below the match count.
+    both = t.read(prune_spec=spec(("and", "seq", "5", "105")))
+    assert both.count() >= 11
+    assert both.where("seq between 5 and 105").count() == 11
 
     # all segments pruned -> empty result, schema preserved
     empty = t.read(prune_spec=spec(("and", "seq", "5000", "6000")))
