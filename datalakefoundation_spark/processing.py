@@ -32,6 +32,7 @@ from datalakefoundation_spark.logging_ import ProcessingSummary
 from datalakefoundation_spark.metadata.models import Entity, Metadata
 from datalakefoundation_spark.tables.lake_table import (
     BUCKET_COL,
+    MASK_COL,
     LakeTable,
     bucket_expr,
     segment_may_match,
@@ -73,6 +74,20 @@ class Processing:
         self.check_duplicates = bool(
             self.options.get("check_duplicates", settings.get("check_duplicates", True))
         )
+        # Write mode for merge/historic runs: "cow" (default — rewrite the
+        # touched partitions/buckets, the reference's Delta copy-on-write
+        # MERGE shape) or "mor" (merge-on-read: append only the changed
+        # rows as a patch segment and mask superseded versions with a
+        # deletion-vector ref, lake_table.merge_patch). MoR writes
+        # O(changed rows) per run regardless of table size — the right
+        # trade for trickle/streaming ingestion into huge tables — at the
+        # cost of one small anti-join per live patch on reads until
+        # auto-compaction folds them.
+        self.write_mode = str(
+            self.options.get("write_mode", settings.get("write_mode", "cow"))
+        ).lower()
+        if self.write_mode not in ("cow", "mor"):
+            raise DatalakeException(f"write_mode must be cow|mor: {self.write_mode}")
         # CHECK constraints (Delta analog, rebuild addition): list of
         # {"name", "expression" (SQL boolean over post-pipeline columns),
         # "action": "fail" (default) | "drop"}. SQL CHECK semantics: a row
@@ -856,22 +871,56 @@ class Processing:
         # skip_delete rows (source deleted=true matching no target row) exist
         # only so the observe can count them like the reference does
         # (Merge.scala:35,92,132); they never land in the table.
-        final = state.where(F.col("__action") != "skip_delete").drop("__action")
         op = "historic" if historic else "merge"
-        if pvs:
-            table.replace_partitions(final, pvs, operation=op)
-        elif bucketed:
-            table.replace_partitions(
-                final,
-                [{BUCKET_COL: str(b)} for b in bucket_values],
+        if self.write_mode == "mor":
+            # Merge-on-read: write ONLY the changed/inserted rows; the
+            # passthrough rows ("keep" / "unchanged" / "historical") stay in
+            # their segments and the patch's key projection masks the
+            # superseded versions (lake_table.merge_patch). A merge version
+            # is keyed by PK; an SCD2 version by (PK, ValidFrom) — the
+            # closed row keeps its ValidFrom, so the composite key masks
+            # exactly the old open version. Inserts and new versions mask
+            # nothing (flag false keeps the DV exact, and an SCD2 history
+            # whose runs share one processing time cannot mask a sibling
+            # version by accident).
+            if historic:
+                patch_actions = ["close", "delete_close", "new_version", "insert"]
+                mask_actions = ["close", "delete_close"]
+                keys = [self.pk_name, f"{self.prefix}ValidFrom"]
+            else:
+                patch_actions = ["update", "touch", "soft_delete", "insert", "infer_delete"]
+                mask_actions = ["update", "touch", "soft_delete", "infer_delete"]
+                keys = [self.pk_name]
+            patch = (
+                state.where(F.col("__action").isin(patch_actions))
+                .withColumn(MASK_COL, F.col("__action").isin(mask_actions))
+                .drop("__action")
+            )
+            table.merge_patch(
+                patch,
+                keys=keys,
+                mask_col=MASK_COL,
                 operation=op,
+                metrics_fn=lambda: {
+                    k: int(v or 0) for k, v in obs.get.items() if not k.startswith("__")
+                },
             )
         else:
-            table.overwrite(
-                final,
-                operation=op,
-                metrics_fn=lambda: {"total_rows": int(obs.get.get("__total_rows") or 0)},
-            )
+            final = state.where(F.col("__action") != "skip_delete").drop("__action")
+            if pvs:
+                table.replace_partitions(final, pvs, operation=op)
+            elif bucketed:
+                table.replace_partitions(
+                    final,
+                    [{BUCKET_COL: str(b)} for b in bucket_values],
+                    operation=op,
+                )
+            else:
+                table.overwrite(
+                    final,
+                    operation=op,
+                    metrics_fn=lambda: {"total_rows": int(obs.get.get("__total_rows") or 0)},
+                )
         counts = {k: (v or 0) for k, v in obs.get.items()}
         # records_in_slice is fully determined by the action counts —
         # no extra count() job over the source.

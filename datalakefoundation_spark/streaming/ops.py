@@ -169,6 +169,11 @@ def stream_merge_to_silver(
     State never accumulates on the stream side; all heavy lifting is the
     same partition-pruned merge the batch path uses, so one code path
     serves both latency modes (Kappa-style).
+
+    For high-frequency micro-batches into a large table pass
+    ``options={"write_mode": "mor"}``: each batch then appends only its
+    changed rows as a merge-on-read patch (O(batch) write cost instead of
+    per-batch bucket rewrites) and auto-compaction folds the patch tail.
     """
     from datalakefoundation_spark.processing import Processing
 

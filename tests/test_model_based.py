@@ -142,8 +142,11 @@ def _merge_model_with_inference(slices: list[list[dict]]) -> dict[int, dict]:
 
 
 # seeds chosen so the model infers >=2 deletions (non-vacuous windows)
+@pytest.mark.parametrize("mode", ["cow", "mor"])
 @pytest.mark.parametrize("seed", [1, 28, 32])
-def test_merge_delete_inference_matches_reference_model(spark, lake_root, prefix, seed):
+def test_merge_delete_inference_matches_reference_model(
+    spark, lake_root, prefix, seed, mode
+):
     md = make_metadata(lake_root, prefix, delete_missing=True)
     slices = _gen_overlapping_history(seed)
     p = None
@@ -152,7 +155,10 @@ def test_merge_delete_inference_matches_reference_model(spark, lake_root, prefix
             spark, md, f"s{i}.parquet",
             [{k: v for k, v in r.items() if k != "deleted"} for r in rows],
         )
-        p = Processing(spark, md, 1, f"s{i}.parquet", {"processing.time": TIMES[i]})
+        p = Processing(
+            spark, md, 1, f"s{i}.parquet",
+            {"processing.time": TIMES[i], "write_mode": mode},
+        )
         p.process("merge")
 
     expected = _merge_model_with_inference(slices)
@@ -254,8 +260,9 @@ def _scd2_model(slices: list[list[dict]], sentinel: str) -> dict[tuple, dict]:
     }
 
 
+@pytest.mark.parametrize("mode", ["cow", "mor"])
 @pytest.mark.parametrize("seed", [5, 31])
-def test_scd2_history_matches_reference_model(spark, lake_root, prefix, seed):
+def test_scd2_history_matches_reference_model(spark, lake_root, prefix, seed, mode):
     from datalakefoundation_spark import pipeline as P
 
     md = make_metadata(lake_root, prefix, processtype="historic")
@@ -267,7 +274,10 @@ def test_scd2_history_matches_reference_model(spark, lake_root, prefix, seed):
     p = None
     for i, rows in enumerate(slices):
         write_slice(spark, md, f"s{i}.parquet", rows)
-        p = Processing(spark, md, 1, f"s{i}.parquet", {"processing.time": TIMES[i]})
+        p = Processing(
+            spark, md, 1, f"s{i}.parquet",
+            {"processing.time": TIMES[i], "write_mode": mode},
+        )
         p.process("historic")
 
     sentinel = P.VALID_TO_SENTINEL
@@ -301,8 +311,9 @@ def test_scd2_history_matches_reference_model(spark, lake_root, prefix, seed):
     assert all(n == 1 for n in per_key.values())
 
 
+@pytest.mark.parametrize("mode", ["cow", "mor"])
 @pytest.mark.parametrize("seed", [11, 23, 47])
-def test_merge_history_matches_reference_model(spark, lake_root, prefix, seed):
+def test_merge_history_matches_reference_model(spark, lake_root, prefix, seed, mode):
     md = make_metadata(lake_root, prefix)
     slices = _gen_history(seed)
     p = None
@@ -314,7 +325,10 @@ def test_merge_history_matches_reference_model(spark, lake_root, prefix, seed):
                 row[f"{prefix}deleted"] = r["deleted"]
             out_rows.append(row)
         write_slice(spark, md, f"s{i}.parquet", out_rows)
-        p = Processing(spark, md, 1, f"s{i}.parquet", {"processing.time": TIMES[i]})
+        p = Processing(
+            spark, md, 1, f"s{i}.parquet",
+            {"processing.time": TIMES[i], "write_mode": mode},
+        )
         p.process("merge")
 
     expected = _model(slices)

@@ -973,3 +973,101 @@ def test_merge_with_null_partition_values(spark, lake_root, prefix):
     assert out.count() == 6
     assert out.select(p2.pk_name).distinct().count() == 6
     assert out.where(F.col("name").startswith("renamed")).count() == 6
+
+
+def test_mor_merge_metrics_and_auto_compaction(spark, tmp_path, monkeypatch):
+    """write_mode=mor: each merge appends one patch segment (no bucket
+    rewrite), the summary keeps the metric identity, and auto-compaction
+    folds the patch tail back into a clean segment with identical state."""
+    from datalakefoundation_spark.processing import Processing
+    from tests.helpers import T0, T1, make_metadata, rows_v1, write_slice
+
+    monkeypatch.setattr(Processing, "AUTO_OPTIMIZE_DEFAULT", 0)  # manual control
+
+    md = make_metadata(str(tmp_path / "root"), watermark=False)
+    opts = {
+        "processing.time": T0,
+        "bucketing.rows_per_bucket": 1,
+        "bucketing.buckets": 4,
+        "write_mode": "mor",
+    }
+    write_slice(spark, md, "s0.parquet", rows_v1(40))
+    Processing(spark, md, 1, "s0.parquet", opts).process()
+    base_dirs = {
+        s.dir for s in Processing(spark, md, 1, "s0.parquet", opts)
+        .silver_table().latest_manifest().segments
+    }
+
+    # update 2 + insert 1: the patch is 3 rows; base segments untouched
+    write_slice(spark, md, "s1.parquet", [
+        {"ID": 0, "SeqNr": 100, "name": "nn", "data": "dd"},
+        {"ID": 1, "SeqNr": 101, "name": "nn", "data": "dd"},
+        {"ID": 900, "SeqNr": 102, "name": "new", "data": "x"},
+    ])
+    p = Processing(spark, md, 1, "s1.parquet", {**opts, "processing.time": T1})
+    summary = p.process()
+    assert summary.inserted == 1 and summary.updated == 2
+    assert summary.records_in_slice == 3
+    table = p.silver_table()
+    mf = table.latest_manifest()
+    assert mf.operation == "merge"
+    # every pre-existing dir is still referenced as-is (nothing rewritten)
+    assert base_dirs <= {s.dir for s in mf.segments}
+    patch = [s for s in mf.segments if s.dir not in base_dirs]
+    assert len(patch) == 1 and patch[0].rows == 3
+    assert all(s.dv for s in mf.segments if s.dir in base_dirs)
+    out = table.read()
+    assert out.count() == 41
+    assert {r["SeqNr"] for r in out.where(F.col("ID") == 0).collect()} == {100}
+
+    # second mor run, then fold the patches
+    write_slice(spark, md, "s2.parquet", [
+        {"ID": 0, "SeqNr": 200, "name": "z", "data": "z"},
+    ])
+    p = Processing(
+        spark, md, 1, "s2.parquet",
+        {**opts, "processing.time": T1, "maintenance.auto_optimize": 1,
+         "maintenance.compact_small_rows": 1000},
+    )
+    p.process()
+    table = p.silver_table()
+    mf = table.latest_manifest()
+    assert mf.operation == "compact"
+    assert all(not s.dv for s in mf.segments)
+    out = table.read()
+    assert out.count() == 41
+    assert {r["SeqNr"] for r in out.where(F.col("ID") == 0).collect()} == {200}
+
+
+def test_mor_identical_rerun_writes_touch_patch(spark, tmp_path):
+    """Re-running a hash-identical slice in mor mode appends a touch-only
+    patch (lastSeen refresh, reference Merge.scala:117 semantics) — the
+    patch holds exactly the slice rows, and the read still shows one
+    version per PK."""
+    from datalakefoundation_spark.processing import Processing
+    from tests.helpers import T0, T1, make_metadata, write_slice
+
+    md = make_metadata(str(tmp_path / "root"), watermark=False)
+    rows = [
+        {"ID": 1, "SeqNr": 1, "name": "a", "data": "b"},
+        {"ID": 2, "SeqNr": 2, "name": "c", "data": "d"},
+    ]
+    write_slice(spark, md, "s0.parquet", rows)
+    Processing(
+        spark, md, 1, "s0.parquet", {"processing.time": T0, "write_mode": "mor"}
+    ).process()
+
+    write_slice(spark, md, "s1.parquet", rows)
+    p = Processing(
+        spark, md, 1, "s1.parquet", {"processing.time": T1, "write_mode": "mor"}
+    )
+    summary = p.process()
+    assert summary.records_in_slice == 2
+    # the reference folds touches into updated (identity
+    # inserted+updated+deleted == recordsInSlice, Merge.scala:124-145)
+    assert summary.updated == 2 and summary.inserted == 0
+    table = p.silver_table()
+    mf = table.latest_manifest()
+    assert mf.metrics.get("touch") == 2
+    assert table.read().count() == 2
+    assert mf.segments[-1].rows == 2  # the touch patch

@@ -3,6 +3,8 @@ sessionization -> memory sink, driven with availableNow triggers."""
 
 import datetime as dt
 
+import pytest
+
 from datalakefoundation_spark.streaming import (
     read_event_stream,
     sessionize,
@@ -137,7 +139,10 @@ def test_stream_dedup(spark, tmp_path):
     assert ids == [1, 2, 3]
 
 
-def test_stream_merge_to_silver_upserts(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_stream_merge_to_silver_upserts(spark, tmp_path, mode):
+    """Micro-batch upserts in both write modes — mor is the mode built for
+    this cadence (O(batch) patch per trigger instead of bucket rewrites)."""
     from datalakefoundation_spark.processing import Processing
     from datalakefoundation_spark.streaming import stream_merge_to_silver
     from tests.helpers import make_metadata
@@ -155,8 +160,9 @@ def test_stream_merge_to_silver_upserts(spark, tmp_path):
             )
         )
 
+    opts = {"write_mode": mode}
     _write_events(spark, src, [(i, _ts(i % 60), i, "click", 1.0) for i in range(5)])
-    q = stream_merge_to_silver(as_entity_stream(), md, 1, ckpt)
+    q = stream_merge_to_silver(as_entity_stream(), md, 1, ckpt, options=opts)
     q.awaitTermination(120)
     silver = Processing(spark, md, 1, "stream_batch_000000000000.parquet", {}).silver_table()
     assert silver.read().count() == 5
@@ -164,12 +170,18 @@ def test_stream_merge_to_silver_upserts(spark, tmp_path):
     # second wave: 3 replays with changed payload + 3 new keys; the
     # checkpoint ensures only the new files feed batch 1, the merge upserts
     _write_events(spark, src, [(i, _ts(i % 60), i, "click", 9.0) for i in range(3, 9)])
-    q2 = stream_merge_to_silver(as_entity_stream(), md, 1, ckpt)
+    q2 = stream_merge_to_silver(as_entity_stream(), md, 1, ckpt, options=opts)
     q2.awaitTermination(120)
     out = silver.read()
     assert out.count() == 9
     by_id = {r["ID"]: r["data"] for r in out.collect()}
     assert by_id[2] == 1.0 and by_id[3] == 9.0 and by_id[8] == 9.0
+    assert out.count() == out.select("PK_person").distinct().count()
+    if mode == "mor":
+        # batch upserts landed as patch segments with dv refs, not rewrites
+        mf = silver.latest_manifest()
+        assert mf.operation == "merge"
+        assert any(s.dv for s in mf.segments)
 
 
 def test_stream_merge_restart_replays_batch_exactly_once(spark, tmp_path):

@@ -131,6 +131,46 @@ def main() -> None:
             results[tag] = round(best, 2)
             print(f"{tag}: {results[tag]} s", flush=True)
 
+    # ------------------------------------------------------ cow vs mor
+    # 1%-slice update merges: copy-on-write rewrites every touched bucket;
+    # merge-on-read appends a patch of exactly the changed rows + a
+    # deletion-vector ref (lake_table.merge_patch). Same data, same model
+    # (test_model_based parametrizes both) — this measures the write-cost
+    # gap that motivates mor for trickle ingestion into huge tables.
+    for tag, opts in (
+        ("merge_1pct_cow", {}),
+        ("merge_1pct_mor", {"write_mode": "mor"}),
+    ):
+        with tempfile.TemporaryDirectory() as root:
+            md = make_metadata(root)
+            entity = md.get_entity(1)
+            bronze = entity.get_output().bronzepath.value
+            spark.range(n).selectExpr(
+                "CAST(id AS INT) AS ID",
+                "id AS SeqNr",
+                "concat('name', id) AS name",
+                "concat('data', id) AS data",
+            ).write.mode("overwrite").parquet(f"{bronze}/s1.parquet")
+            for i, lo in ((2, 0), (3, k)):
+                spark.range(lo, lo + k).selectExpr(
+                    "CAST(id AS INT) AS ID",
+                    "id AS SeqNr",
+                    "concat('name', id) AS name",
+                    "concat('CHANGED', id) AS data",
+                ).write.mode("overwrite").parquet(f"{bronze}/s{i}.parquet")
+            Processing(
+                spark, md, 1, "s1.parquet", {"processing.time": T0, **opts}
+            ).process()
+            best = float("inf")
+            for s in ("s2.parquet", "s3.parquet"):
+                t = time.time()
+                Processing(
+                    spark, md, 1, s, {"processing.time": T1, **opts}
+                ).process()
+                best = min(best, time.time() - t)
+            results[tag] = round(best, 2)
+            print(f"{tag}: {results[tag]} s", flush=True)
+
     print({"probe": "600k_slice", "n_rows": n, "seconds": results})
 
 
