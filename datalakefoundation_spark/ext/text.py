@@ -201,6 +201,70 @@ def rare_token_stats(
     )
 
 
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_pair_docs: int = 5,
+) -> DataFrame:
+    """Top-``k`` collocations: adjacent token pairs ranked by lift
+    ``N * df_pair / (df_x * df_y)`` — the PMI ordering without the log
+    (monotone transform, so the ranking is identical and the arithmetic
+    is one integer-product ratio: bit-reproducible across engines, the
+    same trade as tfidf_top_terms' linear variant). Document frequencies
+    (not raw counts) keep one spammy document from minting collocations.
+
+    Plan: explode bigrams -> distinct (doc, pair) -> pair df counts (two
+    shuffles, map-side combine) -> join each side's unigram df (vocab-
+    sized, broadcast-eligible) -> bounded top-k. ``min_pair_docs`` floors
+    support so the lift of a one-off typo pair can't dominate."""
+    from pyspark.sql.window import Window  # noqa: F401  (parity with tfidf)
+
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__w"))
+    pairs = F.when(
+        F.size("__w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__w") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("__w"), i).alias("x"),
+                F.element_at(F.col("__w"), i + 1).alias("y"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    pair_df = (
+        base.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, "p.x", "p.y")
+        .distinct()
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("pair_df"))
+        .where(F.col("pair_df") >= min_pair_docs)
+    )
+    uni = (
+        base.select(F.col(id_col), F.explode("__w").alias("t"))
+        .distinct()
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__N"))
+    scored = (
+        pair_df.join(uni.withColumnRenamed("t", "x").withColumnRenamed("df", "df_x"), "x")
+        .join(uni.withColumnRenamed("t", "y").withColumnRenamed("df", "df_y"), "y")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "lift",
+            (F.col("__N") * F.col("pair_df")).cast("double")
+            / (F.col("df_x") * F.col("df_y")),
+        )
+    )
+    return (
+        scored.select("x", "y", "pair_df", "df_x", "df_y", "lift")
+        .orderBy(F.desc("lift"), F.asc("x"), F.asc("y"))
+        .limit(k)
+    )
+
+
 def fingerprint(text_col: str | Column) -> Column:
     """Order-insensitive content fingerprint: sha256 over the sorted distinct
     token set. Robust to token reordering; cheap (one projection)."""

@@ -840,6 +840,42 @@ GROUP BY tf.doc_id
 """
 
 
+def q_collocations(spark, sf_dir):
+    """Top collocations by PMI-lift ordering (ext/text.py collocations —
+    N*df_pair/(df_x*df_y), the log-free monotone form, one integer-product
+    ratio so the ranking is bit-reproducible across engines)."""
+    return TX.collocations(_docs(spark, sf_dir), k=30, min_pair_docs=5)
+
+
+SQL_COLLOCATIONS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+bi AS (
+  SELECT DISTINCT doc_id, w[i] AS x, w[i + 1] AS y
+  FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)
+),
+pair AS (
+  SELECT x, y, count(*) AS pair_df FROM bi GROUP BY x, y HAVING count(*) >= 5
+),
+uni AS (
+  SELECT t, count(*) AS df FROM (
+    SELECT DISTINCT doc_id, u.t AS t
+    FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  ) GROUP BY t
+),
+n AS (SELECT count(DISTINCT doc_id) AS N FROM documents)
+SELECT pair.x, pair.y, pair.pair_df, ux.df AS df_x, uy.df AS df_y,
+       CAST(n.N * pair.pair_df AS DOUBLE) / (ux.df * uy.df) AS lift
+FROM pair
+JOIN uni ux ON ux.t = pair.x
+JOIN uni uy ON uy.t = pair.y
+CROSS JOIN n
+ORDER BY lift DESC, x ASC, y ASC
+LIMIT 30
+"""
+
+
 EXTRA = {
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
@@ -849,6 +885,7 @@ EXTRA = {
     "q_decontaminate_frac": (q_decontaminate_frac, SQL_DECONTAMINATE_FRAC),
     "q_mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "q_rare_tokens": (q_rare_tokens, SQL_RARE_TOKENS),
+    "q_collocations": (q_collocations, SQL_COLLOCATIONS),
 }
 
 

@@ -845,3 +845,31 @@ def test_rare_token_stats_planted(spark):
     assert out[2]["n_rare"] == 0 and out[2]["rare_ratio"] == 0.0
     # occurrences counted, not distinct tokens
     assert out[1]["n_tokens"] == 3
+
+
+# ---------------------------------------------------------------- collocations
+def test_collocations_planted_pair(spark):
+    """A pair that always co-occurs and appears nowhere else maxes the lift
+    N*df_pair/(df_x*df_y); ubiquitous filler pairs score ~1."""
+    from datalakefoundation_spark.ext.text import collocations
+
+    docs = [(i, "the cat " + ("hong kong " if i % 2 == 0 else "x y ") + "end") for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = collocations(df, k=10, min_pair_docs=3).collect()
+    # 'hong kong' / 'x y': df_pair=10, df_x=df_y=10, N=20 -> lift 2.0 (max
+    # possible for a 50%-support pair); 'the cat' is in every doc -> 1.0
+    assert {(r["x"], r["y"]) for r in out[:2]} == {("hong", "kong"), ("x", "y")}
+    assert out[0]["lift"] == pytest.approx(2.0)
+    lifts = {(r["x"], r["y"]): r["lift"] for r in out}
+    assert lifts[("the", "cat")] == pytest.approx(1.0)
+
+
+def test_collocations_min_support(spark):
+    from datalakefoundation_spark.ext.text import collocations
+
+    df = spark.createDataFrame(
+        [(1, "rare pair only once"), (2, "a b"), (3, "a b"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    out = {(r["x"], r["y"]) for r in collocations(df, k=10, min_pair_docs=2).collect()}
+    assert ("rare", "pair") not in out and ("a", "b") in out
