@@ -1,0 +1,115 @@
+"""End-to-end training-corpus preparation recipes.
+
+Composition layer over the ext/ operators: one call takes a raw document
+table through the standard pre-training cleanup sequence. Each stage is
+the already-tested operator; the recipe adds the canonical ORDER (cheap
+scan-speed filters first, shuffling dedup stages on the survivors only,
+benchmark decontamination before sampling so contamination can't leak
+into the mixture) and a per-stage audit trail.
+
+Everything stays lazy until the caller acts; at 100 TB the stage order is
+the cost model — each stage shrinks the input of the next, and the only
+shuffles are the dedup/cluster stages, running on post-filter survivors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datalakefoundation_spark.ext import dedup as D
+from datalakefoundation_spark.ext import text as TX
+from datalakefoundation_spark.ext.cluster import dedup_clusters
+from datalakefoundation_spark.ext.pii import pii_scrub
+from datalakefoundation_spark.ext.sampling import mixture_sample
+
+
+@dataclass
+class CleanResult:
+    """Cleaned corpus + the per-stage survivor counts (computed lazily —
+    ``counts()`` triggers one action per recorded stage)."""
+
+    df: DataFrame
+    stages: list[tuple[str, DataFrame]] = field(default_factory=list)
+
+    def counts(self) -> dict[str, int]:
+        return {name: frame.count() for name, frame in self.stages}
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    min_distinct_ratio: float = 0.1,
+    benchmark: DataFrame | None = None,
+    max_contaminated_frac: float = 0.2,
+    redact_pii: bool = True,
+    mixture: tuple[str, dict[str, float]] | None = None,
+    near_dedup: bool = True,
+    shingle_size: int = 3,
+) -> CleanResult:
+    """The standard pre-training cleanup pipeline:
+
+    1. quality gate (Gopher/C4-style, scan speed, no shuffle)
+    2. PII redaction (regex tier, scan speed)
+    3. exact dedup (one hash shuffle, min-id survivor)
+    4. near-dup clustering (MinHash-LSH candidates -> connected
+       components; one survivor per cluster)
+    5. benchmark decontamination (drop docs sharing more than
+       ``max_contaminated_frac`` of their shingles with ``benchmark``)
+    6. deterministic mixture sampling (``mixture=(strata_col, weights)``)
+
+    Stages 2/4/5/6 are skipped when their inputs say so (``redact_pii``,
+    ``near_dedup``, ``benchmark``, ``mixture``). Returns the cleaned
+    DataFrame plus each stage's output for auditing."""
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+    cur = docs
+
+    cur = (
+        TX.quality_filter(
+            cur, text_col,
+            min_tokens=min_tokens, min_distinct_ratio=min_distinct_ratio,
+        )
+        .where(F.col("keep"))
+        .drop("keep", "reject_reason")
+    )
+    stages.append(("quality", cur))
+
+    if redact_pii:
+        cur = (
+            pii_scrub(cur, text_col)
+            .drop(text_col, "n_email", "n_ipv4", "n_phone", "n_digit_run")
+            .withColumnRenamed("redacted", text_col)
+        )
+        # no stage record: redaction is row-preserving (same count)
+
+    cur = D.exact_dedup(cur, text_col=text_col, id_col=id_col)
+    stages.append(("exact_dedup", cur))
+
+    if near_dedup:
+        clusters = dedup_clusters(
+            cur, text_col=text_col, id_col=id_col, shingle_size=shingle_size
+        )
+        # drop every clustered doc except its cluster's survivor
+        losers = clusters.where(~F.col("is_survivor")).select(id_col)
+        cur = cur.join(losers, id_col, "left_anti")
+        stages.append(("near_dedup", cur))
+
+    if benchmark is not None:
+        frac = D.decontamination_fraction(
+            cur, benchmark, text_col=text_col, id_col=id_col, shingle_size=5
+        ).where(F.col("contaminated_frac") > max_contaminated_frac).select(
+            F.col(id_col).alias("__dirty_id")
+        )
+        cur = cur.join(frac, cur[id_col] == F.col("__dirty_id"), "left_anti")
+        stages.append(("decontaminate", cur))
+
+    if mixture is not None:
+        strata_col, weights = mixture
+        cur = mixture_sample(cur, key_col=id_col, strata_col=strata_col, weights=weights)
+        stages.append(("mixture", cur))
+
+    return CleanResult(df=cur, stages=stages)

@@ -929,3 +929,83 @@ def test_ivf_pq_shortlist_recall(spark, embs):
     hits = sum(len(base[q] & got.get(q, set())) for q in base)
     total = sum(len(base[q]) for q in base)
     assert hits / total >= 0.6, f"recall {hits}/{total}"
+
+
+# ---------------------------------------------------------------- recipes
+def test_clean_corpus_end_to_end(spark, docs):
+    """Full cleanup recipe over the fixture + planted junk: the quality
+    gate drops the short doc, exact dedup drops the verbatim copy, near
+    dedup drops the one-word-changed copy, decontamination drops docs
+    overlapping the benchmark holdout, and PII is redacted in survivors."""
+    from datalakefoundation_spark.ext.recipes import clean_corpus
+
+    # 80-doc subset keeps the connected-components stage fast; it still
+    # spans 4 sources including the src0 benchmark holdout
+    base = docs.where(F.col("doc_id") < 80).select("doc_id", "text", "source")
+    junk = spark.createDataFrame(
+        [
+            (900001, "too short", "srcX"),
+            (900002, None, "srcX"),
+        ],
+        "doc_id long, text string, source string",
+    ).where(F.col("text").isNotNull())
+    exact_copy = base.where(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + 800000).alias("doc_id"), "text", "source"
+    )
+    near_copy = base.where(F.col("doc_id") == 2).select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "source",
+    )
+    pii_doc = base.where(F.col("doc_id") == 3).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact admin@example.com now")).alias("text"),
+        "source",
+    )
+    corpus = (
+        base.where(F.col("doc_id") != 3)
+        .unionByName(junk)
+        .unionByName(exact_copy)
+        .unionByName(near_copy)
+        .unionByName(pii_doc)
+    )
+    bench = base.where(F.col("source") == "src0").select("doc_id", "text")
+
+    res = clean_corpus(
+        corpus,
+        benchmark=bench,
+        max_contaminated_frac=0.5,
+        mixture=None,
+    )
+    out = res.df
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 900001 not in ids  # quality gate
+    assert 800001 not in ids  # exact dup loses to min-id survivor
+    assert 800002 not in ids  # near dup loses
+    assert 1 in ids and 2 in ids
+    # src0 docs are fully contained in the benchmark -> decontaminated away
+    srcs = {r["source"] for r in out.select("source").collect()}
+    assert "src0" not in srcs
+    # PII redacted in the surviving text
+    t3 = out.where(F.col("doc_id") == 3).head()["text"]
+    assert "admin@example.com" not in t3 and "<EMAIL>" in t3
+    # audit counts are monotone non-increasing along the pipeline
+    counts = res.counts()
+    order = [n for n, _ in res.stages]
+    vals = [counts[n] for n in order]
+    assert vals == sorted(vals, reverse=True)
+    assert order == ["input", "quality", "exact_dedup", "near_dedup", "decontaminate"]
+
+
+def test_clean_corpus_mixture_stage(spark, docs):
+    from datalakefoundation_spark.ext.recipes import clean_corpus
+
+    res = clean_corpus(
+        docs.select("doc_id", "text", "source"),
+        near_dedup=False,
+        redact_pii=False,
+        mixture=("source", {"src1": 0.5, "src2": 0.25}),
+    )
+    srcs = {r["source"] for r in res.df.select("source").collect()}
+    assert srcs <= {"src1", "src2"}
+    assert res.counts()["mixture"] > 0
