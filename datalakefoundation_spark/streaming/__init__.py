@@ -1,3 +1,6 @@
+from datalakefoundation_spark.streaming.lake_source import (  # noqa: F401
+    LakeStreamDataSource,
+)
 from datalakefoundation_spark.streaming.ops import (  # noqa: F401
     read_event_stream,
     sessionize,

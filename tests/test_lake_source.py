@@ -1,0 +1,112 @@
+"""lake_stream Python Data Source (streaming/lake_source.py): batch and
+streaming reads of a LakeTable's commit log via the Spark 4 Python
+DataSource API — offsets are manifest versions, so checkpoint recovery is
+exactly-once per commit; merge-on-read patches make the feed a precise
+row-level CDC."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakefoundation_spark.streaming import LakeStreamDataSource
+from datalakefoundation_spark.tables.lake_table import MASK_COL, LakeTable
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(LakeStreamDataSource)
+
+
+def _mk(spark, path, n=10):
+    t = LakeTable(spark, path, bucket_pk="pk", n_buckets=2)
+    t.overwrite(
+        spark.range(n).select(
+            F.sha2(F.col("id").cast("string"), 256).alias("pk"),
+            F.col("id").alias("val"),
+        )
+    )
+    return t
+
+
+def _patch(spark, rows):
+    return spark.createDataFrame(rows, f"pk string, val long, {MASK_COL} boolean")
+
+
+def test_batch_backfill_tags_versions(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.merge_patch(_patch(spark, [("new", 99, False)]), keys=["pk"], mask_col=MASK_COL)
+    b = spark.read.format("lake_stream").option("path", t.path).load()
+    assert b.count() == 11
+    by_v = {
+        (r["_commit_version"], r["_commit_operation"]): r["n"]
+        for r in b.groupBy("_commit_version", "_commit_operation")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_v == {(0, "overwrite"): 10, (1, "merge_patch"): 1}
+    # internal columns never leak
+    assert not set(b.columns) & {"__dlf_bucket", MASK_COL}
+
+
+def test_stream_resume_is_exactly_once_per_commit(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run():
+        q = (
+            spark.readStream.format("lake_stream").option("path", t.path).load()
+            .writeStream.format("parquet").option("path", out)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        got = spark.read.parquet(out)
+        return {
+            r["_commit_version"]: r["n"]
+            for r in got.groupBy("_commit_version").agg(F.count("*").alias("n")).collect()
+        }
+
+    assert run() == {0: 10}
+    t.merge_patch(_patch(spark, [("y", 1, True)]), keys=["pk"], mask_col=MASK_COL)
+    t.merge_patch(_patch(spark, [("z", 2, True)]), keys=["pk"], mask_col=MASK_COL)
+    # restart from the checkpoint: ONLY versions 1 and 2 arrive, once each
+    assert run() == {0: 10, 1: 1, 2: 1}
+
+
+def test_maintenance_commits_skipped_by_default(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.merge_patch(_patch(spark, [("q", 7, False)]), keys=["pk"], mask_col=MASK_COL)
+    t.compact_small_segments(small_rows=10_000)
+    assert t.latest_manifest().operation == "compact"
+    b = spark.read.format("lake_stream").option("path", t.path).load()
+    assert b.where(F.col("_commit_operation") == "compact").count() == 0
+    assert b.count() == 11
+    inc = (
+        spark.read.format("lake_stream")
+        .option("path", t.path)
+        .option("skip_maintenance", "false")
+        .load()
+    )
+    assert inc.where(F.col("_commit_operation") == "compact").count() == 11
+
+
+def test_start_version_scopes_backfill(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.merge_patch(_patch(spark, [("a", 1, False)]), keys=["pk"], mask_col=MASK_COL)
+    b = (
+        spark.read.format("lake_stream")
+        .option("path", t.path)
+        .option("start_version", "1")
+        .load()
+    )
+    assert [r["_commit_version"] for r in b.collect()] == [1]
+
+
+def test_evolved_column_reads_null_for_old_segments(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([("a", 1)], "pk string, val long"))
+    t.append(spark.createDataFrame([("b", 2, "x")], "pk string, val long, extra string"))
+    b = spark.read.format("lake_stream").option("path", t.path).load()
+    assert "extra" in b.columns
+    rows = {r["pk"]: r["extra"] for r in b.collect()}
+    assert rows == {"a": None, "b": "x"}
