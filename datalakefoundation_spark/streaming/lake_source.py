@@ -141,7 +141,13 @@ class _LakeReaderBase:
     def _partitions_for(self, versions) -> list[_SegPartition]:
         out = []
         for v in versions:
-            mf = _manifest(self.path, v)
+            try:
+                mf = _manifest(self.path, v)
+            except FileNotFoundError:
+                # vacuumed version: its surviving rows are re-attributed to
+                # the next surviving manifest's added-segment diff, so
+                # skipping here loses nothing that still exists
+                continue
             for seg_dir in _new_segment_dirs(self.path, v, self.skip_maintenance):
                 out.append(
                     _SegPartition(

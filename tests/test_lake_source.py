@@ -110,3 +110,19 @@ def test_evolved_column_reads_null_for_old_segments(spark, tmp_path):
     assert "extra" in b.columns
     rows = {r["pk"]: r["extra"] for r in b.collect()}
     assert rows == {"a": None, "b": "x"}
+
+
+def test_backfill_survives_vacuumed_history(spark, tmp_path):
+    """After vacuum drops old versions, a from-zero backfill reads the
+    surviving segments (attributed to their original commit versions when
+    the manifest survives, skipped quietly when it doesn't) instead of
+    crashing on the missing manifests."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.merge_patch(_patch(spark, [("a", 1, False)]), keys=["pk"], mask_col=MASK_COL)
+    t.merge_patch(_patch(spark, [("b", 2, False)]), keys=["pk"], mask_col=MASK_COL)
+    t.vacuum(retain_last=1)  # drops manifests v0/v1; all segments survive (live)
+    b = spark.read.format("lake_stream").option("path", t.path).load()
+    # v2's manifest is the only survivor; its added-segment diff walks back
+    # to "no previous manifest" -> every live segment attributed to v2
+    assert b.count() == 12
+    assert {r["_commit_version"] for r in b.select("_commit_version").collect()} == {2}
