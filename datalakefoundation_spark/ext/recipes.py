@@ -50,6 +50,7 @@ def clean_corpus(
     mixture: tuple[str, dict[str, float]] | None = None,
     near_dedup: bool = True,
     shingle_size: int = 3,
+    decon_shingle_size: int = 5,
 ) -> CleanResult:
     """The standard pre-training cleanup pipeline:
 
@@ -99,8 +100,11 @@ def clean_corpus(
         stages.append(("near_dedup", cur))
 
     if benchmark is not None:
+        # separate knob from the near-dup shingle width: dedup favors short
+        # shingles (recall), decontamination the published 5-8-gram tests
         frac = D.decontamination_fraction(
-            cur, benchmark, text_col=text_col, id_col=id_col, shingle_size=5
+            cur, benchmark, text_col=text_col, id_col=id_col,
+            shingle_size=decon_shingle_size,
         ).where(F.col("contaminated_frac") > max_contaminated_frac).select(
             F.col(id_col).alias("__dirty_id")
         )

@@ -24,10 +24,19 @@ _HASH_SPACE = 16 ** _HASH_WIDTH
 
 
 def hash_threshold(fraction: float) -> str:
-    """Fixed-width lowercase-hex keep threshold for a sampling fraction."""
+    """Fixed-width lowercase-hex keep threshold for a sampling fraction.
+
+    Fraction 1.0 returns ``"g"`` — lexicographically above every 8-char
+    hex prefix — so "keep everything" really keeps everything: a clamped
+    ``"ffffffff"`` under the strict ``<`` filter would drop keys hashing
+    to that exact prefix (~1 in 4.3 billion — a certainty at corpus
+    scale) from a stratum the mixture contract promises to keep whole."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(min(int(fraction * _HASH_SPACE), _HASH_SPACE - 1), f"0{_HASH_WIDTH}x")
+    raw = int(fraction * _HASH_SPACE)
+    if raw >= _HASH_SPACE:
+        return "g"
+    return format(raw, f"0{_HASH_WIDTH}x")
 
 def _bucket(key_col: Column) -> Column:
     return F.substring(F.sha2(key_col.cast("string"), 256), 1, _HASH_WIDTH)

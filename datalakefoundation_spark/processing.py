@@ -719,6 +719,12 @@ class Processing:
             and self.entity.businesskeys
             and self._bucket_cap > 0
             and mf is not None
+            # mor runs append a patch, never the wholesale rewrite this
+            # catch-up's premise requires — flipping the recorded layout
+            # here would leave the base segment plain forever (layout
+            # upgrades for mor tables happen in auto-optimize/optimize,
+            # which DO rewrite)
+            and self.write_mode != "mor"
         ):
             known_rows = int(mf.metrics.get("total_rows", 0) or 0)
             n = self._derive_bucket_n(known_rows)

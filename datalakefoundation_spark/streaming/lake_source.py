@@ -43,7 +43,9 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-INTERNAL_COLS = ("__dlf_bucket", "__dlf_mask")
+from datalakefoundation_spark.tables.lake_table import BUCKET_COL, MASK_COL
+
+INTERNAL_COLS = (BUCKET_COL, MASK_COL)
 MAINTENANCE_OPS = ("compact", "optimize")
 
 
@@ -202,7 +204,7 @@ class LakeStreamDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
         from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-        import pyarrow.parquet as pq
+        import pyarrow.dataset as ds
 
         path = self.options["path"].rstrip("/")
         latest = _latest_version(path)
@@ -213,12 +215,20 @@ class LakeStreamDataSource(DataSource):
             raise FileNotFoundError(f"lake_stream: table has no segments: {path}")
         # newest segment: after additive schema evolution it carries the
         # full column set; older segments' missing columns read as NULLs
-        sample = _first_parquet(path, mf["segments"][-1]["dir"])
-        if sample is None:
+        seg_dir = mf["segments"][-1]["dir"]
+        if _first_parquet(path, seg_dir) is None:
             raise FileNotFoundError(
-                f"lake_stream: no parquet files under {mf['segments'][-1]['dir']}"
+                f"lake_stream: no parquet files under {seg_dir}"
             )
-        arrow = pq.read_schema(sample)
+        # a DATASET schema, not a file footer: hive partition columns
+        # (entity partition_by dirs) live in directory names, not footers —
+        # footer-only derivation would silently drop them from the feed
+        arrow = ds.dataset(
+            f"{path}/{seg_dir}",
+            format="parquet",
+            partitioning="hive",
+            ignore_prefixes=[".", "_SUCCESS", "_committed", "_started", "_temporary"],
+        ).schema
         fields = [
             f for f in from_arrow_schema(arrow).fields if f.name not in INTERNAL_COLS
         ]

@@ -169,10 +169,27 @@ def bucket_expr(pk_col: str, n_buckets: int) -> Column:
     return F.pmod(F.conv(F.substring(F.col(pk_col), 1, 4), 16, 10).cast("int"), F.lit(n_buckets))
 
 
+def zorder_numeric(col: Column, dtype: str) -> Column:
+    """Monotone DOUBLE normalization of an orderable column for z-order
+    bucketing. DATE cannot cast to DOUBLE directly (AnalysisException) and
+    TIMESTAMP_NTZ's double cast is version-sensitive, so temporal types
+    go through their integral epoch forms; only monotonicity matters."""
+    if dtype == "date":
+        return F.unix_date(col).cast("double")
+    if dtype == "timestamp":
+        return F.unix_micros(col).cast("double")
+    if dtype == "timestamp_ntz":
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    if dtype == "boolean":
+        return col.cast("int").cast("double")
+    return col.cast("double")
+
+
 def zorder_column(
     cols: Sequence[str],
     bounds: dict[str, tuple[float, float]],
     bits: int = 16,
+    dtypes: dict[str, str] | None = None,
 ) -> Column:
     """Interleaved-bit (Morton / Z-order) clustering key over numeric or
     temporal columns. Each column is normalized to ``2**bits`` equal-width
@@ -182,18 +199,27 @@ def zorder_column(
     property that makes per-file min/max stats selective on ALL clustered
     dimensions, where a lexicographic sort helps only the leading one.
     NULLs and values outside the observed bounds clamp to the edge buckets.
-    Pure codegen'd bit arithmetic — no UDF, no shuffle of its own."""
+    Pure codegen'd bit arithmetic — no UDF, no shuffle of its own.
+
+    ``bits`` is capped so the interleaved key fits in 63 bits: bit 63 is
+    the long sign bit (setting it would sort high buckets FIRST), and Java
+    shift amounts wrap mod 64, so an uncapped 5-column x 16-bit key would
+    silently alias unrelated columns onto the same positions."""
     n = len(cols)
     if n < 1:
         raise ValueError("zorder needs at least one column")
+    bits = min(int(bits), 63 // n)
+    if bits < 1:
+        raise ValueError(f"zorder cannot interleave {n} columns in 63 bits")
     buckets = 1 << bits
     z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
         lo, hi = bounds[c]
         if not (hi > lo):  # constant or all-NULL column: every row bucket 0
             hi = lo + 1.0
+        norm = zorder_numeric(F.col(c), (dtypes or {}).get(c, ""))
         v = F.width_bucket(
-            F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(buckets)
+            norm, F.lit(float(lo)), F.lit(float(hi)), F.lit(buckets)
         ) - 1
         v = F.coalesce(v, F.lit(0))
         v = F.least(F.greatest(v, F.lit(0)), F.lit(buckets - 1)).cast("long")
@@ -757,8 +783,14 @@ class LakeTable:
                     continue  # fully replaced below is wrong; but unpartitioned+dynamic can't happen
                 kept = [pv for pv in seg.partitions if _pv_key(pv) not in new_keys]
                 if kept:
+                    # dv refs MUST survive partition handoff: the kept rows
+                    # are still masked by any later patches/deletes —
+                    # dropping the refs would resurrect superseded versions
                     segments.append(
-                        Segment(seg.dir, kept, stats=seg.stats, rows=seg.rows, files=seg.files)
+                        Segment(
+                            seg.dir, kept, stats=seg.stats, rows=seg.rows,
+                            files=seg.files, dv=list(seg.dv or []),
+                        )
                     )
             segments.append(Segment(seg_rel, new_pvs, stats=stats, rows=rows, files=fstats))
         self._commit(
@@ -836,10 +868,16 @@ class LakeTable:
                 )
                 zorder = False
         if zorder and cluster_by:
+            dtypes = {
+                f.name: f.dataType.simpleString()
+                for f in cur.schema.fields
+                if f.name in zcols
+            }
             agg = []
             for c in zcols:
-                agg.append(F.min(F.col(c).cast("double")).alias(f"mn_{c}"))
-                agg.append(F.max(F.col(c).cast("double")).alias(f"mx_{c}"))
+                norm = zorder_numeric(F.col(c), dtypes.get(c, ""))
+                agg.append(F.min(norm).alias(f"mn_{c}"))
+                agg.append(F.max(norm).alias(f"mx_{c}"))
             row = cur.agg(*agg).first()
             bounds = {
                 c: (
@@ -848,7 +886,7 @@ class LakeTable:
                 )
                 for c in zcols
             }
-            zkey = zorder_column(zcols, bounds, bits=zorder_bits)
+            zkey = zorder_column(zcols, bounds, bits=zorder_bits, dtypes=dtypes)
             if self.bucket_pk:
                 df = (
                     cur.withColumn(BUCKET_COL, bucket_expr(self.bucket_pk, self.n_buckets))
@@ -1067,8 +1105,14 @@ class LakeTable:
                 continue  # unpartitioned tables replace wholesale via overwrite()
             kept = [pv for pv in seg.partitions if _pv_key(pv) not in replaced]
             if kept:
+                # same dv-preservation rule as dynamic overwrite above: a
+                # CoW merge after MoR patches must not resurrect the rows
+                # those patches (or delete_keys) masked in KEPT partitions
                 segments.append(
-                    Segment(seg.dir, kept, stats=seg.stats, rows=seg.rows, files=seg.files)
+                    Segment(
+                        seg.dir, kept, stats=seg.stats, rows=seg.rows,
+                        files=seg.files, dv=list(seg.dv or []),
+                    )
                 )
         segments.append(
             Segment(seg_rel, partition_values, stats=stats, rows=rows, files=fstats)

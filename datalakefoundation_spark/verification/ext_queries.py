@@ -806,9 +806,13 @@ WITH cnt AS (
 t AS (SELECT min(CAST(n AS DOUBLE) / {_MIX_W}) AS total FROM cnt),
 thr AS (
   SELECT source,
-         lpad(lower(to_hex(least(
-           CAST(trunc({_MIX_W} * t.total / n * 4294967296.0) AS BIGINT),
-           4294967295))), 8, '0') AS thr
+         CASE WHEN CAST(trunc({_MIX_W} * t.total / n * 4294967296.0) AS BIGINT)
+                   >= 4294967296
+              THEN 'g'  -- rate 1.0: above every hex prefix, keeps ALL rows
+              ELSE lpad(lower(to_hex(
+                     CAST(trunc({_MIX_W} * t.total / n * 4294967296.0) AS BIGINT)
+                   )), 8, '0')
+         END AS thr
   FROM cnt, t
 )
 SELECT d.doc_id, d.source

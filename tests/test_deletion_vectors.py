@@ -183,3 +183,46 @@ def test_dv_antijoin_broadcasts(spark, table):
     plan = table.read()._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti, BuildRight" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_cow_replace_preserves_dv_on_kept_segments(spark, tmp_path):
+    """Review repro: a copy-on-write replace of one bucket must NOT drop
+    the dv refs on kept segments — the patch-masked old version (and
+    delete_keys-erased rows) must stay invisible."""
+    t = LakeTable(spark, str(tmp_path / "t"), bucket_pk="pk", n_buckets=4)
+    t.overwrite(_base(spark, n=100))
+    t.merge_patch(_patch(spark, {2: 2000}, {}), keys=["pk"], mask_col=MASK_COL)
+    t.delete_keys(spark.createDataFrame([(_pk(3),)], "pk string"), keys=["pk"])
+    # replace a bucket that does NOT hold pk2/pk3's rows: pick the bucket
+    # of pk7 and rewrite just that bucket's current content
+    from datalakefoundation_spark.tables.lake_table import BUCKET_COL, bucket_expr
+
+    b7 = (
+        _base(spark, n=100)
+        .withColumn(BUCKET_COL, bucket_expr("pk", 4))
+        .where(F.col("pk") == _pk(7))
+        .collect()[0][BUCKET_COL]
+    )
+    content = t.read(keep_bucket=True).where(F.col(BUCKET_COL) == b7).drop(BUCKET_COL)
+    t.replace_partitions(content, [{BUCKET_COL: str(b7)}])
+    st = _state(t)
+    assert st[_pk(2)] == 2000, "masked old version resurrected by CoW replace"
+    assert _pk(3) not in st, "hard-deleted key resurrected by CoW replace"
+    assert len(st) == 99
+
+
+def test_dynamic_overwrite_preserves_dv(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "p"), partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame(
+            [("a", 0, 1), ("b", 0, 2), ("c", 1, 3)], "pk string, p int, val int"
+        )
+    )
+    t.delete_keys(spark.createDataFrame([("a",)], "pk string"), keys=["pk"])
+    # dynamic overwrite of partition 1 only — partition 0 keeps its dv
+    t.overwrite(
+        spark.createDataFrame([("d", 1, 9)], "pk string, p int, val int"),
+        dynamic=True,
+    )
+    rows = {r["pk"]: r["val"] for r in t.read().collect()}
+    assert rows == {"b": 2, "d": 9}

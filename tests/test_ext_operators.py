@@ -1009,3 +1009,14 @@ def test_clean_corpus_mixture_stage(spark, docs):
     srcs = {r["source"] for r in res.df.select("source").collect()}
     assert srcs <= {"src1", "src2"}
     assert res.counts()["mixture"] > 0
+
+
+def test_hash_threshold_full_rate_keeps_all(spark, docs):
+    from datalakefoundation_spark.ext.sampling import (
+        deterministic_sample,
+        hash_threshold,
+    )
+
+    assert hash_threshold(1.0) == "g"  # above every hex prefix
+    assert hash_threshold(0.0) == "00000000"
+    assert deterministic_sample(docs, "doc_id", 1.0).count() == docs.count()

@@ -186,3 +186,43 @@ def test_zorder_string_columns_fall_back(spark, tmp_path, caplog):
     assert any("zorder skipped" in r.message for r in caplog.records)
     assert t.latest_manifest().metrics.get("zorder") is None
     assert t.read().count() == 100
+
+
+def test_zorder_handles_date_and_timestamp_columns(spark, tmp_path):
+    """DATE can't cast to DOUBLE — z-order must normalize temporal columns
+    through their epoch forms instead of crashing (review finding)."""
+    t = LakeTable(spark, str(tmp_path / "d"), stats_columns=("d", "wm"))
+    t.overwrite(
+        spark.range(512).selectExpr(
+            "CAST(id AS STRING) AS pk",
+            "id AS wm",
+            "date_add(DATE'2020-01-01', CAST(id % 300 AS INT)) AS d",
+        )
+    )
+    t.optimize(cluster_by=["d", "wm"], zorder=True, target_partitions=4)
+    mf = t.latest_manifest()
+    assert mf.metrics.get("zorder") is True
+    assert t.read().count() == 512
+    # date stats recorded and usable for pruning
+    seg = mf.segments[0]
+    assert seg.files and all("d" in f for f in seg.files.values())
+
+
+def test_zorder_bit_budget_caps_per_column_bits(spark):
+    """4x16-bit interleave would hit the long sign bit; the cap keeps the
+    key in 63 bits and the unit vectors still interleave correctly."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    v = 4.0 - 1e-9  # top equal-width bucket even at 2^15 granularity
+    df = spark.createDataFrame([(v, v, v, v)], "a double, b double, c double, d double")
+    bounds = {c: (0.0, 4.0) for c in "abcd"}
+    z = df.select(
+        zorder_column(list("abcd"), bounds, bits=16).alias("z")
+    ).collect()[0]["z"]
+    # capped to 15 bits/col -> 60 bits total, max bucket everywhere = 2^60-1
+    assert z == (1 << 60) - 1 and z > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="63 bits"):
+        zorder_column(list("abcdefghij") * 7, bounds, bits=16)

@@ -126,3 +126,18 @@ def test_backfill_survives_vacuumed_history(spark, tmp_path):
     # to "no previous manifest" -> every live segment attributed to v2
     assert b.count() == 12
     assert {r["_commit_version"] for r in b.select("_commit_version").collect()} == {2}
+
+
+def test_partitioned_table_streams_partition_columns(spark, tmp_path):
+    """Entity partition columns live in hive dir names, not parquet
+    footers — the feed must still carry them (review finding)."""
+    t = LakeTable(spark, str(tmp_path / "p"), partition_by=["country"])
+    t.overwrite(
+        spark.createDataFrame(
+            [("a", 1, "NL"), ("b", 2, "BE")], "pk string, val long, country string"
+        )
+    )
+    b = spark.read.format("lake_stream").option("path", t.path).load()
+    assert "country" in b.columns
+    rows = {r["pk"]: r["country"] for r in b.collect()}
+    assert rows == {"a": "NL", "b": "BE"}
