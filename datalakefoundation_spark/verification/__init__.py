@@ -56,9 +56,12 @@ def extra_queries() -> dict[str, tuple[QueryFn, str | None]]:
         strategy_queries,
     )
 
+    from datalakefoundation_spark.verification import analytics_queries
+
     merged: dict[str, tuple[QueryFn, str | None]] = dict(core_queries.EXTRA)
     merged.update(strategy_queries.EXTRA)
     merged.update(ext_queries.EXTRA)
+    merged.update(analytics_queries.EXTRA)
     overlap = set(merged) & set(all_queries())
     if overlap:
         raise ValueError(f"extra queries shadow registry entries: {sorted(overlap)}")
