@@ -178,48 +178,42 @@ FUNNEL = ("view", "click", "purchase")
 def q_event_funnel(spark, sf_dir):
     """Ordered funnel conversion: per user, did a view happen, then a
     click strictly after the first view, then a purchase strictly after
-    that click? One min-aggregate per stage over a single scan (stage
-    timestamps as conditional mins, each bounded by the previous stage
-    via a second pass over per-user stage times) — no self-joins of the
-    event table, one shuffle on user_id. Output: one row per funnel
-    stage with the users reaching it."""
+    that click? Staged conditional-min aggregates: each stage is one
+    fact-table pass joined against the (user-count-sized) previous-stage
+    table — never a per-user collect_list, so a power user with millions
+    of events costs nothing beyond their scan share, and never an
+    event-to-event self-join. Output: users reaching each stage."""
     from datalakefoundation_spark.verification.core_queries import read_events
 
     ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts_ns")
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == FUNNEL[0], F.col("ts_ns"))).alias("t0"),
-        F.sort_array(
-            F.collect_list(
-                F.when(
-                    F.col("event_type") == FUNNEL[1],
-                    F.struct(F.col("ts_ns").alias("t")),
-                )
-            )
-        ).alias("clicks"),
-        F.sort_array(
-            F.collect_list(
-                F.when(
-                    F.col("event_type") == FUNNEL[2],
-                    F.struct(F.col("ts_ns").alias("t")),
-                )
-            )
-        ).alias("purchases"),
+    u0 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == FUNNEL[0], F.col("ts_ns"))).alias("t0")
     )
-    # first click strictly after the first view, first purchase strictly
-    # after that click — array filters over the (sorted) per-user stage
-    # times, so no second pass over the event table
-    stages = per_user.select(
-        "user_id",
-        "t0",
-        F.filter(F.col("clicks"), lambda c: c["t"] > F.col("t0"))[0]["t"].alias("t1"),
-        "purchases",
-    ).select(
-        "user_id",
-        "t0",
-        "t1",
-        F.filter(F.col("purchases"), lambda p: p["t"] > F.col("t1"))[0]["t"].alias("t2"),
+    u1 = (
+        ev.join(u0, "user_id")
+        .groupBy("user_id", "t0")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == FUNNEL[1]) & (F.col("ts_ns") > F.col("t0")),
+                    F.col("ts_ns"),
+                )
+            ).alias("t1")
+        )
     )
-    return stages.agg(
+    u2 = (
+        ev.join(u1, "user_id")
+        .groupBy("user_id", "t0", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == FUNNEL[2]) & (F.col("ts_ns") > F.col("t1")),
+                    F.col("ts_ns"),
+                )
+            ).alias("t2")
+        )
+    )
+    return u2.agg(
         F.count(F.col("t0")).alias("reached_view"),
         F.count(F.col("t1")).alias("reached_click"),
         F.count(F.col("t2")).alias("reached_purchase"),

@@ -166,3 +166,50 @@ def test_vacuum_retention(spark, tmp_path):
     # clamp: retain_last=0 still keeps the current version
     t.vacuum(retain_last=0)
     assert t.read().count() == 13
+
+
+def test_crash_during_merge_patch(spark, tmp_path, monkeypatch):
+    """A writer dying between the patch segment write and the manifest
+    commit leaves the table at its previous version (no dv refs, no
+    phantom patch) and the orphaned patch dir reclaimable."""
+    from pyspark.sql import functions as F
+
+    from datalakefoundation_spark.tables.lake_table import MASK_COL
+
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path)
+    t.overwrite(_df(spark, 0, 10))
+    v0 = t.latest_manifest().version
+    _crash(t, monkeypatch)
+    patch = spark.createDataFrame(
+        [(5, "CHANGED", True)], f"seq int, name string, {MASK_COL} boolean"
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        t.merge_patch(patch, keys=["seq"], mask_col=MASK_COL)
+    monkeypatch.undo()
+    t2 = LakeTable(spark, path)
+    assert t2.latest_manifest().version == v0
+    assert all(not s.dv for s in t2.latest_manifest().segments)
+    rows = {r["seq"]: r["name"] for r in t2.read().collect()}
+    assert rows[5] == "n5" and len(rows) == 10
+    removed = t2.gc_orphans(older_than_seconds=0)
+    assert len(removed) == 1
+    # retry succeeds cleanly after the sweep
+    t2.merge_patch(patch, keys=["seq"], mask_col=MASK_COL)
+    assert {r["seq"]: r["name"] for r in t2.read().collect()}[5] == "CHANGED"
+
+
+def test_crash_during_delete_keys(spark, tmp_path, monkeypatch):
+    """Dying between the dv-dir write and the commit must not delete
+    anything; the unreferenced dv dir is a reclaimable orphan."""
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path)
+    t.overwrite(_df(spark, 0, 10))
+    _crash(t, monkeypatch)
+    with pytest.raises(RuntimeError, match="injected"):
+        t.delete_keys(spark.createDataFrame([(3,)], "seq int"), keys=["seq"])
+    monkeypatch.undo()
+    t2 = LakeTable(spark, path)
+    assert t2.read().count() == 10  # nothing deleted
+    removed = t2.gc_orphans(older_than_seconds=0)
+    assert len(removed) == 1 and "-dv-" in removed[0]

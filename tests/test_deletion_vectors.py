@@ -175,14 +175,19 @@ def test_bucketed_table_patch(spark, tmp_path):
     assert patch_seg.partitions is not None
 
 
-def test_dv_antijoin_broadcasts(spark, table):
-    """The deletion-vector anti-join must broadcast the (change-sized) key
-    side — a shuffled anti-join per patch would make read cost scale with
-    patch COUNT times table size instead of patch size."""
-    table.merge_patch(_patch(spark, {2: 20}, {}), keys=["pk"], mask_col=MASK_COL)
+def test_dv_mask_join_broadcasts_once(spark, table):
+    """Deletion vectors apply as ONE broadcast join over a global
+    version-keyed mask table — per-patch anti-joins built O(patches^2)
+    distinct broadcast exchanges and made reads slow down quadratically
+    with live patches (measured 0.5 s -> 19.6 s at 32 patches / 2M rows)."""
+    for i in range(4):
+        table.merge_patch(
+            _patch(spark, {i: 10 * i}, {}), keys=["pk"], mask_col=MASK_COL
+        )
     plan = table.read()._jdf.queryExecution().executedPlan().toString()
-    assert "LeftAnti, BuildRight" in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "LeftOuter, BuildRight" in plan
+    assert "BroadcastNestedLoop" not in plan
 
 
 def test_cow_replace_preserves_dv_on_kept_segments(spark, tmp_path):
@@ -226,3 +231,28 @@ def test_dynamic_overwrite_preserves_dv(spark, tmp_path):
     )
     rows = {r["pk"]: r["val"] for r in t.read().collect()}
     assert rows == {"b": 2, "d": 9}
+
+
+def test_compaction_coalesces_surviving_dv_refs(spark, tmp_path):
+    """A big base segment (not folded) accumulates one dv ref per patch;
+    compaction must coalesce them into ONE merged ref while the folded
+    patch tail materializes — state identical, read fan-in O(1)."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(_base(spark, n=2000))
+    for i in range(6):
+        t.merge_patch(
+            _patch(spark, {i: 10_000 + i}, {5000 + i: i}),
+            keys=["pk"], mask_col=MASK_COL,
+        )
+    before = _state(t)
+    base_seg = t.latest_manifest().segments[0]
+    assert len(base_seg.dv) == 6
+    folded = t.compact_small_segments(small_rows=1000)  # folds the 6 patches
+    assert len(folded) == 6
+    mf = t.latest_manifest()
+    base_after = next(s for s in mf.segments if s.dir == base_seg.dir)
+    assert len(base_after.dv) == 1 and base_after.dv[0]["flag"] is None
+    assert _state(t) == before
+    # merged dv dir survives vacuum while referenced
+    t.vacuum(retain_last=1)
+    assert _state(t) == before

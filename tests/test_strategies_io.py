@@ -1071,3 +1071,33 @@ def test_mor_identical_rerun_writes_touch_patch(spark, tmp_path):
     assert mf.metrics.get("touch") == 2
     assert table.read().count() == 2
     assert mf.segments[-1].rows == 2  # the touch patch
+
+
+def test_schema_evolution_additive_merge_mor(spark, lake_root, prefix):
+    """Additive evolution composes with merge-on-read: the evolved column
+    rides the patch segment; base-segment rows read typed NULLs through
+    the unionByName, and DV masking still applies to updated rows."""
+    md = make_metadata(lake_root, prefix)
+    write_slice(spark, md, "s1.parquet", rows_v1(10))
+    Processing(
+        spark, md, 1, "s1.parquet", {"processing.time": T0, "write_mode": "mor"}
+    ).process()
+
+    write_slice(
+        spark, md, "s2.parquet",
+        [{**r, "data": r["data"] + "_v2", "extra": f"e{r['ID']}"} for r in rows_v1(6)],
+    )
+    p = Processing(
+        spark, md, 1, "s2.parquet",
+        {"processing.time": T1, "write_mode": "mor",
+         "schema_evolution.additive": True},
+    )
+    p.process()
+    out = silver(p)
+    assert "extra" in out.columns
+    assert out.count() == 10  # masked old versions not duplicated
+    vals = {r["ID"]: r["extra"] for r in out.collect()}
+    assert vals == {**{i: f"e{i}" for i in range(6)}, **{i: None for i in range(6, 10)}}
+    # the evolved rows carry the updated payload (DV masked the originals)
+    datas = {r["ID"]: r["data"] for r in out.collect()}
+    assert all(datas[i].endswith("_v2") for i in range(6))
