@@ -201,21 +201,27 @@ def simhash(
     # 16 long-sums instead of 64 conditional sums: a 4x smaller hash-agg
     # buffer and far less generated code (the 64-slot variant took seconds
     # of codegen/JIT per cold run). Lanes can't collide below the token cap.
+    # The 16 hex chars parse as TWO 32-bit conv() calls (64-bit conv would
+    # overflow signed long for digests >= 0x8000...); nibble k then falls
+    # out of pure shift/and arithmetic — 2 string ops per token instead of
+    # the 16 substring+conv the first version paid (string slicing was the
+    # dominant per-token cost in profiles, ~40% of the query).
     packed = tok.select(
         F.col(id_col),
-        *[
-            F.expr(
-                f"cast(conv(substring(__h, {k + 1}, 1), 16, 10) as bigint)"
-            ).alias(f"__v{k}")
-            for k in range(bits // 4)
-        ],
+        F.expr("cast(conv(substring(__h, 1, 8), 16, 10) as bigint)").alias("__hi"),
+        F.expr("cast(conv(substring(__h, 9, 8), 16, 10) as bigint)").alias("__lo"),
     ).select(
         F.col(id_col),
         *[
             F.expr(
-                f"shiftleft(shiftright(__v{k}, 3) & 1, 48) + "
-                f"shiftleft(shiftright(__v{k}, 2) & 1, 32) + "
-                f"shiftleft(shiftright(__v{k}, 1) & 1, 16) + (__v{k} & 1)"
+                f"shiftleft(shiftright(__v, 3) & 1, 48) + "
+                f"shiftleft(shiftright(__v, 2) & 1, 32) + "
+                f"shiftleft(shiftright(__v, 1) & 1, 16) + (__v & 1)".replace(
+                    "__v",
+                    f"(shiftright(__hi, {(7 - k) * 4}) & 15)"
+                    if k < 8
+                    else f"(shiftright(__lo, {(15 - k) * 4}) & 15)",
+                )
             ).alias(f"__p{k}")
             for k in range(bits // 4)
         ],
@@ -450,5 +456,105 @@ def novelty_stats(
             "n_shingles",
             "n_seen_before",
             (F.lit(1.0) - F.col("n_seen_before") / F.col("n_shingles")).alias("novelty_ratio"),
+        )
+    )
+
+# ---------------------------------------------------------------- span dedup
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_size: int = 5,
+) -> DataFrame:
+    """Substring-level deduplication REWRITER (the token-window analog of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): delete every token covered by a ``span_size``-token window
+    that also occurs in an EARLIER document (min ``id_col`` owns each
+    span). The first document keeps its text intact; later documents lose
+    only their duplicated spans — the key difference from document-level
+    dedup, which throws away the novel remainder of a partially-copied
+    document.
+
+    Returns one row per input document:
+      (doc_id, clean_text, n_tokens, n_removed)
+    with ``clean_text`` the surviving tokens re-joined in original order
+    ('' when everything was duplicated) and ``n_removed`` the count of
+    deleted token positions.
+
+    Scale shape: explode to (doc, start, span) — the same cardinality as
+    the shingle explode every other dedup op pays — one groupBy(span)
+    min-agg for ownership (map-side combine; the owner table SHRINKS with
+    corpus redundancy), a join back on span pre-filtered to docs > owner,
+    an explode of covered positions bounded by span_size x duplicated
+    spans, a (doc, pos) distinct + anti-join, and a per-doc
+    sort_array(collect_list) whose state is one document's tokens — no
+    global sort, no driver materialization, every expression a codegen'd
+    built-in. Reference semantics source: novelty_stats above measures
+    this duplication; span_dedup acts on it.
+    """
+    base = ensure_compute_parallelism(df).select(
+        F.col(id_col), tokens(text_col).alias("__w")
+    )
+    # (doc, start, span): start is the 1-based slice index, mirroring
+    # shingles(); a doc shorter than span_size yields one whole-doc span.
+    upper = F.greatest(F.size("__w") - (span_size - 1), F.lit(1))
+    spans = base.select(
+        F.col(id_col),
+        F.size("__w").alias("__len"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), upper),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.concat_ws(" ", F.slice(F.col("__w"), i, span_size)).alias("s"),
+                ),
+            )
+        ).alias("sp"),
+    ).select(id_col, "__len", "sp.start", "sp.s")
+    owner = spans.groupBy("s").agg(F.min(id_col).alias("__owner"))
+    # positions covered by spans whose owner is an earlier document
+    covered = (
+        spans.join(owner, "s")
+        .where(F.col("__owner") < F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("start"),
+                    F.least(F.col("start") + (span_size - 1), F.col("__len")),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok = base.select(
+        F.col(id_col),
+        F.posexplode("__w").alias("pos0", "__t"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "__t")
+    kept = (
+        tok.join(covered, [id_col, "pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("__t")))
+                    ),
+                    lambda st: st["__t"],
+                ),
+            ).alias("clean_text")
+        )
+    )
+    removed = covered.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_removed"))
+    return (
+        base.select(F.col(id_col), F.size("__w").alias("n_tokens"))
+        .join(kept, id_col, "left")
+        .join(removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
         )
     )

@@ -1,0 +1,80 @@
+"""Column profiling / data-quality metrics (the Deequ / dbt-test analog).
+
+A production ingestion path wants per-column health metrics — completeness,
+cardinality, value ranges — computed alongside the load, both for monitoring
+dashboards and as inputs to constraint checks (see core/constraints.py for
+the enforcing CHECK side). This module computes them Spark-first:
+
+* ONE pass over the data: every metric for every profiled column folds into
+  a single aggregate (map-side partial aggregation, one tiny result row),
+  then pivots driver-free into one output row per column via an
+  explode-of-structs — no per-column scan, no collect.
+* Distinct counts default to ``approx_count_distinct`` (HyperLogLog++,
+  constant memory per column — the only survivable form at 100 TB).
+  ``exact=True`` switches to exact ``count_distinct`` for small/dimension
+  tables and for oracle verification; Catalyst plans multi-column exact
+  distincts via a single Expand, still one scan.
+* Min/max are rendered to strings AFTER aggregation (cast(min(c)) not
+  min(cast(c)) — numeric order, not lexicographic).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    exact: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """One row per profiled column:
+      (col_name, n_rows, n_nulls, completeness, n_distinct, min_value,
+       max_value)
+
+    ``completeness`` = non-null fraction; ``min_value``/``max_value`` are
+    string renderings of the typed min/max (NULL for all-NULL columns).
+    ``columns`` defaults to every top-level atomic column (arrays/maps/
+    structs are skipped — min/max and HLL sketches are not defined for
+    them here).
+    """
+    atomic = [
+        f.name
+        for f in df.schema.fields
+        if "<" not in f.dataType.simpleString() and f.dataType.simpleString() != "binary"
+    ]
+    cols = list(columns) if columns is not None else atomic
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_columns: unknown columns {missing}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"__nn{i}"))
+        if exact:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__nd{i}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c), rsd).alias(f"__nd{i}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn{i}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx{i}"))
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn{i}")).alias("n_nulls"),
+                F.when(F.col("__n") > 0, F.col(f"__nn{i}") / F.col("__n"))
+                .otherwise(F.lit(None))
+                .alias("completeness"),
+                F.col(f"__nd{i}").alias("n_distinct"),
+                F.col(f"__mn{i}").alias("min_value"),
+                F.col(f"__mx{i}").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

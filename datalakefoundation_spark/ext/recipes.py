@@ -51,6 +51,7 @@ def clean_corpus(
     near_dedup: bool = True,
     shingle_size: int = 3,
     decon_shingle_size: int = 5,
+    span_dedup_size: int | None = None,
 ) -> CleanResult:
     """The standard pre-training cleanup pipeline:
 
@@ -59,13 +60,17 @@ def clean_corpus(
     3. exact dedup (one hash shuffle, min-id survivor)
     4. near-dup clustering (MinHash-LSH candidates -> connected
        components; one survivor per cluster)
-    5. benchmark decontamination (drop docs sharing more than
+    5. optional substring-level span dedup (``span_dedup_size`` tokens):
+       REWRITES surviving documents to strip token spans an earlier doc
+       already owns — catches the partial copying doc-level stages can't,
+       then re-applies the minimum-length gate to the rewritten text
+    6. benchmark decontamination (drop docs sharing more than
        ``max_contaminated_frac`` of their shingles with ``benchmark``)
-    6. deterministic mixture sampling (``mixture=(strata_col, weights)``)
+    7. deterministic mixture sampling (``mixture=(strata_col, weights)``)
 
-    Stages 2/4/5/6 are skipped when their inputs say so (``redact_pii``,
-    ``near_dedup``, ``benchmark``, ``mixture``). Returns the cleaned
-    DataFrame plus each stage's output for auditing."""
+    Stages 2/4/5/6/7 are skipped when their inputs say so (``redact_pii``,
+    ``near_dedup``, ``span_dedup_size``, ``benchmark``, ``mixture``).
+    Returns the cleaned DataFrame plus each stage's output for auditing."""
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     cur = docs
 
@@ -98,6 +103,21 @@ def clean_corpus(
         losers = clusters.where(~F.col("is_survivor")).select(id_col)
         cur = cur.join(losers, id_col, "left_anti")
         stages.append(("near_dedup", cur))
+
+    if span_dedup_size is not None:
+        rewritten = D.span_dedup(
+            cur, text_col=text_col, id_col=id_col, span_size=span_dedup_size
+        ).select(id_col, "clean_text")
+        cur = (
+            cur.drop(text_col)
+            .join(rewritten, id_col)
+            .withColumnRenamed("clean_text", text_col)
+        )
+        # rewriting can shrink a doc below the quality floor: re-apply the
+        # token-count gate (cheap scan filter) so downstream stages never
+        # see gutted husks
+        cur = cur.where(TX.token_count(text_col) >= F.lit(min_tokens))
+        stages.append(("span_dedup", cur))
 
     if benchmark is not None:
         # separate knob from the near-dup shingle width: dedup favors short

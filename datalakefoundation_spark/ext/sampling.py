@@ -121,3 +121,48 @@ def mixture_sample(
     }
     rates = mixture_rates(counts, weights)
     return stratified_sample(df, key_col, strata_col, rates, default_rate=0.0)
+
+
+def reshard_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle + resharding for training order.
+
+    Training pipelines need the corpus in a reproducible pseudo-random
+    order, materialized as N shards that downstream loaders read
+    round-robin. ``df.orderBy(rand(seed))`` is neither stable across
+    retries/partitionings nor engine-portable; this derives both the shard
+    and the within-shard position from sha256(seed || '|' || key), so the
+    layout is a pure function of the data — identical across runs,
+    clusters, and engines.
+
+    Adds: ``shard`` (first 4 hash hex chars mod n_shards — 16 uniform
+    bits) and ``shard_pos`` (1-based rank within the shard, ordered by the
+    full hash with the key as tiebreak).
+
+    Scale: one hash projection (codegen), one shuffle on ``shard``, and a
+    per-shard sort — rank comes from ``row_number`` over (shard, hash), so
+    no global ordering exists anywhere; the widest state is one shard's
+    sort, exactly what a shard-file writer needs anyway. Writing the
+    result ``partitionBy("shard")`` sorted by ``shard_pos`` gives the
+    training-ready layout directly.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql.window import Window
+
+    h = F.sha2(
+        F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string")), 256
+    )
+    out = df.withColumn("__h", h).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring(F.col("__h"), 1, 4), 16, 10).cast("int"),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(key_col))
+    return out.withColumn("shard_pos", F.row_number().over(w)).drop("__h")

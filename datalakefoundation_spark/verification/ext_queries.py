@@ -880,6 +880,123 @@ LIMIT 30
 """
 
 
+# ---------------------------------------------------------------- span dedup
+def q_span_dedup(spark, sf_dir):
+    """Substring-level dedup rewriter (ext/dedup.py span_dedup): tokens
+    covered by a 5-token span already owned by an earlier document are
+    deleted; the surviving text is re-joined in order."""
+    return D.span_dedup(_docs(spark, sf_dir), span_size=5)
+
+
+SQL_SPAN_DEDUP = """
+WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sp AS (
+  SELECT doc_id, len(w) AS dlen, w,
+         unnest(generate_series(1, greatest(len(w) - 4, 1))) AS start
+  FROM w0
+),
+spans AS (
+  SELECT doc_id, dlen, start,
+         array_to_string(list_slice(w, start, start + 4), ' ') AS s
+  FROM sp
+),
+owner AS (SELECT s, min(doc_id) AS own FROM spans GROUP BY s),
+cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT spans.doc_id,
+           unnest(generate_series(start, least(start + 4, dlen))) AS pos
+    FROM spans JOIN owner USING (s)
+    WHERE owner.own < spans.doc_id
+  )
+),
+tok AS (
+  SELECT doc_id, pos, w[pos] AS t FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos FROM w0
+  )
+),
+kept AS (
+  SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.pos) AS clean_text
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL
+  GROUP BY t.doc_id
+),
+rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+SELECT w0.doc_id,
+       coalesce(kept.clean_text, '') AS clean_text,
+       len(w0.w) AS n_tokens,
+       coalesce(rem.n_removed, 0) AS n_removed
+FROM w0
+LEFT JOIN kept USING (doc_id)
+LEFT JOIN rem USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------- profiling
+def q_profile_columns(spark, sf_dir):
+    """Deequ-style column profile of the orders table (ext/profile.py).
+    exact=True so the distinct counts are oracle-comparable; production
+    default is the HLL sketch. Columns chosen with engine-stable string
+    renderings (ints + strings; no doubles/dates whose formatting differs)."""
+    from datalakefoundation_spark.ext.profile import profile_columns
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profile_columns(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        exact=True,
+    )
+
+
+def _profile_oracle_sql() -> str:
+    parts = []
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]:
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+       count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       CAST(count({c}) AS DOUBLE) / count(*) AS completeness,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------- reshard
+def q_reshard_shuffle(spark, sf_dir):
+    """Deterministic global shuffle into 8 training shards
+    (ext/sampling.py reshard_shuffle): shard + within-shard position are
+    pure functions of sha256(seed|doc_id) — stable across partitionings,
+    retries, and engines."""
+    from datalakefoundation_spark.ext.sampling import reshard_shuffle
+
+    return reshard_shuffle(_docs(spark, sf_dir), "doc_id", 8, seed="r4").select(
+        "doc_id", "shard", "shard_pos"
+    )
+
+
+_NIB = "(instr('0123456789abcdef', substring(h, {i}, 1)) - 1)"
+SQL_RESHARD_SHUFFLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         sha256('r4' || '|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, h,
+         ({_NIB.format(i=1)} * 4096 + {_NIB.format(i=2)} * 256
+          + {_NIB.format(i=3)} * 16 + {_NIB.format(i=4)}) % 8 AS shard
+  FROM h
+)
+SELECT doc_id,
+       CAST(shard AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER)
+         AS shard_pos
+FROM s
+"""
+
+
 EXTRA = {
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
@@ -890,6 +1007,9 @@ EXTRA = {
     "q_mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "q_rare_tokens": (q_rare_tokens, SQL_RARE_TOKENS),
     "q_collocations": (q_collocations, SQL_COLLOCATIONS),
+    "q_span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "q_profile_columns": (q_profile_columns, _profile_oracle_sql()),
+    "q_reshard_shuffle": (q_reshard_shuffle, SQL_RESHARD_SHUFFLE),
 }
 
 

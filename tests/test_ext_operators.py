@@ -1020,3 +1020,121 @@ def test_hash_threshold_full_rate_keeps_all(spark, docs):
     assert hash_threshold(1.0) == "g"  # above every hex prefix
     assert hash_threshold(0.0) == "00000000"
     assert deterministic_sample(docs, "doc_id", 1.0).count() == docs.count()
+
+
+# ---------------------------------------------------------------- span dedup
+def test_span_dedup_removes_copied_span_keeps_novel_remainder(spark):
+    # doc 0 owns "a b c d e"; doc 1 copies that span and adds novel text —
+    # span dedup must strip exactly the copied window from doc 1, keep the
+    # novel remainder, and leave doc 0 untouched (first owner wins).
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e x y"),
+            (1, "a b c d e novel words here only"),
+            (2, "entirely fresh content nothing shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in D.span_dedup(df, span_size=5).collect()}
+    assert out[0]["clean_text"] == "a b c d e x y"
+    assert out[0]["n_removed"] == 0
+    assert out[1]["clean_text"] == "novel words here only"
+    assert out[1]["n_removed"] == 5
+    assert out[2]["clean_text"] == "entirely fresh content nothing shared"
+    assert out[2]["n_tokens"] == 5
+
+
+def test_span_dedup_fully_copied_doc_becomes_empty(spark):
+    df = spark.createDataFrame(
+        [(10, "one two three four five six"), (11, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in D.span_dedup(df, span_size=5).collect()}
+    assert out[10]["clean_text"] == "one two three four five six"
+    assert out[11]["clean_text"] == ""
+    assert out[11]["n_removed"] == out[11]["n_tokens"] == 6
+
+
+# ---------------------------------------------------------------- profiling
+def test_profile_columns_metrics(spark):
+    from datalakefoundation_spark.ext.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (3, "a")], ["k", "v"]
+    )
+    prof = {r["col_name"]: r for r in profile_columns(df, exact=True).collect()}
+    assert prof["k"]["n_rows"] == 4
+    assert prof["k"]["n_nulls"] == 0
+    assert prof["k"]["n_distinct"] == 3
+    assert prof["k"]["min_value"] == "1" and prof["k"]["max_value"] == "3"
+    assert prof["v"]["n_nulls"] == 1
+    assert prof["v"]["completeness"] == 0.75
+    assert prof["v"]["n_distinct"] == 2
+
+
+def test_profile_columns_approx_within_rsd(spark, docs):
+    from datalakefoundation_spark.ext.profile import profile_columns
+
+    exact = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_columns(docs, ["doc_id", "source"], exact=True).collect()
+    }
+    approx = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_columns(docs, ["doc_id", "source"]).collect()
+    }
+    for c in exact:
+        assert abs(approx[c] - exact[c]) <= max(2, 0.15 * exact[c])
+
+
+# ---------------------------------------------------------------- reshard
+def test_reshard_shuffle_deterministic_across_partitionings(spark, docs):
+    from datalakefoundation_spark.ext.sampling import reshard_shuffle
+
+    a = reshard_shuffle(docs, "doc_id", 8, seed="s").select(
+        "doc_id", "shard", "shard_pos"
+    )
+    b = reshard_shuffle(docs.repartition(3), "doc_id", 8, seed="s").select(
+        "doc_id", "shard", "shard_pos"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # every row lands in exactly one shard; positions are dense 1..n per shard
+    per = a.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("shard_pos").alias("mx")
+    )
+    assert per.where(F.col("n") != F.col("mx")).count() == 0
+    # a different seed reshuffles (at least one doc moves shard)
+    c = reshard_shuffle(docs, "doc_id", 8, seed="t").select("doc_id", "shard")
+    moved = a.select("doc_id", "shard").join(
+        c.withColumnRenamed("shard", "shard2"), "doc_id"
+    )
+    assert moved.where(F.col("shard") != F.col("shard2")).count() > 0
+
+
+def test_clean_corpus_span_dedup_stage(spark):
+    from datalakefoundation_spark.ext.recipes import clean_corpus
+
+    novel = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    copied = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (0, copied + " " + novel),
+            # doc 1 copies doc 0's first 10 tokens, then 10 novel ones —
+            # span dedup keeps the novel half; doc-level dedup wouldn't fire
+            (1, copied + " lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            # doc 2 is a pure copy: rewritten to nothing, dropped by the
+            # re-applied min_tokens gate
+            (2, copied),
+        ],
+        ["doc_id", "text"],
+    )
+    res = clean_corpus(
+        df, min_tokens=5, min_distinct_ratio=0.0,
+        redact_pii=False, near_dedup=False, span_dedup_size=5,
+    )
+    rows = {r["doc_id"]: r["text"] for r in res.df.collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0] == copied + " " + novel
+    assert rows[1] == "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    names = [n for n, _ in res.stages]
+    assert "span_dedup" in names
