@@ -98,6 +98,34 @@ def minhash_signature(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def band_explode(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(id, band_idx, band_key) rows of a minhash signature table: the
+    signature split into bands of ``band_size`` hashes, each band keyed by
+    the sha256 of its concatenated values. Shared by the batch bucketing
+    (lsh_candidate_pairs) and the incremental index path below."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.sha2(
+                    F.concat_ws("|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]),
+                    256,
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band_idx", "b.band_key"
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -116,22 +144,7 @@ def lsh_candidate_pairs(
     per-group state is small; hot buckets (mass near-duplicates) cost
     O(|bucket|^2) pairs in either formulation.
     """
-    n_bands = num_hashes // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.sha2(
-                    F.concat_ws("|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]),
-                    256,
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
-        id_col, "b.band_idx", "b.band_key"
-    )
+    exploded = band_explode(sig, id_col, num_hashes, band_size)
     buckets = (
         exploded.groupBy("band_idx", "band_key")
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
@@ -167,6 +180,47 @@ def minhash_dedup_candidates(
         id_col,
         num_hashes,
         band_size,
+    )
+
+
+def incremental_lsh_candidates(
+    index_sigs: DataFrame,
+    new_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate pairs INTRODUCED by a batch of new documents against a
+    persisted signature index: new-vs-old and new-vs-new, as (doc_a <
+    doc_b) distinct pairs.
+
+    This is the maintenance shape for continuous ingestion at 100 TB: the
+    corpus signature index is stored once (e.g. a LakeTable the caller
+    appends ``new_sigs`` to after this call) and each micro-batch pays
+    O(new docs) signature compute + one equi-join of the new band keys
+    against the index — NOT a full-corpus re-bucketing per batch. The
+    union of every batch's incremental pairs equals the from-scratch
+    batch run (each pair is found when its LATER document arrives), which
+    is exactly the property the oracle-paired incremental query checks.
+
+    The new side of the join is batch-sized; the planner (AQE) broadcasts
+    it when it fits, so the index side streams through at scan speed with
+    no index-wide shuffle.
+    """
+    all_b = band_explode(
+        index_sigs.unionByName(new_sigs), id_col, num_hashes, band_size
+    )
+    new_b = band_explode(new_sigs, id_col, num_hashes, band_size).select(
+        F.col(id_col).alias("__new_id"), "band_idx", "band_key"
+    )
+    return (
+        all_b.join(new_b, ["band_idx", "band_key"])
+        .where(F.col(id_col) != F.col("__new_id"))
+        .select(
+            F.least(F.col(id_col), F.col("__new_id")).alias("doc_a"),
+            F.greatest(F.col(id_col), F.col("__new_id")).alias("doc_b"),
+        )
+        .distinct()
     )
 
 

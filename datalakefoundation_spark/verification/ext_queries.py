@@ -880,6 +880,24 @@ LIMIT 30
 """
 
 
+# ------------------------------------------------------- incremental minhash
+def q_dedup_minhash_incr(spark, sf_dir):
+    """Incremental near-dup index maintenance (ext/dedup.py
+    incremental_lsh_candidates): the corpus arrives as two batches (even
+    doc_ids, then odd); batch 2 pays only its own signatures + one band
+    join against the stored index. The union of per-batch candidate pairs
+    must equal the from-scratch batch run — so the oracle is the SAME SQL
+    as q_dedup_minhash."""
+    docs = _docs(spark, sf_dir)
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    s1 = D.minhash_signature(b1)
+    s2 = D.minhash_signature(b2)
+    batch1_pairs = D.lsh_candidate_pairs(s1)
+    delta_pairs = D.incremental_lsh_candidates(s1, s2)
+    return batch1_pairs.unionByName(delta_pairs).distinct()
+
+
 # ---------------------------------------------------------------- span dedup
 def q_span_dedup(spark, sf_dir):
     """Substring-level dedup rewriter (ext/dedup.py span_dedup): tokens
@@ -1007,6 +1025,7 @@ EXTRA = {
     "q_mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "q_rare_tokens": (q_rare_tokens, SQL_RARE_TOKENS),
     "q_collocations": (q_collocations, SQL_COLLOCATIONS),
+    "q_dedup_minhash_incr": (q_dedup_minhash_incr, SQL_DEDUP_MINHASH),
     "q_span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "q_profile_columns": (q_profile_columns, _profile_oracle_sql()),
     "q_reshard_shuffle": (q_reshard_shuffle, SQL_RESHARD_SHUFFLE),

@@ -1138,3 +1138,35 @@ def test_clean_corpus_span_dedup_stage(spark):
     assert rows[1] == "lambda mu nu xi omicron pi rho sigma tau upsilon"
     names = [n for n, _ in res.stages]
     assert "span_dedup" in names
+
+
+# ----------------------------------------------------- incremental minhash
+def test_incremental_lsh_matches_batch_over_batches(spark, docs):
+    # union of per-batch incremental candidates == from-scratch batch run
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    s1, s2 = D.minhash_signature(b1), D.minhash_signature(b2)
+    incr = (
+        D.lsh_candidate_pairs(s1)
+        .unionByName(D.incremental_lsh_candidates(s1, s2))
+        .distinct()
+    )
+    full = D.minhash_dedup_candidates(docs)
+    assert sorted(map(tuple, incr.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_incremental_lsh_finds_cross_batch_near_dupes(spark, docs):
+    # a new doc that near-duplicates an indexed one must pair with it
+    index_docs = docs.limit(50)
+    new = (
+        docs.limit(3)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tailword")))
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    pairs = D.incremental_lsh_candidates(
+        D.minhash_signature(index_docs), D.minhash_signature(new)
+    )
+    hits = pairs.where(
+        (F.col("doc_b") - F.col("doc_a")) == 100000
+    )
+    assert hits.count() >= 3
