@@ -5,6 +5,7 @@ from datalakefoundation_spark.streaming.ops import (  # noqa: F401
     read_event_stream,
     sessionize,
     stream_dedup,
+    stream_dedup_index,
     stream_merge_to_silver,
     stream_to_lake,
     windowed_counts,

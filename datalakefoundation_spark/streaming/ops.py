@@ -210,3 +210,93 @@ def stream_to_lake(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_index(
+    docs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    pairs_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_size: int = 3,
+    trigger_available_now: bool = True,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Continuous near-duplicate detection over a document stream.
+
+    Maintains a MinHash signature index (a LakeTable at ``index_path``)
+    via ``foreachBatch``: each micro-batch computes signatures for its own
+    documents ONLY, finds candidate pairs against the accumulated index
+    with one band join (ext/dedup.py incremental_lsh_candidates — O(batch)
+    per batch, never a corpus re-bucketing), optionally appends the pairs
+    to ``pairs_path``, then appends the new signatures to the index. The
+    union of all batches' pairs equals the from-scratch batch run, so the
+    stream is just the incremental evaluation order of the same result —
+    the property tests/test_streaming.py asserts.
+
+    Exactly-once across restarts: batches replay at-least-once from the
+    checkpoint, so both appends are keyed by batch_id and a replayed batch
+    first deletes its own earlier partial output (idempotent re-append,
+    same recipe as stream_merge_to_silver's batch-keyed slices). Pairs for
+    a replayed batch are recomputed against an index that may already
+    contain the batch's own signatures — they are excluded from the index
+    side by batch_id before the join, so replays are exact, not just
+    row-deduplicated.
+    """
+    from datalakefoundation_spark.ext.dedup import (
+        incremental_lsh_candidates,
+        minhash_signature,
+    )
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    def _index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        sigs = minhash_signature(
+            batch_df, text_col, id_col, num_hashes, shingle_size
+        ).withColumn("__batch_id", F.lit(batch_id).cast("long"))
+        index = LakeTable(spark, index_path)
+        if index.exists():
+            prior = index.read().where(F.col("__batch_id") != F.lit(batch_id))
+            if not prior.isEmpty():
+                pairs = incremental_lsh_candidates(
+                    prior.drop("__batch_id"),
+                    sigs.drop("__batch_id"),
+                    id_col,
+                    num_hashes,
+                    band_size,
+                )
+            else:
+                from datalakefoundation_spark.ext.dedup import lsh_candidate_pairs
+
+                pairs = lsh_candidate_pairs(
+                    sigs.drop("__batch_id"), id_col, num_hashes, band_size
+                )
+            # a replayed batch may have appended its signatures already:
+            # rebuild the index without them so the CAS-committed state
+            # converges to exactly-once (version churn, not duplicate rows)
+            if index.read().where(F.col("__batch_id") == F.lit(batch_id)).isEmpty():
+                index.append(sigs)
+            else:
+                index.overwrite(prior.unionByName(sigs), operation="replay_rebuild")
+        else:
+            from datalakefoundation_spark.ext.dedup import lsh_candidate_pairs
+
+            pairs = lsh_candidate_pairs(
+                sigs.drop("__batch_id"), id_col, num_hashes, band_size
+            )
+            index.append(sigs)
+        if pairs_path is not None:
+            pairs.withColumn("__batch_id", F.lit(batch_id).cast("long")).write.mode(
+                "overwrite"
+            ).parquet(f"{pairs_path}/batch_id={batch_id:012d}")
+
+    writer = docs.writeStream.foreachBatch(_index_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -331,3 +331,51 @@ def test_sessionize_stream_matches_batch_model(spark, tmp_path):
         for r in final.values()
     }
     assert got == expected
+
+
+def test_stream_dedup_index_matches_batch(spark, tmp_path):
+    """Streamed incremental near-dup indexing == the from-scratch batch run:
+    union of every micro-batch's candidate pairs equals
+    minhash_dedup_candidates over the whole corpus, and the signature index
+    accumulates exactly one row per document — including across a stream
+    restart that ingests new files into the same checkpoint/index."""
+    from datalakefoundation_spark.ext.dedup import minhash_dedup_candidates
+    from datalakefoundation_spark.streaming import stream_dedup_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    part1 = docs.where("doc_id < 200")
+    part2 = docs.where("doc_id >= 200 and doc_id < 350")
+    part3 = docs.where("doc_id >= 350")
+
+    src = str(tmp_path / "docs_src")
+    index = str(tmp_path / "sig_index")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt_idx")
+    part1.coalesce(1).write.mode("append").parquet(src)
+    part2.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_dedup_index(stream, index, ckpt, pairs_path=pairs)
+        q.awaitTermination(180)
+
+    run()
+    # restart with one more file -> only the new file is processed
+    part3.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    idx = LakeTable(spark, index).read()
+    assert idx.count() == docs.count()
+    assert idx.select("doc_id").distinct().count() == docs.count()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(pairs).select("doc_a", "doc_b").distinct().collect())
+    )
+    want = sorted(map(tuple, minhash_dedup_candidates(docs).collect()))
+    assert got == want
