@@ -6,7 +6,10 @@
                    scoring + keep/drop filter gate, language-ID,
                    fingerprinting, vocabulary top-k
 * sampling.py    — deterministic (stratified) sampling via sha256-threshold
-                   keep decisions, reproducible under any partitioning
+                   keep decisions, reproducible under any partitioning;
+                   deterministic reshard_shuffle for training order
+* profile.py     — Deequ-style column profiling (completeness, distinct
+                   via HLL or exact, min/max) in one pass
 * multimodal.py  — opaque binary columns + Arrow-batched decode/feature/
                    resize/frame-sample plumbing
 * skew.py        — salted two-stage aggregation, bucketed co-located joins

@@ -1170,3 +1170,52 @@ def test_incremental_lsh_finds_cross_batch_near_dupes(spark, docs):
         (F.col("doc_b") - F.col("doc_a")) == 100000
     )
     assert hits.count() >= 3
+
+
+def test_span_dedup_matches_python_model_on_random_corpora(spark):
+    """20 seeded-random corpora vs an independent pure-Python reference,
+    all checked in ONE Spark action: per-corpus tokens are namespaced
+    (prefixed with the corpus id) and doc_ids offset, so spans can never
+    collide across corpora and one span_dedup call over the union equals
+    the per-corpus runs."""
+    import random
+
+    def model(docs, n):
+        toks = {d: t.split(" ") for d, t in docs.items()}
+        owner = {}
+        for d in sorted(docs):
+            w = toks[d]
+            for i in range(max(len(w) - n + 1, 1)):
+                owner.setdefault(" ".join(w[i : i + n]), d)
+        out = {}
+        for d in sorted(docs):
+            w = toks[d]
+            covered = set()
+            for i in range(max(len(w) - n + 1, 1)):
+                if owner[" ".join(w[i : i + n])] < d:
+                    covered.update(range(i, min(i + n, len(w))))
+            kept = [w[j] for j in range(len(w)) if j not in covered]
+            out[d] = (" ".join(kept), len(w), len(covered))
+        return out
+
+    for span_size in (2, 3, 5):
+        rng = random.Random(1000 + span_size)
+        rows, expected = [], {}
+        for corpus in range(20):
+            vocab = [f"c{corpus}w{v}" for v in range(rng.randint(2, 6))]
+            docs = {
+                corpus * 100 + d: " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 12))
+                )
+                for d in range(rng.randint(2, 6))
+            }
+            rows += [(i, t) for i, t in docs.items()]
+            expected.update(model(docs, span_size))
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+            for r in D.span_dedup(
+                spark.createDataFrame(rows, ["doc_id", "text"]),
+                span_size=span_size,
+            ).collect()
+        }
+        assert got == expected, f"span_size={span_size}"
