@@ -78,3 +78,89 @@ def profile_columns(
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def check_expectations(df: DataFrame, expectations: dict) -> DataFrame:
+    """Deequ-style verification suite: evaluate declarative per-column
+    expectations in ONE aggregate pass and return one row per check:
+
+      (col_name, check, expected, observed, passed)
+
+    ``expectations`` maps column -> dict of checks:
+      completeness: float   — non-null fraction >= value
+      unique: True          — no non-null value occurs twice
+      min: v                — observed minimum >= v
+      max: v                — observed maximum <= v
+      isin: [v, ...]        — every non-null value in the set
+      matches: regex        — every non-null value rmatches (strings)
+
+    The whole suite folds into a single df.agg(...) (map-side partial
+    aggregation, tiny result row) — adding checks adds aggregate buffer
+    slots, not passes; `expected`/`observed` are rendered to strings so
+    the report schema is stable across value types. This is the
+    analysis-side complement of the enforcing ingestion-time CHECK
+    constraints (core/constraints.py): constraints reject rows, this
+    reports dataset-level health for monitoring/alerting.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    specs: list[tuple[str, str, str, object]] = []  # (col, check, slot, expected)
+    for i, (col, checks) in enumerate(sorted(expectations.items())):
+        if col not in df.columns:
+            raise ValueError(f"check_expectations: unknown column {col}")
+        c = F.col(col)
+        for check, expected in sorted(checks.items(), key=lambda kv: kv[0]):
+            slot = f"__s{i}_{check}"
+            if check == "completeness":
+                aggs.append(F.count(c).alias(slot))
+            elif check == "unique":
+                # non-null rows minus distinct non-null values == dup count
+                aggs.append((F.count(c) - F.count_distinct(c)).alias(slot))
+            elif check == "min":
+                aggs.append(F.min(c).alias(slot))
+            elif check == "max":
+                aggs.append(F.max(c).alias(slot))
+            elif check == "isin":
+                aggs.append(
+                    F.sum(
+                        (~c.isin(*expected) & c.isNotNull()).cast("long")
+                    ).alias(slot)
+                )
+            elif check == "matches":
+                aggs.append(
+                    F.sum(
+                        (~c.rlike(expected) & c.isNotNull()).cast("long")
+                    ).alias(slot)
+                )
+            else:
+                raise ValueError(f"unknown check '{check}' for column {col}")
+            specs.append((col, check, slot, expected))
+    one = df.agg(*aggs)
+    rows = []
+    for col, check, slot, expected in specs:
+        s = F.col(slot)
+        if check == "completeness":
+            observed = F.when(F.col("__n") > 0, s / F.col("__n")).otherwise(F.lit(1.0))
+            passed = observed >= F.lit(float(expected))
+            observed = observed.cast("string")
+        elif check == "unique":
+            observed = F.concat(F.lit("duplicates="), s.cast("string"))
+            passed = s == 0
+        elif check == "min":
+            passed = s >= F.lit(expected)
+            observed = s.cast("string")
+        elif check == "max":
+            passed = s <= F.lit(expected)
+            observed = s.cast("string")
+        else:  # isin / matches: slot counts violations
+            observed = F.concat(F.lit("violations="), s.cast("string"))
+            passed = s == 0
+        rows.append(
+            F.struct(
+                F.lit(col).alias("col_name"),
+                F.lit(check).alias("check"),
+                F.lit(str(expected)).alias("expected"),
+                observed.alias("observed"),
+                F.coalesce(passed, F.lit(False)).alias("passed"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

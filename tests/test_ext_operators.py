@@ -1219,3 +1219,47 @@ def test_span_dedup_matches_python_model_on_random_corpora(spark):
             ).collect()
         }
         assert got == expected, f"span_size={span_size}"
+
+
+def test_check_expectations_report(spark):
+    from datalakefoundation_spark.ext.profile import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, "a@x.io", "en"), (2, "b@y.io", "de"), (2, None, "en"), (5, "zzz", "xx")],
+        ["k", "email", "lang"],
+    )
+    rep = {
+        (r["col_name"], r["check"]): r
+        for r in check_expectations(
+            df,
+            {
+                "k": {"completeness": 1.0, "unique": True, "min": 1, "max": 4},
+                "email": {"completeness": 0.9, "matches": "^[a-z]+@[a-z.]+$"},
+                "lang": {"isin": ["en", "de"]},
+            },
+        ).collect()
+    }
+    assert rep[("k", "completeness")]["passed"]
+    assert not rep[("k", "unique")]["passed"]
+    assert rep[("k", "unique")]["observed"] == "duplicates=1"
+    assert rep[("k", "min")]["passed"]
+    assert not rep[("k", "max")]["passed"]          # max is 5 > 4
+    assert not rep[("email", "completeness")]["passed"]  # 0.75 < 0.9
+    assert not rep[("email", "matches")]["passed"]  # "zzz" violates
+    assert rep[("email", "matches")]["observed"] == "violations=1"
+    assert not rep[("lang", "isin")]["passed"]      # "xx" violates
+    assert len(rep) == 7
+
+
+def test_check_expectations_all_green_and_single_pass(spark, docs):
+    from datalakefoundation_spark.ext.profile import check_expectations
+
+    rep = check_expectations(
+        docs,
+        {"doc_id": {"completeness": 1.0, "unique": True, "min": 0},
+         "text": {"completeness": 1.0}},
+    )
+    assert rep.where("NOT passed").count() == 0
+    # single aggregate pass: exactly one scan of the input in the plan
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 1
