@@ -1517,18 +1517,89 @@ class LakeTable:
                 removed.append(rel)
         return removed
 
-    def vacuum(self, retain_last: int = 1) -> list[str]:
+    def restore(
+        self, version: int | None = None, as_of_timestamp: float | None = None
+    ) -> int:
+        """Roll the table back to an earlier committed state (the Delta
+        ``RESTORE TABLE ... TO VERSION AS OF`` analog) by committing a NEW
+        version that references the old version's segments verbatim — no
+        data is copied or rewritten, and the rolled-back-over versions stay
+        in history (time-travel-readable, vacuumable later). Requires the
+        restored version's segment dirs to still exist (i.e. not vacuumed);
+        raises FileNotFoundError otherwise rather than committing a
+        manifest that cannot be read. Returns the new version number.
+        """
+        if version is None:
+            if as_of_timestamp is None:
+                raise ValueError("restore needs version or as_of_timestamp")
+            version = self.version_at_timestamp(as_of_timestamp)
+        src = self.manifest_at(version)
+        cur = self.latest_manifest()
+        if cur is None:
+            raise FileNotFoundError(f"LakeTable does not exist: {self.path}")
+        missing = [
+            d
+            for d in sorted(self._referenced_dirs([src]))
+            if not self.fs.isdir(f"{self.path}/{d}")
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {self.path} to v{version}: segment dirs "
+                f"{missing} were vacuumed"
+            )
+        self._commit(
+            Manifest(
+                version=cur.version + 1,
+                partition_by=list(src.partition_by),
+                segments=[
+                    Segment(
+                        s.dir, s.partitions, stats=s.stats, rows=s.rows,
+                        files=s.files, dv=list(s.dv or []),
+                    )
+                    for s in src.segments
+                ],
+                operation="restore",
+                timestamp=time.time(),
+                metrics={"restored_version": version},
+                bucketing=src.bucketing,
+            )
+        )
+        # adopt the restored layout on this instance: the commit may roll
+        # back across a re-bucketing, and writes after a restore must prune
+        # against the directory structure now live
+        self.partition_by = list(src.partition_by)
+        if src.bucketing:
+            self.bucket_pk = src.bucketing["pk"]
+            self.n_buckets = int(src.bucketing["n"])
+        elif self.partition_by != [BUCKET_COL]:
+            self.bucket_pk = None
+        return cur.version + 1
+
+    def vacuum(
+        self, retain_last: int = 1, retain_seconds: float | None = None
+    ) -> list[str]:
         """Delete segment dirs + manifests not referenced by the newest
         ``retain_last`` versions (the version-count analog of Delta's
         time-based VACUUM retention). Default 1 keeps only the current
         version — time travel resets; pass a larger value to keep a
         rollback/debugging horizon. Values < 1 are clamped to 1 (the
-        current version is never droppable)."""
+        current version is never droppable).
+
+        ``retain_seconds`` additionally keeps every version committed
+        within the last that many seconds (the Delta ``RETAIN N HOURS``
+        semantics) — the two retention rules union, so passing both keeps
+        whichever horizon is longer."""
         retain_last = max(1, int(retain_last))
         history = self.history()
         if not history:
             return []
         keep = sorted(history, key=lambda m: m.version, reverse=True)[:retain_last]
+        if retain_seconds is not None:
+            cutoff = time.time() - retain_seconds
+            kept_v = {m.version for m in keep}
+            keep += [
+                m for m in history if m.timestamp >= cutoff and m.version not in kept_v
+            ]
         live = self._referenced_dirs(keep)
         keep_manifests = {f"v{m.version:05d}.json" for m in keep}
         removed = []

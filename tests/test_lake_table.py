@@ -246,3 +246,60 @@ def test_compact_small_segments_needs_two_candidates(spark, tmp_path):
     t = LakeTable(spark, str(tmp_path / "t"))
     t.overwrite(spark.createDataFrame([(1,)], "a int"))
     assert t.compact_small_segments() == []
+
+
+def test_restore_rolls_back_without_copying(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "tr1"))
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))     # v0
+    t.overwrite(_df(spark, [(9, "z", "only")]))                 # v1
+    t.append(_df(spark, [(10, "z", "more")]))                   # v2
+    new_v = t.restore(0)
+    assert new_v == 3
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+    # no data copied: the restore commit references v0's segment dir
+    assert {s.dir for s in t.latest_manifest().segments} == {"data/v00000"}
+    # rolled-over versions stay time-travel readable
+    assert {r["k"] for r in t.read(version=2).collect()} == {9, 10}
+    assert t.latest_manifest().operation == "restore"
+    # writes after the restore continue the chain
+    t.append(_df(spark, [(3, "c", "w")]))
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3}
+
+
+def test_restore_refuses_vacuumed_version(spark, tmp_path):
+    import pytest
+
+    t = LakeTable(spark, str(tmp_path / "tr2"))
+    t.overwrite(_df(spark, [(1, "a", "x")]))    # v0
+    t.overwrite(_df(spark, [(2, "b", "y")]))    # v1
+    t.vacuum(retain_last=1)                     # v0's segment dir is gone
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(0)
+
+
+def test_restore_by_timestamp_and_bucketed_layout(spark, tmp_path):
+    import time as _time
+
+    t = LakeTable(spark, str(tmp_path / "tr3"), bucket_pk="v", n_buckets=4)
+    t.overwrite(_df(spark, [(i, "a", f"{i:064x}") for i in range(10)]))  # v0
+    ts_after_v0 = _time.time()
+    t.overwrite(_df(spark, [(99, "b", "f" * 64)]))                       # v1
+    t.restore(as_of_timestamp=ts_after_v0)
+    assert t.read().count() == 10
+    # instance re-adopted the restored bucketed layout
+    assert t.bucket_pk == "v" and t.n_buckets == 4
+
+
+def test_vacuum_retain_seconds_keeps_recent_versions(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "tr4"))
+    t.overwrite(_df(spark, [(1, "a", "x")]))    # v0
+    t.overwrite(_df(spark, [(2, "b", "y")]))    # v1
+    t.overwrite(_df(spark, [(3, "c", "z")]))    # v2
+    # all commits are seconds old -> a 1-hour horizon keeps everything
+    removed = t.vacuum(retain_last=1, retain_seconds=3600)
+    assert removed == []
+    assert {r["k"] for r in t.read(version=0).collect()} == {1}
+    # horizon 0 falls back to pure version-count retention
+    removed = t.vacuum(retain_last=1, retain_seconds=0)
+    assert removed != []
+    assert {r["k"] for r in t.read().collect()} == {3}
