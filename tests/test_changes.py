@@ -178,3 +178,22 @@ def test_refresh_agg_null_values_count_but_add_zero(spark):
         sums={"sum_val": "val"},
     ).collect()
     assert [(r["g"], r["n_rows"], r["sum_val"]) for r in got] == [("g1", 2, 5)]
+
+
+def test_read_changes_across_restore(spark, tmp_path):
+    """A restore() commit is an ordinary version to the change feed: the
+    diff over it is the rollback itself (new rows deleted, rolled-back
+    rows re-inserted)."""
+    t = LakeTable(spark, str(tmp_path / "t_restore"))
+    t.overwrite(
+        spark.createDataFrame([("h1", 1)], "PK_item string, val int")
+    )  # v0
+    t.overwrite(
+        spark.createDataFrame([("h2", 2)], "PK_item string, val int")
+    )  # v1
+    t.restore(0)  # v2
+    got = {
+        (r["PK_item"], r["_change_type"])
+        for r in read_changes(t, from_version=1, to_version=2).collect()
+    }
+    assert got == {("h2", "delete"), ("h1", "insert")}
