@@ -1015,6 +1015,54 @@ FROM s
 """
 
 
+def q_check_expectations(spark, sf_dir):
+    """Declarative data-quality suite over orders (ext/profile.py
+    check_expectations): every check folds into one aggregate pass; the
+    oracle recomputes each (expected, observed, passed) row in SQL."""
+    from datalakefoundation_spark.ext.profile import check_expectations
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return check_expectations(
+        orders,
+        {
+            "o_orderkey": {"completeness": 1.0, "unique": True, "min": 0},
+            "o_orderstatus": {"isin": ["O", "F", "P"]},
+            "o_orderpriority": {"matches": "^[1-5]-[A-Z]+$"},
+        },
+    )
+
+
+SQL_CHECK_EXPECTATIONS = """
+WITH m AS (
+  SELECT count(*) AS n,
+         count(o_orderkey) AS nn_k,
+         count(o_orderkey) - count(DISTINCT o_orderkey) AS dup_k,
+         min(o_orderkey) AS mn_k,
+         sum(CASE WHEN o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+           AS bad_status,
+         sum(CASE WHEN o_orderpriority IS NOT NULL
+                   AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
+                  THEN 1 ELSE 0 END) AS bad_prio
+  FROM orders
+)
+SELECT 'o_orderkey' AS col_name, 'completeness' AS check, '1.0' AS expected,
+       CAST(CAST(nn_k AS DOUBLE) / n AS VARCHAR) AS observed,
+       CAST(nn_k AS DOUBLE) / n >= 1.0 AS passed FROM m
+UNION ALL
+SELECT 'o_orderkey', 'min', '0', CAST(mn_k AS VARCHAR), mn_k >= 0 FROM m
+UNION ALL
+SELECT 'o_orderkey', 'unique', 'True', 'duplicates=' || CAST(dup_k AS VARCHAR),
+       dup_k = 0 FROM m
+UNION ALL
+SELECT 'o_orderstatus', 'isin', '[''O'', ''F'', ''P'']',
+       'violations=' || CAST(bad_status AS VARCHAR), bad_status = 0 FROM m
+UNION ALL
+SELECT 'o_orderpriority', 'matches', '^[1-5]-[A-Z]+$',
+       'violations=' || CAST(bad_prio AS VARCHAR), bad_prio = 0 FROM m
+"""
+
+
 EXTRA = {
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
@@ -1028,6 +1076,7 @@ EXTRA = {
     "q_dedup_minhash_incr": (q_dedup_minhash_incr, SQL_DEDUP_MINHASH),
     "q_span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "q_profile_columns": (q_profile_columns, _profile_oracle_sql()),
+    "q_check_expectations": (q_check_expectations, SQL_CHECK_EXPECTATIONS),
     "q_reshard_shuffle": (q_reshard_shuffle, SQL_RESHARD_SHUFFLE),
 }
 
