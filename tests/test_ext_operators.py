@@ -1263,3 +1263,22 @@ def test_check_expectations_all_green_and_single_pass(spark, docs):
     # single aggregate pass: exactly one scan of the input in the plan
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 1
+
+
+def test_clean_corpus_bit_reproducible_across_partitionings(spark, docs):
+    """The whole composed pipeline is a pure function of the data: same
+    input under a different physical partitioning produces the identical
+    row multiset at every stage — the property that makes 100 TB runs
+    re-startable and auditable."""
+    from datalakefoundation_spark.ext.recipes import clean_corpus
+
+    def run(d):
+        return clean_corpus(
+            d, min_tokens=5, min_distinct_ratio=0.0,
+            redact_pii=True, near_dedup=True, span_dedup_size=5,
+            mixture=("source", {"src0": 0.5, "src1": 0.5}),
+        )
+
+    a, b = run(docs), run(docs.repartition(7))
+    assert sorted(map(tuple, a.df.collect())) == sorted(map(tuple, b.df.collect()))
+    assert a.counts() == b.counts()
