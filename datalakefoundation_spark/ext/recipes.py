@@ -137,3 +137,79 @@ def clean_corpus(
         stages.append(("mixture", cur))
 
     return CleanResult(df=cur, stages=stages)
+
+
+def clean_corpus_config(
+    docs: DataFrame, config: dict, benchmark: DataFrame | None = None
+) -> CleanResult:
+    """Metadata-driven corpus cleanup: the same JSON-config philosophy the
+    ingestion side uses (entities/settings) applied to the training-data
+    pipeline — a pipeline definition that can live next to the entity
+    config, be diffed/reviewed, and rerun bit-identically (every stage is
+    deterministic; see the reproducibility test).
+
+    ``config`` keys (all optional, defaults = clean_corpus defaults):
+      text_col, id_col            — column names
+      quality.min_tokens          — int
+      quality.min_distinct_ratio  — float
+      pii.redact                  — bool
+      dedup.near                  — bool
+      dedup.shingle_size          — int
+      dedup.span_size             — int | absent (stage off)
+      decontaminate.shingle_size  — int
+      decontaminate.max_frac      — float
+      mixture.strata_col          — str   (with mixture.weights)
+      mixture.weights             — {stratum: weight}
+
+    Unknown keys raise — a typo'd config must fail loudly, not silently
+    skip a cleaning stage (same fail-fast stance as the entity settings).
+    """
+    known = {
+        "text_col", "id_col", "quality", "pii", "dedup", "decontaminate",
+        "mixture",
+    }
+    unknown = set(config) - known
+    if unknown:
+        raise ValueError(f"clean_corpus_config: unknown keys {sorted(unknown)}")
+    sub_known = {
+        "quality": {"min_tokens", "min_distinct_ratio"},
+        "pii": {"redact"},
+        "dedup": {"near", "shingle_size", "span_size"},
+        "decontaminate": {"shingle_size", "max_frac"},
+        "mixture": {"strata_col", "weights"},
+    }
+    for section, keys in sub_known.items():
+        extra = set(config.get(section, {})) - keys
+        if extra:
+            raise ValueError(
+                f"clean_corpus_config: unknown keys {sorted(extra)} in '{section}'"
+            )
+    quality = config.get("quality", {})
+    pii = config.get("pii", {})
+    dedup = config.get("dedup", {})
+    decon = config.get("decontaminate", {})
+    mixture_cfg = config.get("mixture", {})
+    mixture = None
+    if mixture_cfg:
+        if "strata_col" not in mixture_cfg or "weights" not in mixture_cfg:
+            raise ValueError(
+                "clean_corpus_config: mixture needs strata_col AND weights"
+            )
+        mixture = (mixture_cfg["strata_col"], dict(mixture_cfg["weights"]))
+    return clean_corpus(
+        docs,
+        text_col=config.get("text_col", "text"),
+        id_col=config.get("id_col", "doc_id"),
+        min_tokens=int(quality.get("min_tokens", 10)),
+        min_distinct_ratio=float(quality.get("min_distinct_ratio", 0.1)),
+        benchmark=benchmark,
+        max_contaminated_frac=float(decon.get("max_frac", 0.2)),
+        redact_pii=bool(pii.get("redact", True)),
+        mixture=mixture,
+        near_dedup=bool(dedup.get("near", True)),
+        shingle_size=int(dedup.get("shingle_size", 3)),
+        decon_shingle_size=int(decon.get("shingle_size", 5)),
+        span_dedup_size=(
+            int(dedup["span_size"]) if "span_size" in dedup else None
+        ),
+    )

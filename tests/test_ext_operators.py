@@ -1282,3 +1282,33 @@ def test_clean_corpus_bit_reproducible_across_partitionings(spark, docs):
     a, b = run(docs), run(docs.repartition(7))
     assert sorted(map(tuple, a.df.collect())) == sorted(map(tuple, b.df.collect()))
     assert a.counts() == b.counts()
+
+
+def test_clean_corpus_config_driven(spark, docs):
+    from datalakefoundation_spark.ext.recipes import clean_corpus, clean_corpus_config
+
+    cfg = {
+        "quality": {"min_tokens": 5, "min_distinct_ratio": 0.0},
+        "pii": {"redact": False},
+        "dedup": {"near": False, "span_size": 5},
+        "mixture": {"strata_col": "source", "weights": {"src0": 0.5, "src1": 0.5}},
+    }
+    a = clean_corpus_config(docs, cfg)
+    b = clean_corpus(
+        docs, min_tokens=5, min_distinct_ratio=0.0, redact_pii=False,
+        near_dedup=False, span_dedup_size=5,
+        mixture=("source", {"src0": 0.5, "src1": 0.5}),
+    )
+    assert sorted(map(tuple, a.df.collect())) == sorted(map(tuple, b.df.collect()))
+    assert [n for n, _ in a.stages] == [n for n, _ in b.stages]
+
+
+def test_clean_corpus_config_rejects_typos(spark, docs):
+    from datalakefoundation_spark.ext.recipes import clean_corpus_config
+
+    with pytest.raises(ValueError, match="unknown keys"):
+        clean_corpus_config(docs, {"qualty": {}})
+    with pytest.raises(ValueError, match="unknown keys.*dedup"):
+        clean_corpus_config(docs, {"dedup": {"span_sze": 5}})
+    with pytest.raises(ValueError, match="strata_col AND weights"):
+        clean_corpus_config(docs, {"mixture": {"weights": {"a": 1.0}}})
