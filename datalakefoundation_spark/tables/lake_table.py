@@ -1627,6 +1627,50 @@ class LakeTable:
                     out.add(entry["dir"])
         return out
 
+    def stats_summary(self, version: int | None = None) -> dict[str, dict]:
+        """Table-level per-column bounds folded from the manifest's
+        per-segment statistics — pure control-plane (no data scan, no
+        Spark job): {col: {"min": v, "max": v, "t": kind}}.
+
+        The bounds are CONSERVATIVE (a superset interval of the live
+        values): deletion vectors and partition-ownership handoffs only
+        remove rows from a segment, so the recorded write-time min/max
+        still bound whatever survives. A column missing stats in any
+        segment is omitted (unknown). This is the engine's answer to
+        "what's the watermark ceiling / key range of this table" without
+        touching data — the same query Delta answers from file stats."""
+        mf = self.manifest_at(version) if version is not None else self.latest_manifest()
+        if mf is None:
+            raise FileNotFoundError(f"LakeTable does not exist: {self.path}")
+        cols: set[str] = set()
+        for s in mf.segments:
+            cols.update((s.stats or {}).keys())
+        out: dict[str, dict] = {}
+        for c in cols:
+            lo = hi = kind = None
+            ok = True
+            for s in mf.segments:
+                e = (s.stats or {}).get(c)
+                if e is None:
+                    ok = False
+                    break
+                if e.get("min") is None and e.get("max") is None:
+                    continue  # all-NULL segment contributes no bounds
+                kind = kind or e.get("t")
+                try:
+                    if e.get("t") == "num":
+                        mn, mx = float(e["min"]), float(e["max"])
+                    else:
+                        mn, mx = str(e["min"]), str(e["max"])
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+                except (TypeError, ValueError):
+                    ok = False
+                    break
+            if ok and kind is not None:
+                out[c] = {"min": lo, "max": hi, "t": kind}
+        return out
+
     def history(self) -> list[Manifest]:
         d = self._manifest_dir
         return [

@@ -303,3 +303,24 @@ def test_vacuum_retain_seconds_keeps_recent_versions(spark, tmp_path):
     removed = t.vacuum(retain_last=1, retain_seconds=0)
     assert removed != []
     assert {r["k"] for r in t.read().collect()} == {3}
+
+
+def test_stats_summary_control_plane_bounds(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "ss1"), stats_columns=["k", "v"])
+    t.overwrite(_df(spark, [(1, "a", "m"), (5, "b", "q")]))
+    t.append(_df(spark, [(3, "c", "zz")]))
+    s = t.stats_summary()
+    assert s["k"] == {"min": 1, "max": 5, "t": "num"}
+    assert s["v"] == {"min": "m", "max": "zz", "t": "str"}
+    # an older version answers from ITS manifest
+    assert t.stats_summary(version=0)["k"]["max"] == 5
+    assert t.stats_summary(version=0)["v"]["max"] == "q"
+
+
+def test_stats_summary_omits_unknown_columns(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "ss2"), stats_columns=["k"])
+    t.overwrite(_df(spark, [(1, "a", "x")]))
+    # second segment written by an instance NOT recording stats for k
+    t2 = LakeTable(spark, str(tmp_path / "ss2"))
+    t2.append(_df(spark, [(9, "b", "y")]))
+    assert t2.stats_summary() == {}  # k unknown in one segment -> omitted
