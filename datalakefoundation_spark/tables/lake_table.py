@@ -318,6 +318,41 @@ def _try_iso(v):
         return None
 
 
+def prune_spec_for(predicates) -> list:
+    """Interval prune-spec for ``LakeTable.read(prune_spec=...)`` from
+    simple comparison predicates — the user-facing door to segment/file
+    data skipping for ad-hoc range queries (the watermark window builder
+    covers only delete-inference reads).
+
+    ``predicates``: iterable of ``(column, op, value)`` with op one of
+    >=, >, <=, <, ==, = or ``(column, "between", (lo, hi))``. Each
+    predicate becomes its own AND group, so the spec means their
+    conjunction. Strict bounds are widened to inclusive (conservative —
+    pruning may read one boundary row extra, never drops a match).
+    Values are encoded exactly like the recorded stats (datetimes/dates
+    to ISO strings), so comparisons agree with the write-time encoding.
+    The caller still applies the row-level filter; the spec only skips
+    provably-disjoint storage."""
+    spec: list[list[tuple]] = []
+    for col, op, val in predicates:
+        if op == "between":
+            lo, hi = val
+            lo, _ = _encode_stat(lo)
+            hi, _ = _encode_stat(hi)
+            spec.append([("and", col, lo, hi)])
+            continue
+        v, _ = _encode_stat(val)
+        if op in (">=", ">"):
+            spec.append([("and", col, v, None)])
+        elif op in ("<=", "<"):
+            spec.append([("and", col, None, v)])
+        elif op in ("==", "="):
+            spec.append([("and", col, v, v)])
+        else:
+            raise ValueError(f"prune_spec_for: unsupported op {op!r} for {col}")
+    return spec
+
+
 def segment_may_match(stats: dict | None, spec) -> bool:
     """Conservative interval evaluation of a window ``spec`` (see
     watermark.build_window_spec: groups AND together; inside a group each

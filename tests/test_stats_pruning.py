@@ -263,3 +263,39 @@ def test_window_spec_in_sync_with_condition(spark):
     # missing column skips
     wms2 = [Watermark(entity_id=1, column_name="zz", operation="and", operation_group=0, expression="'${last_value}'")]
     assert build_window_spec(schema, wms2, {"zz": "1"}, {"zz": "2"}) is None
+
+
+def test_prune_spec_for_user_predicates(spark, tmp_path):
+    from datalakefoundation_spark.tables.lake_table import LakeTable, prune_spec_for
+
+    t = LakeTable(spark, str(tmp_path / "user_prune"), stats_columns=["seq"])
+    t.overwrite(
+        spark.createDataFrame([(i, f"r{i}") for i in range(100)], "seq int, v string")
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(1000, 1100)], "seq int, v string"
+        )
+    )
+    # range hitting only the second segment: first is pruned
+    spec = prune_spec_for([("seq", ">=", 1000)])
+    df = t.read(prune_spec=spec)
+    assert df.where("seq >= 1000").count() == 100
+    files = df.inputFiles()
+    assert files and all("v00001" in f for f in files)
+    # equality inside the first segment only
+    spec = prune_spec_for([("seq", "==", 5)])
+    assert t.read(prune_spec=spec).where("seq = 5").count() == 1
+    # conjunction that excludes both segments -> empty, schema preserved
+    spec = prune_spec_for([("seq", ">", 100), ("seq", "<", 999)])
+    empty = t.read(prune_spec=spec)
+    assert empty.count() == 0 and set(empty.columns) == {"seq", "v"}
+    # between with datetime values encodes like the stats (ISO strings)
+    import datetime as dt
+
+    spec = prune_spec_for([("ts", "between", (dt.date(2024, 1, 1), dt.date(2024, 2, 1)))])
+    assert spec == [[("and", "ts", "2024-01-01", "2024-02-01")]]
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported op"):
+        prune_spec_for([("seq", "!=", 5)])
