@@ -1312,3 +1312,27 @@ def test_clean_corpus_config_rejects_typos(spark, docs):
         clean_corpus_config(docs, {"dedup": {"span_sze": 5}})
     with pytest.raises(ValueError, match="strata_col AND weights"):
         clean_corpus_config(docs, {"mixture": {"weights": {"a": 1.0}}})
+
+
+def test_multimodal_features_feed_embedding_dedup(spark, docs):
+    """End-to-end multimodal near-dup: binary payloads -> Arrow-batched
+    feature extraction -> embedding-cosine near-dup pairs. Duplicate
+    payloads (same bytes, different media ids) must surface as exact
+    cosine-1.0 pairs — the composition a production image-dedup pipeline
+    runs, with the codec honestly stubbed but every Spark stage real."""
+    media = MM.from_text_fixture(docs.limit(40))
+    dup = MM.from_text_fixture(
+        docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    feats = MM.extract_features(media.unionByName(dup))
+    embs = feats.select(
+        F.col("media_id").alias("vec_id"),
+        F.col("features").alias("embedding"),
+    )
+    pairs = D.embedding_near_dup_pairs(embs, threshold=0.9999)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(3):
+        assert (i, i + 100000) in found
+    # and exact-dup grouping on the content hash agrees
+    groups = feats.groupBy("content_sha").count().where("count > 1")
+    assert groups.count() == 3
