@@ -379,3 +379,37 @@ def test_stream_dedup_index_matches_batch(spark, tmp_path):
     )
     want = sorted(map(tuple, minhash_dedup_candidates(docs).collect()))
     assert got == want
+
+
+def test_quality_filter_and_pii_scrub_work_on_streams(spark, tmp_path):
+    """The scan-speed text operators are stateless projections/filters, so
+    they compose onto streaming DataFrames unchanged — the claim that one
+    operator library serves both latency modes."""
+    from datalakefoundation_spark.ext import text as TX
+    from datalakefoundation_spark.ext.pii import pii_scrub
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    src = str(tmp_path / "qdocs")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    cleaned = pii_scrub(
+        TX.quality_filter(stream, min_tokens=10).where("keep").drop(
+            "keep", "reject_reason"
+        )
+    )
+    q = (
+        cleaned.writeStream.format("memory")
+        .queryName("stream_quality")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM stream_quality")
+    want = pii_scrub(
+        TX.quality_filter(docs, min_tokens=10).where("keep").drop(
+            "keep", "reject_reason"
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
