@@ -101,6 +101,11 @@ def check_expectations(df: DataFrame, expectations: dict) -> DataFrame:
     analysis-side complement of the enforcing ingestion-time CHECK
     constraints (core/constraints.py): constraints reject rows, this
     reports dataset-level health for monitoring/alerting.
+
+    An EMPTY input fails every check: "no data arrived" is an alert, and
+    one uniform policy beats per-check vacuous truths (a 0-row table
+    would otherwise pass completeness and unique while failing min/max —
+    green or red depending on which check the user happened to write).
     """
     aggs = [F.count(F.lit(1)).alias("__n")]
     specs: list[tuple[str, str, str, object]] = []  # (col, check, slot, expected)
@@ -139,7 +144,7 @@ def check_expectations(df: DataFrame, expectations: dict) -> DataFrame:
     for col, check, slot, expected in specs:
         s = F.col(slot)
         if check == "completeness":
-            observed = F.when(F.col("__n") > 0, s / F.col("__n")).otherwise(F.lit(1.0))
+            observed = F.when(F.col("__n") > 0, s / F.col("__n"))
             passed = observed >= F.lit(float(expected))
             observed = observed.cast("string")
         elif check == "unique":
@@ -160,7 +165,11 @@ def check_expectations(df: DataFrame, expectations: dict) -> DataFrame:
                 F.lit(check).alias("check"),
                 F.lit(str(expected)).alias("expected"),
                 observed.alias("observed"),
-                F.coalesce(passed, F.lit(False)).alias("passed"),
+                # empty input fails uniformly (see docstring); NULL verdicts
+                # (e.g. min/max on all-NULL columns) also land on False
+                F.coalesce(
+                    F.when(F.col("__n") > 0, passed), F.lit(False)
+                ).alias("passed"),
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -128,6 +128,7 @@ def reshard_shuffle(
     key_col: str,
     n_shards: int,
     seed: str = "",
+    validate: bool = False,
 ) -> DataFrame:
     """Deterministic global shuffle + resharding for training order.
 
@@ -149,9 +150,35 @@ def reshard_shuffle(
     sort, exactly what a shard-file writer needs anyway. Writing the
     result ``partitionBy("shard")`` sorted by ``shard_pos`` gives the
     training-ready layout directly.
+
+    PRECONDITION: ``key_col`` must be unique and non-null (a doc id /
+    PK). Rows sharing a key (or NULL keys, which all hash identically)
+    are indistinguishable to the hash, so their relative ``shard_pos``
+    would be partitioning-dependent — silently breaking the determinism
+    contract. ``validate=True`` spends one cheap aggregate to enforce
+    this and raises on violation; leave it off only when the key is
+    structurally unique (e.g. already a primary key).
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if validate:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.col(key_col)).alias("nn"),
+            F.count_distinct(F.col(key_col)).alias("nd"),
+        ).first()
+        if row["nn"] < row["n"]:
+            raise ValueError(
+                f"reshard_shuffle: {row['n'] - row['nn']} NULL values in "
+                f"key column {key_col!r} — determinism requires unique "
+                "non-null keys"
+            )
+        if row["nd"] < row["nn"]:
+            raise ValueError(
+                f"reshard_shuffle: key column {key_col!r} has "
+                f"{row['nn'] - row['nd']} duplicate values — determinism "
+                "requires unique non-null keys"
+            )
     from pyspark.sql.window import Window
 
     h = F.sha2(

@@ -237,62 +237,72 @@ def stream_dedup_index(
     the property tests/test_streaming.py asserts.
 
     Exactly-once across restarts: batches replay at-least-once from the
-    checkpoint, so both appends are keyed by batch_id and a replayed batch
-    first deletes its own earlier partial output (idempotent re-append,
-    same recipe as stream_merge_to_silver's batch-keyed slices). Pairs for
-    a replayed batch are recomputed against an index that may already
-    contain the batch's own signatures — they are excluded from the index
-    side by batch_id before the join, so replays are exact, not just
+    checkpoint, so both appends are keyed by (stream id, batch_id) — the
+    stream id is derived from the checkpoint location, because foreachBatch
+    batch ids restart at 0 for a NEW checkpoint and a raw batch_id key
+    would make a second stream's batch 0 look like a replay of the first
+    stream's batch 0 and destructively rebuild the index. A replayed batch
+    recomputes its pairs against an index that may already contain the
+    batch's own signatures — they are excluded from the join side by the
+    scoped key before the join, so replays are exact, not just
     row-deduplicated.
     """
+    import hashlib
+
     from datalakefoundation_spark.ext.dedup import (
         incremental_lsh_candidates,
+        lsh_candidate_pairs,
         minhash_signature,
     )
     from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    stream_id = hashlib.sha256(checkpoint.encode()).hexdigest()[:16]
 
     def _index_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        replay_key = f"{stream_id}:{batch_id}"
         sigs = minhash_signature(
             batch_df, text_col, id_col, num_hashes, shingle_size
-        ).withColumn("__batch_id", F.lit(batch_id).cast("long"))
-        index = LakeTable(spark, index_path)
-        if index.exists():
-            prior = index.read().where(F.col("__batch_id") != F.lit(batch_id))
-            if not prior.isEmpty():
+        ).withColumn("__batch_key", F.lit(replay_key))
+        # signatures feed BOTH actions below (index commit + pairs write):
+        # without a persist the shingle-explode + sha256 lineage — the cost
+        # the incremental design amortizes — would execute once per action
+        sigs = sigs.persist()
+        try:
+            index = LakeTable(spark, index_path)
+            prior = None
+            if index.exists():
+                stored = index.read()
+                prior = stored.where(F.col("__batch_key") != F.lit(replay_key))
+            if prior is not None and not prior.isEmpty():
                 pairs = incremental_lsh_candidates(
-                    prior.drop("__batch_id"),
-                    sigs.drop("__batch_id"),
+                    prior.drop("__batch_key"),
+                    sigs.drop("__batch_key"),
                     id_col,
                     num_hashes,
                     band_size,
                 )
-            else:
-                from datalakefoundation_spark.ext.dedup import lsh_candidate_pairs
-
+            else:  # empty or absent index: the batch only pairs with itself
                 pairs = lsh_candidate_pairs(
-                    sigs.drop("__batch_id"), id_col, num_hashes, band_size
+                    sigs.drop("__batch_key"), id_col, num_hashes, band_size
                 )
-            # a replayed batch may have appended its signatures already:
-            # rebuild the index without them so the CAS-committed state
-            # converges to exactly-once (version churn, not duplicate rows)
-            if index.read().where(F.col("__batch_id") == F.lit(batch_id)).isEmpty():
+            if prior is None:
+                index.append(sigs)
+            elif stored.where(F.col("__batch_key") == F.lit(replay_key)).isEmpty():
                 index.append(sigs)
             else:
+                # replayed batch already appended its signatures: rebuild
+                # the index without them so the CAS-committed state
+                # converges to exactly-once (version churn, not dup rows)
                 index.overwrite(prior.unionByName(sigs), operation="replay_rebuild")
-        else:
-            from datalakefoundation_spark.ext.dedup import lsh_candidate_pairs
-
-            pairs = lsh_candidate_pairs(
-                sigs.drop("__batch_id"), id_col, num_hashes, band_size
-            )
-            index.append(sigs)
-        if pairs_path is not None:
-            pairs.withColumn("__batch_id", F.lit(batch_id).cast("long")).write.mode(
-                "overwrite"
-            ).parquet(f"{pairs_path}/batch_id={batch_id:012d}")
+            if pairs_path is not None:
+                pairs.withColumn("__batch_key", F.lit(replay_key)).write.mode(
+                    "overwrite"
+                ).parquet(f"{pairs_path}/batch_id={batch_id:012d}")
+        finally:
+            sigs.unpersist()
 
     writer = docs.writeStream.foreachBatch(_index_batch).option(
         "checkpointLocation", checkpoint

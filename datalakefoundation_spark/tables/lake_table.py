@@ -1568,7 +1568,15 @@ class LakeTable:
             if as_of_timestamp is None:
                 raise ValueError("restore needs version or as_of_timestamp")
             version = self.version_at_timestamp(as_of_timestamp)
-        src = self.manifest_at(version)
+        try:
+            src = self.manifest_at(version)
+        except FileNotFoundError:
+            # vacuum() deletes old manifests together with their segment
+            # dirs — surface the operational cause, not a raw ENOENT
+            raise FileNotFoundError(
+                f"cannot restore {self.path} to v{version}: that version's "
+                "manifest was vacuumed"
+            )
         cur = self.latest_manifest()
         if cur is None:
             raise FileNotFoundError(f"LakeTable does not exist: {self.path}")
@@ -1582,32 +1590,43 @@ class LakeTable:
                 f"cannot restore {self.path} to v{version}: segment dirs "
                 f"{missing} were vacuumed"
             )
-        self._commit(
-            Manifest(
-                version=cur.version + 1,
-                partition_by=list(src.partition_by),
-                segments=[
-                    Segment(
-                        s.dir, s.partitions, stats=s.stats, rows=s.rows,
-                        files=s.files, dv=list(s.dv or []),
-                    )
-                    for s in src.segments
-                ],
-                operation="restore",
-                timestamp=time.time(),
-                metrics={"restored_version": version},
-                bucketing=src.bucketing,
-            )
-        )
-        # adopt the restored layout on this instance: the commit may roll
-        # back across a re-bucketing, and writes after a restore must prune
-        # against the directory structure now live
+        # Adopt the restored layout BEFORE committing: _commit injects the
+        # instance's current bucket layout into any manifest whose
+        # ``bucketing`` is None, so restoring an UNBUCKETED version from an
+        # instance currently bucketed would stamp the live bucket config
+        # onto plain-directory segments — every later writer would then
+        # prune merges against bucket dirs that don't exist. A commit
+        # failure (lost CAS race) rolls the instance layout back.
+        old_layout = (self.bucket_pk, self.n_buckets, list(self.partition_by))
         self.partition_by = list(src.partition_by)
         if src.bucketing:
             self.bucket_pk = src.bucketing["pk"]
             self.n_buckets = int(src.bucketing["n"])
         elif self.partition_by != [BUCKET_COL]:
             self.bucket_pk = None
+        try:
+            self._commit(
+                Manifest(
+                    version=cur.version + 1,
+                    partition_by=list(src.partition_by),
+                    segments=[
+                        Segment(
+                            s.dir, s.partitions, stats=s.stats, rows=s.rows,
+                            files=s.files, dv=list(s.dv or []),
+                        )
+                        for s in src.segments
+                    ],
+                    operation="restore",
+                    timestamp=time.time(),
+                    metrics={"restored_version": version},
+                    bucketing=src.bucketing,
+                )
+            )
+        except Exception:
+            self.bucket_pk, self.n_buckets, self.partition_by = (
+                old_layout[0], old_layout[1], list(old_layout[2])
+            )
+            raise
         return cur.version + 1
 
     def vacuum(

@@ -1336,3 +1336,29 @@ def test_multimodal_features_feed_embedding_dedup(spark, docs):
     # and exact-dup grouping on the content hash agrees
     groups = feats.groupBy("content_sha").count().where("count > 1")
     assert groups.count() == 3
+
+
+def test_check_expectations_empty_input_fails_everything(spark):
+    from datalakefoundation_spark.ext.profile import check_expectations
+
+    df = spark.createDataFrame([], "k int, v string")
+    rep = check_expectations(
+        df,
+        {"k": {"completeness": 1.0, "unique": True, "min": 0, "max": 10},
+         "v": {"isin": ["a"], "matches": "^a"}},
+    )
+    assert rep.count() == 6
+    assert rep.where("passed").count() == 0  # no data arrived == alert
+
+
+def test_reshard_shuffle_validate_rejects_bad_keys(spark):
+    from datalakefoundation_spark.ext.sampling import reshard_shuffle
+
+    dup = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], ["k", "t"])
+    with pytest.raises(ValueError, match="duplicate"):
+        reshard_shuffle(dup, "k", 4, validate=True)
+    nulls = spark.createDataFrame([(None, "a"), (2, "c")], "k int, t string")
+    with pytest.raises(ValueError, match="NULL"):
+        reshard_shuffle(nulls, "k", 4, validate=True)
+    ok = spark.createDataFrame([(1, "a"), (2, "c")], ["k", "t"])
+    assert reshard_shuffle(ok, "k", 4, validate=True).count() == 2

@@ -272,9 +272,40 @@ def test_restore_refuses_vacuumed_version(spark, tmp_path):
     t = LakeTable(spark, str(tmp_path / "tr2"))
     t.overwrite(_df(spark, [(1, "a", "x")]))    # v0
     t.overwrite(_df(spark, [(2, "b", "y")]))    # v1
-    t.vacuum(retain_last=1)                     # v0's segment dir is gone
-    with pytest.raises(FileNotFoundError, match="vacuumed"):
+    t.vacuum(retain_last=1)                     # v0's manifest + dir are gone
+    # match the curated message, NOT the word 'vacuumed' alone — pytest's
+    # tmp dir path contains this test's own name, which would match too
+    with pytest.raises(FileNotFoundError, match="cannot restore .*manifest was vacuumed"):
         t.restore(0)
+    # segment dir gone but manifest retained (e.g. foreign deletion): the
+    # dir-level guard fires instead of committing an unreadable manifest
+    t.overwrite(_df(spark, [(3, "c", "z")]))    # v2
+    t.fs.delete_tree(f"{t.path}/data/v00001")
+    with pytest.raises(FileNotFoundError, match="cannot restore .*segment dirs"):
+        t.restore(1)
+
+
+def test_restore_across_rebucketing_does_not_corrupt_layout(spark, tmp_path):
+    """Restoring an UNBUCKETED version from an instance that is currently
+    bucketed must commit the restored manifest with bucketing=None — a
+    stamped-on live layout would make every later writer prune merges
+    against bucket dirs that don't exist (silent row loss)."""
+    path = str(tmp_path / "tr_layout")
+    t = LakeTable(spark, path)
+    t.overwrite(_df(spark, [(1, "a", "0" * 64), (2, "b", "1" * 64)]))  # v0 plain
+    t.set_layout(bucket_pk="v", n_buckets=4, force=True)
+    t.overwrite(_df(spark, [(9, "z", "f" * 64)]))                      # v1 bucketed
+    assert t.latest_manifest().bucketing is not None
+    t.restore(0)                                                        # v2 = v0
+    mf = t.latest_manifest()
+    assert mf.bucketing is None and mf.partition_by == []
+    assert t.bucket_pk is None and t.partition_by == []
+    # a FRESH instance adopts the plain layout and reads/writes correctly
+    t2 = LakeTable(spark, path)
+    assert t2.bucket_pk is None
+    assert {r["k"] for r in t2.read().collect()} == {1, 2}
+    t2.append(_df(spark, [(3, "c", "2" * 64)]))
+    assert {r["k"] for r in t2.read().collect()} == {1, 2, 3}
 
 
 def test_restore_by_timestamp_and_bucketed_layout(spark, tmp_path):
