@@ -225,15 +225,78 @@ def incremental_lsh_candidates(
 
 
 # ---------------------------------------------------------------- SimHash
+def _simhash_lane_sql(bits: int) -> list[str]:
+    """Lane-packing SQL strings over 32-bit halves ``__hi``/``__lo``.
+
+    Pack each nibble's 4 bit-indicators into disjoint 16-bit lanes of one
+    long (bit j of nibble value v -> lane j), so the per-doc aggregate is
+    16 long-sums instead of 64 conditional sums: a 4x smaller hash-agg
+    buffer and far less generated code (the 64-slot variant took seconds
+    of codegen/JIT per cold run). Lanes can't collide below the token cap.
+    The 16 hex chars parse as TWO 32-bit conv() calls (64-bit conv would
+    overflow signed long for digests >= 0x8000...); nibble k then falls
+    out of pure shift/and arithmetic — 2 string ops per hashed row instead
+    of the 16 substring+conv the first version paid (string slicing was
+    the dominant per-row cost in profiles, ~40% of the query).
+
+    Plain SQL strings, not Column trees: the bit-slicing expression forest
+    (16 lanes x 7 ops + 64 majority CASEs) built as pyspark Columns costs
+    ~0.7 s of Py4J round-trips + analysis PER CALL on the driver — half
+    this operator's observed wall time at sf0.1. One selectExpr parse of
+    pre-rendered strings is driver-side free and plans identically.
+    """
+    return [
+        "shiftleft(shiftright(__v, 3) & 1, 48) + "
+        "shiftleft(shiftright(__v, 2) & 1, 32) + "
+        "shiftleft(shiftright(__v, 1) & 1, 16) + (__v & 1)".replace(
+            "__v",
+            f"(shiftright(__hi, {(7 - k) * 4}) & 15)"
+            if k < 8
+            else f"(shiftright(__lo, {(15 - k) * 4}) & 15)",
+        )
+        + f" AS __p{k}"
+        for k in range(bits // 4)
+    ]
+
+
+def _simhash_pack(src: DataFrame, id_col: str, bits: int) -> DataFrame:
+    """(id, __t) -> (id, __p0..__p15): sha256 the token, parse the first 16
+    hex chars as two 32-bit ints, slice into packed majority-vote lanes."""
+    return src.selectExpr(
+        id_col, f"substring(sha2(__t, 256), 1, 16) AS __h"
+    ).selectExpr(
+        id_col,
+        "cast(conv(substring(__h, 1, 8), 16, 10) as bigint) AS __hi",
+        "cast(conv(substring(__h, 9, 8), 16, 10) as bigint) AS __lo",
+    ).selectExpr(id_col, *_simhash_lane_sql(bits))
+
+
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_distinct: bool = False,
 ) -> DataFrame:
     """64-bit SimHash as a bit-string column ``simhash``.
 
     Per token: 64 bits from the first 16 hex chars of sha256(token); per
     document: majority vote per bit position (ties -> 0). One explode +
-    one groupBy(doc) with 64 conditional-sum aggregates — a single shuffle
-    on doc_id with map-side partial aggregation.
+    one groupBy(doc) with packed lane sums — a single shuffle on doc_id
+    with map-side partial aggregation.
+
+    ``hash_distinct=True`` runs sha256 over the corpus VOCABULARY (distinct
+    tokens) instead of every occurrence, joined back to the occurrence
+    stream (AQE broadcasts the vocab side when it fits, so the stream stays
+    shuffle-free). Bit-identical to the direct path — the per-doc lane sums
+    add the same packed value per occurrence either way (equivalence-
+    tested). It trades one extra (tiny, map-side-deduped) distinct stage
+    for hashing vocab-many rows instead of occurrence-many: a win on
+    Zipfian trillion-token corpora where occurrences outnumber the
+    vocabulary by orders of magnitude, a loss at small scale where the
+    fixed stage cost exceeds the hash work (measured: 2.2 s vs 1.5 s at
+    sf0.1's 270k occurrences) — hence default False; flip it for genuinely
+    large natural-language corpora.
 
     The bit-string representation avoids 64-bit signed-integer pitfalls and
     is directly comparable across engines.
@@ -242,58 +305,29 @@ def simhash(
     # (4 x 16-bit lanes per long: safe to 2^15 tokens; also bounds worst-case
     # compute per document — a desirable property at 100 TB regardless).
     max_tokens = (1 << 15) - 1
-    tok = (
-        ensure_compute_parallelism(df)
-        .select(
-            F.col(id_col),
-            F.explode(F.slice(tokens(text_col), 1, max_tokens)).alias("__t"),
+    tok = ensure_compute_parallelism(df).select(
+        F.col(id_col),
+        F.explode(F.slice(tokens(text_col), 1, max_tokens)).alias("__t"),
+    )
+    nlanes = bits // 4
+    if hash_distinct:
+        vocab = _simhash_pack(tok.select("__t").distinct(), "__t", bits)
+        packed = tok.join(vocab, "__t").select(
+            F.col(id_col), *[f"__p{k}" for k in range(nlanes)]
         )
-        .withColumn("__h", F.substring(F.sha2(F.col("__t"), 256), 1, 16))
-    )
-    # Pack each nibble's 4 bit-indicators into disjoint 16-bit lanes of one
-    # long (bit j of nibble value v -> lane j), so the per-doc aggregate is
-    # 16 long-sums instead of 64 conditional sums: a 4x smaller hash-agg
-    # buffer and far less generated code (the 64-slot variant took seconds
-    # of codegen/JIT per cold run). Lanes can't collide below the token cap.
-    # The 16 hex chars parse as TWO 32-bit conv() calls (64-bit conv would
-    # overflow signed long for digests >= 0x8000...); nibble k then falls
-    # out of pure shift/and arithmetic — 2 string ops per token instead of
-    # the 16 substring+conv the first version paid (string slicing was the
-    # dominant per-token cost in profiles, ~40% of the query).
-    packed = tok.select(
-        F.col(id_col),
-        F.expr("cast(conv(substring(__h, 1, 8), 16, 10) as bigint)").alias("__hi"),
-        F.expr("cast(conv(substring(__h, 9, 8), 16, 10) as bigint)").alias("__lo"),
-    ).select(
-        F.col(id_col),
-        *[
-            F.expr(
-                f"shiftleft(shiftright(__v, 3) & 1, 48) + "
-                f"shiftleft(shiftright(__v, 2) & 1, 32) + "
-                f"shiftleft(shiftright(__v, 1) & 1, 16) + (__v & 1)".replace(
-                    "__v",
-                    f"(shiftright(__hi, {(7 - k) * 4}) & 15)"
-                    if k < 8
-                    else f"(shiftright(__lo, {(15 - k) * 4}) & 15)",
-                )
-            ).alias(f"__p{k}")
-            for k in range(bits // 4)
-        ],
-    )
+    else:
+        packed = _simhash_pack(tok, id_col, bits)
     agg = packed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(f"__p{k}").alias(f"s{k}") for k in range(bits // 4)],
+        *[F.expr(f"sum(__p{k})").alias(f"s{k}") for k in range(nlanes)],
     )
-    # bit b = lane (3 - b%4... ) of nibble b//4: MSB of the nibble is lane 48
-    chars = [
-        F.when(
-            2 * (F.shiftright(F.col(f"s{b // 4}"), 48 - 16 * (b % 4)).bitwiseAND(F.lit(65535)))
-            > F.col("n"),
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
+    # bit b = lane 48 - 16*(b%4) of nibble b//4: MSB of the nibble is lane 48
+    majority = "".join(
+        f"CASE WHEN 2 * (shiftright(s{b // 4}, {48 - 16 * (b % 4)}) & 65535) > n "
+        "THEN '1' ELSE '0' END, "
         for b in range(bits)
-    ]
-    return agg.select(F.col(id_col), F.concat(*chars).alias("simhash"))
+    ).rstrip(", ")
+    return agg.selectExpr(id_col, f"concat({majority}) AS simhash")
 
 
 # ---------------------------------------------------------------- n-gram Jaccard

@@ -58,6 +58,21 @@ def test_simhash_near_identical_docs(spark, docs):
         assert len(a) == 64 and set(a) <= {"0", "1"}
 
 
+def test_simhash_vocab_hashing_bit_identical(spark, docs):
+    """hash_distinct=True (sha256 over the distinct vocabulary, joined back)
+    must produce byte-identical fingerprints to direct per-occurrence
+    hashing — the per-doc lane sums add the same packed value per
+    occurrence either way. This pins the Zipf-scale path to the
+    oracle-verified direct path."""
+    direct = D.simhash(docs, hash_distinct=False)
+    vocab = D.simhash(docs, hash_distinct=True).withColumnRenamed(
+        "simhash", "simhash_v"
+    )
+    joined = direct.join(vocab, "doc_id")
+    assert joined.count() == docs.count()
+    assert joined.where("simhash != simhash_v").count() == 0
+
+
 def test_ngram_jaccard_bounds(spark, docs):
     cand = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
     out = D.ngram_jaccard_pairs(docs, cand).collect()
