@@ -15,7 +15,9 @@ from pyspark.sql.window import Window
 
 
 def _read(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from datalakefoundation_spark.verification.io import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 # --------------------------------------------------- Q17: correlated scalar

@@ -20,7 +20,9 @@ T0 = "2026-01-01 00:00:00"
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from datalakefoundation_spark.verification.io import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

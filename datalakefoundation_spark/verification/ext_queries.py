@@ -10,17 +10,19 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from datalakefoundation_spark.verification.io import read_table
+
 from datalakefoundation_spark.ext import dedup as D
 from datalakefoundation_spark.ext import similarity as SIM
 from datalakefoundation_spark.ext import text as TX
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_table(spark, sf_dir, "documents")
 
 
 def _embs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_table(spark, sf_dir, "embeddings")
 
 
 # ---------------------------------------------------------------- text stats
@@ -288,7 +290,7 @@ def q_salted_agg(spark, sf_dir):
     hot) l_returnflag key — identical rows to the plain groupBy."""
     from datalakefoundation_spark.ext.skew import salted_agg
 
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = read_table(spark, sf_dir, "lineitem")
     return salted_agg(
         df,
         ["l_returnflag"],
@@ -629,7 +631,7 @@ def q_grouped_topk(spark, sf_dir):
     partitions*k rows per group shuffle."""
     from datalakefoundation_spark.ext.topk import grouped_topk
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = read_table(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_totalprice", "o_orderkey"
     )
     return grouped_topk(
@@ -658,7 +660,7 @@ def q_tfidf_terms(spark, sf_dir):
     division — bit-reproducible across engines, unlike ln)."""
     from datalakefoundation_spark.ext.text import tfidf_top_terms
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, k=3, idf="linear")
 
 
@@ -957,7 +959,7 @@ def q_profile_columns(spark, sf_dir):
     renderings (ints + strings; no doubles/dates whose formatting differs)."""
     from datalakefoundation_spark.ext.profile import profile_columns
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_table(spark, sf_dir, "orders")
     return profile_columns(
         orders,
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
@@ -1021,7 +1023,7 @@ def q_check_expectations(spark, sf_dir):
     oracle recomputes each (expected, observed, passed) row in SQL."""
     from datalakefoundation_spark.ext.profile import check_expectations
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_table(spark, sf_dir, "orders")
     return check_expectations(
         orders,
         {

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from datalakefoundation_spark.verification.io import read_table
+
 from datalakefoundation_spark import pipeline as P
 from datalakefoundation_spark.strategies import merge_state, scd2_state
 
@@ -33,7 +35,7 @@ def _read_orders(spark, sf_dir):
     # NOT wrapped in ensure_compute_parallelism: the pipeline's per-row work
     # (one sha256) is light relative to a forced extra shuffle of both
     # slices — measured 2x slower with the repartition at sf0.1.
-    return spark.read.parquet(f"{sf_dir}/orders.parquet").select(*PAYLOAD)
+    return read_table(spark, sf_dir, "orders").select(*PAYLOAD)
 
 
 def _slice1(spark, sf_dir):
@@ -354,7 +356,7 @@ FROM t FULL OUTER JOIN s ON t.PK_orders = s.PK_orders
 def q_watermark_window(spark, sf_dir):
     """Inclusive current-vs-previous watermark window scan
     (ProcessStrategy.scala:86-153: >= previous AND <= current, per column)."""
-    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = read_table(spark, sf_dir, "orders")
     return df.where(
         (F.col("o_orderkey") >= F.lit(500)) & (F.col("o_orderkey") <= F.lit(4000))
     ).select("o_orderkey", "o_orderstatus", "o_orderdate")
