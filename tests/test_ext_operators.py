@@ -73,6 +73,32 @@ def test_simhash_vocab_hashing_bit_identical(spark, docs):
     assert joined.where("simhash != simhash_v").count() == 0
 
 
+def test_simhash_vocab_hashing_random_corpus(spark):
+    """Vocab-path equivalence over seeded-random corpora with heavy token
+    repetition (the Zipf shape the knob exists for), across different
+    physical partitionings — the per-(doc, token) multiplicities that the
+    join re-expands are exactly what the direct path sums."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"tok{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60))))
+        for i in range(80)
+    ]
+    for nparts in (1, 7):
+        corpus = spark.createDataFrame(rows, "doc_id long, text string").repartition(
+            nparts
+        )
+        direct = D.simhash(corpus, hash_distinct=False)
+        via_vocab = D.simhash(corpus, hash_distinct=True).withColumnRenamed(
+            "simhash", "simhash_v"
+        )
+        joined = direct.join(via_vocab, "doc_id")
+        assert joined.count() == 80
+        assert joined.where("simhash != simhash_v").count() == 0
+
+
 def test_ngram_jaccard_bounds(spark, docs):
     cand = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
     out = D.ngram_jaccard_pairs(docs, cand).collect()
