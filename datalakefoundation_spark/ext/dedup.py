@@ -291,12 +291,14 @@ def simhash(
     shuffle-free). Bit-identical to the direct path — the per-doc lane sums
     add the same packed value per occurrence either way (equivalence-
     tested). It trades one extra (tiny, map-side-deduped) distinct stage
-    for hashing vocab-many rows instead of occurrence-many: a win on
-    Zipfian trillion-token corpora where occurrences outnumber the
-    vocabulary by orders of magnitude, a loss at small scale where the
-    fixed stage cost exceeds the hash work (measured: 2.2 s vs 1.5 s at
-    sf0.1's 270k occurrences) — hence default False; flip it for genuinely
-    large natural-language corpora.
+    for hashing vocab-many rows instead of occurrence-many — a win
+    wherever occurrences outnumber the vocabulary enough to amortize the
+    stage. Measured on local[32] (replicated sf0.1 documents): the
+    crossover sits near ~1M token occurrences; at 2.2M tokens the vocab
+    path runs 2.4x faster (1.5 s vs 3.4 s), at 8.6M tokens 2.8x (4.1 s vs
+    11.7 s), and the gap grows with scale. Default False only because the
+    small fixed cost loses below the crossover (sf0.1's 270k occurrences:
+    1.8 s vs 1.2 s); any production-sized Zipfian corpus should set True.
 
     The bit-string representation avoids 64-bit signed-integer pitfalls and
     is directly comparable across engines.
