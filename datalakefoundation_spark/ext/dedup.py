@@ -71,6 +71,7 @@ def minhash_signature(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_size: int = 3,
+    hash_distinct: bool = False,
 ) -> DataFrame:
     """k minhashes per document.
 
@@ -81,6 +82,17 @@ def minhash_signature(
     make per-pair collisions ~n/2^32 — negligible. Deterministic and
     reproducible in any engine with sha256 (the DuckDB oracle uses the
     identical construction).
+
+    ``hash_distinct=True`` hashes only the corpus-wide DISTINCT shingles
+    and joins the digests back (AQE broadcasts the vocab side when it
+    fits). Bit-identical — min over a band slice is insensitive to how
+    often a digest appears (equivalence-tested). Shingles are already
+    deduped per document below; this knob additionally collapses
+    CROSS-document repetition — boilerplate headers/footers/templates in
+    web corpora, the very redundancy MinHash dedup exists to find — at
+    the cost of one extra (map-side-deduped) distinct stage. Same
+    crossover economics as ``simhash(hash_distinct=...)``: enable it for
+    production-sized corpora, leave off below ~1M shingle occurrences.
     """
     # Explode + groupBy rather than k array_min(transform(...)) columns:
     # Catalyst's CollapseProject would inline the shingle construction into
@@ -90,7 +102,15 @@ def minhash_signature(
     ex = ensure_compute_parallelism(df).select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("__s")
     )
-    hashed = ex.select(F.col(id_col), F.sha2(F.col("__s"), 256).alias("__h"))
+    if hash_distinct:
+        vocab = (
+            ex.select("__s")
+            .distinct()
+            .select(F.col("__s"), F.sha2(F.col("__s"), 256).alias("__h"))
+        )
+        hashed = ex.join(vocab, "__s").select(F.col(id_col), "__h")
+    else:
+        hashed = ex.select(F.col(id_col), F.sha2(F.col("__s"), 256).alias("__h"))
     aggs = [
         F.min(F.substring(F.col("__h"), 8 * i + 1, 8)).alias(f"h{i}")
         for i in range(num_hashes)

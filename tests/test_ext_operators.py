@@ -73,6 +73,20 @@ def test_simhash_vocab_hashing_bit_identical(spark, docs):
     assert joined.where("simhash != simhash_v").count() == 0
 
 
+def test_minhash_vocab_hashing_bit_identical(spark, docs):
+    """hash_distinct=True (sha256 over corpus-distinct shingles, joined
+    back) must yield byte-identical signatures — per-band min is
+    insensitive to digest multiplicity."""
+    direct = D.minhash_signature(docs, hash_distinct=False)
+    via_vocab = D.minhash_signature(docs, hash_distinct=True)
+    renames = {f"h{i}": f"v{i}" for i in range(8)}
+    vv = via_vocab.withColumnsRenamed(renames)
+    joined = direct.join(vv, "doc_id")
+    assert joined.count() == docs.count()
+    cond = " OR ".join(f"h{i} != v{i}" for i in range(8))
+    assert joined.where(cond).count() == 0
+
+
 def test_simhash_vocab_hashing_random_corpus(spark):
     """Vocab-path equivalence over seeded-random corpora with heavy token
     repetition (the Zipf shape the knob exists for), across different
