@@ -55,8 +55,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------- shingles
 def shingles(text_col: str | Column, n: int = 3, sep: str = " ") -> Column:
     """Word n-gram shingles. Docs shorter than n words yield one shingle
-    (the whole text)."""
-    w = tokens(text_col, sep)
+    (the whole text).
+
+    For the default single-space separator the windows are extracted with
+    one codegen'd ``regexp_extract_all`` over a zero-width lookahead
+    anchored at token starts — measured 6.6x faster end-to-end than the
+    higher-order ``transform`` formulation it replaces (HOFs are
+    CodegenFallback: ~10 s of the replicated-corpus minhash probe's 16 s
+    was interpreted per-window slice+concat). ``[^ ]*`` (not ``\\S+``)
+    reproduces ``split(text, ' ')`` semantics exactly: consecutive spaces
+    yield empty tokens that participate in windows, and tabs/newlines are
+    token characters, not separators (equivalence pinned by a seeded
+    edge-case test). Non-default separators keep the HOF path.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if sep == " ":
+        # one candidate window per token start; the lookahead demands n
+        # space-separated (possibly empty) tokens ahead, so tail positions
+        # with fewer than n remaining tokens emit nothing — same window
+        # count as the slice() formulation below. A sentinel space is
+        # prepended so EVERY token start (including position 0) sits after
+        # a space the match consumes: a `(?:^| )` alternation instead
+        # loses one window on space-adjacent edges, because its zero-width
+        # `^` branch forces a one-char bump past the space that should
+        # anchor the next token (caught by the edge-case equivalence test).
+        pat = " (?=(" + "[^ ]* " * (n - 1) + "[^ ]*))"
+        sh = F.regexp_extract_all(F.concat(F.lit(" "), c), F.lit(pat), 1)
+        return F.when(F.size(sh) > 0, sh).otherwise(F.array(c))
+    w = tokens(c, sep)
     upper = F.greatest(F.size(w) - (n - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(1), upper),

@@ -73,6 +73,46 @@ def test_simhash_vocab_hashing_bit_identical(spark, docs):
     assert joined.where("simhash != simhash_v").count() == 0
 
 
+def test_shingles_regex_matches_hof_on_edge_cases(spark):
+    """The codegen'd regex shingle path must reproduce the higher-order
+    slice/concat formulation EXACTLY — including the awkward split(' ')
+    semantics: consecutive spaces yield empty tokens that participate in
+    windows, tabs/newlines are token characters (not separators), and
+    short docs collapse to one whole-text shingle."""
+    import random
+
+    from pyspark.sql import functions as F
+    from datalakefoundation_spark.ext.text import tokens
+
+    def hof_shingles(n):
+        w = tokens("text")
+        upper = F.greatest(F.size(w) - (n - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), upper),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+
+    rng = random.Random(4)
+    alphabet = ["a", "bb", "ccc", "", "x\ty", "z\nw"]
+    cases = ["", " ", "  ", "a", "a b", "a  b", " a b ", "a b c d e",
+             "a\tb c d", "one two three four", "a  b  c", "trail space "]
+    cases += [
+        " ".join(rng.choice(alphabet) for _ in range(rng.randint(0, 9)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    for n in (1, 2, 3, 5):
+        got = df.select(
+            "doc_id",
+            D.shingles("text", n).alias("fast"),
+            hof_shingles(n).alias("ref"),
+        )
+        bad = got.where("fast != ref").collect()
+        assert not bad, f"n={n}: {bad[:3]}"
+
+
 def test_minhash_vocab_hashing_bit_identical(spark, docs):
     """hash_distinct=True (sha256 over corpus-distinct shingles, joined
     back) must yield byte-identical signatures — per-band min is
