@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datalakefoundation_spark.ext.text import tokens
+from datalakefoundation_spark.ext.text import tokens, window_ngrams
 from datalakefoundation_spark.ext.util import ensure_compute_parallelism
 
 
@@ -73,14 +73,9 @@ def shingles(text_col: str | Column, n: int = 3, sep: str = " ") -> Column:
         # one candidate window per token start; the lookahead demands n
         # space-separated (possibly empty) tokens ahead, so tail positions
         # with fewer than n remaining tokens emit nothing — same window
-        # count as the slice() formulation below. A sentinel space is
-        # prepended so EVERY token start (including position 0) sits after
-        # a space the match consumes: a `(?:^| )` alternation instead
-        # loses one window on space-adjacent edges, because its zero-width
-        # `^` branch forces a one-char bump past the space that should
-        # anchor the next token (caught by the edge-case equivalence test).
-        pat = " (?=(" + "[^ ]* " * (n - 1) + "[^ ]*))"
-        sh = F.regexp_extract_all(F.concat(F.lit(" "), c), F.lit(pat), 1)
+        # count as the slice() formulation below (sentinel-space anchoring
+        # details in text.window_ngrams)
+        sh = window_ngrams(c, n)
         return F.when(F.size(sh) > 0, sh).otherwise(F.array(c))
     w = tokens(c, sep)
     upper = F.greatest(F.size(w) - (n - 1), F.lit(1))
@@ -629,24 +624,18 @@ def span_dedup(
     this duplication; span_dedup acts on it.
     """
     base = ensure_compute_parallelism(df).select(
-        F.col(id_col), tokens(text_col).alias("__w")
+        F.col(id_col), F.col(text_col).alias("__txt"), tokens(text_col).alias("__w")
     )
     # (doc, start, span): start is the 1-based slice index, mirroring
     # shingles(); a doc shorter than span_size yields one whole-doc span.
-    upper = F.greatest(F.size("__w") - (span_size - 1), F.lit(1))
+    # posexplode over the codegen'd shingle array recovers the start index
+    # for free (array position = token start), replacing the interpreted
+    # per-window struct-building transform.
     spans = base.select(
         F.col(id_col),
         F.size("__w").alias("__len"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), upper),
-                lambda i: F.struct(
-                    i.alias("start"),
-                    F.concat_ws(" ", F.slice(F.col("__w"), i, span_size)).alias("s"),
-                ),
-            )
-        ).alias("sp"),
-    ).select(id_col, "__len", "sp.start", "sp.s")
+        F.posexplode(shingles("__txt", span_size)).alias("pos0", "s"),
+    ).select(id_col, "__len", (F.col("pos0") + 1).alias("start"), "s")
     owner = spans.groupBy("s").agg(F.min(id_col).alias("__owner"))
     # positions covered by spans whose owner is an earlier document
     covered = (
@@ -667,19 +656,19 @@ def span_dedup(
         F.col(id_col),
         F.posexplode("__w").alias("pos0", "__t"),
     ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "__t")
+    # field access on an array-of-structs (GetArrayStructFields) stays in
+    # codegen, unlike a transform(…, st -> st.field) lambda
     kept = (
         tok.join(covered, [id_col, "pos"], "left_anti")
         .groupBy(id_col)
         .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("__t")))
-                    ),
-                    lambda st: st["__t"],
-                ),
-            ).alias("clean_text")
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("__t")))
+            ).alias("__sorted")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("__sorted").getField("__t")).alias("clean_text"),
         )
     )
     removed = covered.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_removed"))

@@ -42,6 +42,26 @@ def bpe_token_count(text_col: str | Column, pattern: str = BPE_PATTERN) -> Colum
     return F.size(bpe_tokens(text_col, pattern))
 
 
+def window_ngrams(text_col: str | Column, n: int = 2) -> Column:
+    """Overlapping space-joined n-token windows as ONE codegen'd
+    ``regexp_extract_all`` — empty array when the document has fewer than
+    n tokens. The higher-order transform/slice/concat formulation this
+    replaces is CodegenFallback (interpreted per window) and measured 6.6x
+    slower at corpus scale (see dedup.shingles).
+
+    A sentinel space is prepended so every token start is anchored by a
+    space the match consumes (a ``(?:^| )`` alternation drops one window
+    on space-adjacent edges — its zero-width ``^`` branch bumps the
+    scanner past the space that should anchor the next token). ``[^ ]*``
+    reproduces ``split(text, ' ')`` semantics exactly: consecutive spaces
+    yield empty tokens that participate in windows; tabs/newlines are
+    token characters, not separators.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    pat = " (?=(" + "[^ ]* " * (n - 1) + "[^ ]*))"
+    return F.regexp_extract_all(F.concat(F.lit(" "), c), F.lit(pat), 1)
+
+
 def stopword_ratio(text_col: str | Column, stopwords=EN_STOPWORDS) -> Column:
     toks = tokens(text_col)
     sw = F.array(*[F.lit(s) for s in stopwords])
@@ -125,21 +145,17 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     doc-sized keys, no self-joins, no Python. Documents with fewer than two
     tokens report zero bigrams and a 0.0 share."""
     toks = tokens(text_col)
+    # window_ngrams yields [] below 2 tokens by construction (no space to
+    # anchor a second token), matching the old size()>=2 guard — and runs
+    # in codegen instead of an interpreted per-window transform
     base = df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-        toks.alias("__w"),
+        window_ngrams(text_col, 2).alias("__bg"),
     )
-    bigrams = F.when(
-        F.size("__w") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("__w") - 1),
-            lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     bg_counts = (
-        base.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        base.select(F.col(id_col), F.explode("__bg").alias("bg"))
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy(id_col)
@@ -148,7 +164,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.sum("cnt").alias("n_bigrams"),
         )
     )
-    joined = base.drop("__w").join(bg_counts, id_col, "left")
+    joined = base.drop("__bg").join(bg_counts, id_col, "left")
     return joined.select(
         F.col(id_col),
         "n_tokens",
@@ -222,20 +238,19 @@ def collocations(
     from pyspark.sql.window import Window  # noqa: F401  (parity with tfidf)
 
     toks = tokens(text_col)
-    base = df.select(F.col(id_col), toks.alias("__w"))
-    pairs = F.when(
-        F.size("__w") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("__w") - 1),
-            lambda i: F.struct(
-                F.element_at(F.col("__w"), i).alias("x"),
-                F.element_at(F.col("__w"), i + 1).alias("y"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    base = df.select(
+        F.col(id_col), toks.alias("__w"), window_ngrams(text_col, 2).alias("__bg")
+    )
+    # bigram windows carry exactly one space (tokens cannot contain one),
+    # so substring_index splits them back into (x, y) in codegen — the
+    # struct-building transform this replaces was interpreted per window
     pair_df = (
-        base.select(F.col(id_col), F.explode(pairs).alias("p"))
-        .select(id_col, "p.x", "p.y")
+        base.select(F.col(id_col), F.explode("__bg").alias("bg"))
+        .select(
+            id_col,
+            F.substring_index("bg", " ", 1).alias("x"),
+            F.substring_index("bg", " ", -1).alias("y"),
+        )
         .distinct()
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("pair_df"))
