@@ -215,9 +215,12 @@ def minhash_dedup_candidates(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_size: int = 3,
+    hash_distinct: bool = False,
 ) -> DataFrame:
     return lsh_candidate_pairs(
-        minhash_signature(df, text_col, id_col, num_hashes, shingle_size),
+        minhash_signature(
+            df, text_col, id_col, num_hashes, shingle_size, hash_distinct
+        ),
         id_col,
         num_hashes,
         band_size,

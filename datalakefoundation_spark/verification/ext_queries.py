@@ -1080,6 +1080,19 @@ EXTRA = {
     "q_profile_columns": (q_profile_columns, _profile_oracle_sql()),
     "q_check_expectations": (q_check_expectations, SQL_CHECK_EXPECTATIONS),
     "q_reshard_shuffle": (q_reshard_shuffle, SQL_RESHARD_SHUFFLE),
+    # vocabulary-hashing variants: the SAME oracles as the direct paths —
+    # hash_distinct must be bit-identical, so oracle-pairing it makes the
+    # equivalence a gate property rather than only a local test
+    "q_dedup_simhash_vocab": (
+        lambda spark, sf_dir: D.simhash(_docs(spark, sf_dir), hash_distinct=True),
+        _simhash_oracle_sql(),
+    ),
+    "q_dedup_minhash_vocab": (
+        lambda spark, sf_dir: D.minhash_dedup_candidates(
+            _docs(spark, sf_dir), hash_distinct=True
+        ),
+        SQL_DEDUP_MINHASH,
+    ),
 }
 
 
