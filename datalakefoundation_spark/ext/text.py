@@ -63,9 +63,30 @@ def window_ngrams(text_col: str | Column, n: int = 2) -> Column:
 
 
 def stopword_ratio(text_col: str | Column, stopwords=EN_STOPWORDS) -> Column:
-    toks = tokens(text_col)
-    sw = F.array(*[F.lit(s) for s in stopwords])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    """Fraction of token OCCURRENCES that are stopwords.
+
+    Counted with one codegen'd ``regexp_extract_all`` over a sentinel-space
+    anchor + whole-token lookahead (``(?= |$)`` rejects prefix matches like
+    'an' vs 'a'; regex backtracking makes alternation order irrelevant) —
+    the array-filter lambda this replaces is CodegenFallback, interpreted
+    per token on the corpus-cleanup hot path. Group 0 is the consumed
+    anchor space, so the array size IS the occurrence count. Falls back to
+    the lambda for a (nonsensical) space-containing custom stopword, which
+    the token-wise semantics could not express as a token regex.
+    """
+    import re as _re
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    if any(" " in s for s in stopwords):
+        sw = F.array(*[F.lit(s) for s in stopwords])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        return hits / F.size(toks)
+    alt = "|".join(_re.escape(s) for s in stopwords)
+    pat = " (?=(?:" + alt + ")(?= |$))"
+    hits = F.size(
+        F.regexp_extract_all(F.concat(F.lit(" "), c), F.lit(pat), 0)
+    )
     return hits / F.size(toks)
 
 

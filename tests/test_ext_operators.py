@@ -113,6 +113,44 @@ def test_shingles_regex_matches_hof_on_edge_cases(spark):
         assert not bad, f"n={n}: {bad[:3]}"
 
 
+def test_stopword_ratio_regex_matches_filter_lambda(spark):
+    """The codegen'd regex stopword counter must equal the array-filter
+    lambda on adversarial inputs: prefix-overlapping stopwords ('a' vs
+    'and'-like tokens), stopwords at string edges, consecutive spaces
+    (empty tokens), and repeated stopwords."""
+    import random
+
+    from pyspark.sql import functions as F
+    from datalakefoundation_spark.ext.text import EN_STOPWORDS, tokens
+
+    def ref_ratio(col):
+        toks = tokens(col)
+        sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        return hits / F.size(toks)
+
+    rng = random.Random(11)
+    words = list(EN_STOPWORDS) + ["an", "and", "thee", "x", "", "ax", "ofa"]
+    cases = ["a", "the", "an", "a the", " a", "the ", "a  the", "the the the",
+             "", " ", "ofa of a"]
+    cases += [
+        " ".join(rng.choice(words) for _ in range(rng.randint(0, 12)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = df.select(
+        "doc_id",
+        TX.stopword_ratio("text").alias("fast"),
+        ref_ratio(F.col("text")).alias("ref"),
+    )
+    bad = got.where(
+        "(fast IS NULL) != (ref IS NULL) OR abs(coalesce(fast,0) - coalesce(ref,0)) > 0"
+    ).collect()
+    assert not bad, bad[:5]
+
+
 def test_minhash_vocab_hashing_bit_identical(spark, docs):
     """hash_distinct=True (sha256 over corpus-distinct shingles, joined
     back) must yield byte-identical signatures — per-band min is
