@@ -123,6 +123,124 @@ def mixture_sample(
     return stratified_sample(df, key_col, strata_col, rates, default_rate=0.0)
 
 
+def importance_score(
+    df: DataFrame,
+    target_cond: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """Data-selection importance score via hashed n-gram features — the
+    DSIR shape (Xie et al. 2023, arXiv:2302.03169): score every document
+    by how much more its hashed-bigram distribution resembles a TARGET
+    subset (``target_cond``, e.g. a trusted high-quality slice) than the
+    raw corpus, then keep the documents the score favors.
+
+    Features are overlapping token bigrams hashed into ``16**bucket_hex``
+    buckets (first ``bucket_hex`` hex chars of sha256 — a string key, so
+    any engine reproduces it). Per bucket ``b``: ``r_b`` = occurrences in
+    the whole corpus, ``t_b`` = occurrences in the target subset,
+    ``R = sum(r_b)``, ``T = sum(t_b)``. The per-doc score is
+
+        score(d) = sum_b c_{d,b} * (t_b * R  -  r_b * T)
+
+    i.e. each occurrence votes with the (T*R-scaled) probability gap
+    ``p_target(b) - p_raw(b)`` — the linearized form of DSIR's
+    log-likelihood-ratio ``sum c * ln(p_t/p_r)`` (first-order in
+    ``p_t/p_r - 1``). The linear form is chosen deliberately: every term
+    is exact int64 arithmetic, so the score — unlike a sum of ``ln``
+    terms — is independent of addition order, partitioning, and engine
+    libm (the same trade as tfidf_top_terms' linear-IDF variant).
+    ``selected = score > 0`` ("more target-like than corpus-like") needs
+    no global ordering, so selection stays a scan-time filter.
+
+    Returns one row per input document: (``id_col``, ``score`` bigint,
+    ``selected`` boolean); documents with <2 tokens score 0.
+
+    Plan: one bigram explode -> groupBy(bucket) for the (tiny,
+    16**bucket_hex-row) score table -> broadcast join -> groupBy(doc).
+    Two data shuffles on (doc, bucket)-sized keys with map-side combine;
+    the score table itself never shuffles the corpus. At 100 TB the
+    int64 headroom needs ``t_b * R < 2^63`` — past ~10^9 total bigram
+    occurrences compute the score table on a deterministic corpus sample
+    (the distributions, not the per-doc counts, are what need estimating
+    — exactly DSIR's own estimator), or widen to decimal."""
+    from datalakefoundation_spark.ext.text import window_ngrams
+
+    if not 1 <= bucket_hex <= 8:
+        raise ValueError(f"bucket_hex must be in [1, 8], got {bucket_hex}")
+    occ = df.select(
+        F.col(id_col),
+        target_cond.cast("boolean").alias("__t"),
+        F.explode(window_ngrams(text_col, 2)).alias("__bg"),
+    ).select(
+        id_col,
+        "__t",
+        F.substring(F.sha2(F.col("__bg"), 256), 1, bucket_hex).alias("__b"),
+    )
+    buckets = occ.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("r_b"),
+        F.sum(F.col("__t").cast("long")).alias("t_b"),
+    )
+    totals = buckets.agg(
+        F.sum("r_b").alias("__R"), F.sum("t_b").alias("__T")
+    )
+    scores = buckets.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (F.col("t_b") * F.col("__R") - F.col("r_b") * F.col("__T")).alias("__s"),
+    )
+    doc_scores = (
+        occ.groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .join(F.broadcast(scores), "__b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__c") * F.col("__s")).alias("score"))
+    )
+    return (
+        df.select(id_col)
+        .join(doc_scores, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+            (F.coalesce(F.col("score"), F.lit(0)) > 0).alias("selected"),
+        )
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-group cap (domain/source balancing): keep at most
+    ``cap`` rows per ``group_col`` value, chosen by ascending
+    sha256(seed|key) with the key as tiebreak — a pure function of the
+    data, so the SAME rows survive under any partitioning, retry, or
+    engine (``df.sample``/``rand()`` would not be). The standard guard
+    against a handful of giant domains dominating a crawl-derived corpus
+    (e.g. the C4/Gopher per-domain caps).
+
+    Adds ``group_rank`` (1-based) and filters to ``group_rank <= cap``.
+    One shuffle on the group key; per-group window state is the group's
+    rows, the same bound as any per-key top-k. For pathologically hot
+    groups at 100 TB, pre-filter with an approximate per-group count and
+    hash-threshold (two-stage cap) before the exact window."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql.window import Window
+
+    h = F.sha2(
+        F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string")), 256
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("group_rank", F.row_number().over(w))
+        .where(F.col("group_rank") <= cap)
+    )
+
+
 def reshard_shuffle(
     df: DataFrame,
     key_col: str,

@@ -466,6 +466,74 @@ def lsh_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 37,
+    threshold: float = 0.45,
+    centroids: DataFrame | None = None,
+    max_cluster_width: int | None = None,
+) -> DataFrame:
+    """Semantic deduplication over an embedding column (the SemDeDup shape,
+    Abbas et al. 2023, arXiv:2303.09540): cluster the corpus, compare
+    vectors ONLY within their cluster, and drop every vector that has a
+    lower-id cluster-mate with cosine >= ``threshold`` (deterministic
+    keep-lowest-id variant of the paper's keep-one-per-group rule).
+
+    Returns (``vec_id``, ``cluster_id``, ``kept``) — one row per input
+    vector; ``kept=false`` marks semantic duplicates to remove.
+
+    Plan shape (single-branch — the assignment subtree is consumed once):
+    nearest-centroid assignment (broadcast centroid table), groupBy
+    cluster_id collecting members, in-bucket ordered-pair expansion, exact
+    cosine on the ``b.id <= a.id`` half (self rows ride along so every
+    member — including each cluster's minimum, which has no lower mate —
+    survives the expansion; they can never flag since the flag requires a
+    STRICTLY lower id), then one groupBy(vec_id) max(flag). Two shuffles
+    total (cluster_id, vec_id); no self-join, no all-pairs.
+
+    At 100 TB: comparisons are confined to cells of ~N/k vectors — raise
+    the centroid count (lower ``centroid_stride``, or pass trained
+    ``centroids=kmeans_centroids(df)``) to bound cell width; the paper
+    runs k large for exactly this reason. ``max_cluster_width``
+    deterministically caps the COMPARISON side of degenerate cells:
+    every member still gets an output row, but only the ``N`` lowest-id
+    members serve as dedup references (the same deterministic-cap trade
+    as the LSH bucket cap — overflow members are checked against the
+    capped prefix only, bounding the cell at N*width pairs instead of
+    width^2). Cosine uses the Arrow-batched sequential fold, so the
+    threshold decision is bit-identical to the DuckDB oracle."""
+    assigned = ivf_assign(df, id_col, vec_col, centroid_stride, centroids=centroids)
+    mem = F.collect_list(F.struct(F.col("vec_id"), F.col("v")))
+    if max_cluster_width is not None:
+        ref = F.slice(F.sort_array(mem), 1, int(max_cluster_width))
+        buckets = assigned.groupBy("cluster_id").agg(mem.alias("mem"), ref.alias("ref"))
+    else:
+        buckets = (
+            assigned.groupBy("cluster_id")
+            .agg(mem.alias("mem"))
+            .withColumn("ref", F.col("mem"))
+        )
+    pairs = (
+        buckets.select("cluster_id", F.explode("mem").alias("a"), "ref")
+        .select("cluster_id", "a", F.explode("ref").alias("b"))
+        .where(F.col("b.vec_id") <= F.col("a.vec_id"))
+    )
+    flag = (F.col("b.vec_id") < F.col("a.vec_id")) & (
+        cosine_similarity(F.col("a.v"), F.col("b.v")) >= F.lit(threshold)
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_id"),
+            "cluster_id",
+            flag.alias("__dup"),
+        )
+        .groupBy("vec_id", "cluster_id")
+        .agg((~F.max("__dup")).alias("kept"))
+    )
+
+
 # ---------------------------------------------------------------- product quantization
 def pq_codebooks(
     df: DataFrame,

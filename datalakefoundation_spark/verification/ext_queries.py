@@ -1065,8 +1065,107 @@ SELECT 'o_orderpriority', 'matches', '^[1-5]-[A-Z]+$',
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (ext/similarity.py semantic_dedup):
+    IVF-cell clustering (deterministic stride centroids — the oracle's CTE
+    is the q_ann_ivf assignment), within-cell cosine vs every lower-id
+    cluster-mate, kept=false for semantic duplicates. Cosine is the
+    bit-exact sequential fold, so the threshold decision matches DuckDB's
+    ``list_dot_product`` exactly."""
+    return SIM.semantic_dedup(_embs(spark, sf_dir), threshold=0.45)
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cluster_id, v AS cv FROM v WHERE vec_id % 37 = 0),
+assigned AS (
+  SELECT vec_id, v, cluster_id FROM (
+    SELECT v.vec_id, v.v, cent.cluster_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.v, cent.cv) /
+                      (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                      cent.cluster_id ASC) AS rn
+    FROM v CROSS JOIN cent
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, a.cluster_id,
+       NOT EXISTS (
+         SELECT 1 FROM assigned b
+         WHERE b.cluster_id = a.cluster_id AND b.vec_id < a.vec_id
+           AND {_COS} >= 0.45
+       ) AS kept
+FROM assigned a
+"""
+
+
+def q_importance_resample(spark, sf_dir):
+    """DSIR-style hashed-bigram importance scoring (ext/sampling.py
+    importance_score): target subset = English documents; every score term
+    is exact int64 arithmetic (the linearized likelihood-ratio), so the
+    per-doc sums are order-independent and hash-identical across engines."""
+    from datalakefoundation_spark.ext.sampling import importance_score
+
+    return importance_score(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
+SQL_IMPORTANCE_RESAMPLE = """
+WITH w0 AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(CASE WHEN len(w) >= 2
+                     THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                     ELSE [] END) AS bg
+  FROM w0
+),
+occ AS (
+  SELECT doc_id, substring(sha256(bg), 1, 2) AS b,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
+  FROM bg
+),
+bt AS (SELECT b, count(*) AS r_b, sum(is_t) AS t_b FROM occ GROUP BY b),
+tot AS (SELECT CAST(sum(r_b) AS BIGINT) AS r_tot, CAST(sum(t_b) AS BIGINT) AS t_tot FROM bt),
+sc AS (SELECT b, CAST(t_b * r_tot - r_b * t_tot AS BIGINT) AS s FROM bt, tot),
+dc AS (SELECT doc_id, b, count(*) AS c FROM occ GROUP BY doc_id, b),
+ds AS (
+  SELECT dc.doc_id, CAST(sum(dc.c * sc.s) AS BIGINT) AS score
+  FROM dc JOIN sc USING (b) GROUP BY dc.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(ds.score, 0) AS score,
+       COALESCE(ds.score, 0) > 0 AS selected
+FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id
+"""
+
+
+def q_source_cap(spark, sf_dir):
+    """Deterministic per-source cap (ext/sampling.py cap_per_group): at most
+    10 documents per source, chosen by sha256(seed|doc_id) order — the
+    C4/Gopher-style domain balancing guard, reproducible across engines."""
+    from datalakefoundation_spark.ext.sampling import cap_per_group
+
+    return cap_per_group(_docs(spark, sf_dir), "source", "doc_id", 10, seed="r4").select(
+        "doc_id", "source", "group_rank"
+    )
+
+
+SQL_SOURCE_CAP = """
+SELECT doc_id, source, group_rank FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY sha256('r4' || '|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS INTEGER) AS group_rank
+  FROM documents
+) WHERE group_rank <= 10
+"""
+
+
 EXTRA = {
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "q_semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "q_importance_resample": (q_importance_resample, SQL_IMPORTANCE_RESAMPLE),
+    "q_source_cap": (q_source_cap, SQL_SOURCE_CAP),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "q_grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
     "q_tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
