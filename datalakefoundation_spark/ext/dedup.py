@@ -75,8 +75,14 @@ def shingles(text_col: str | Column, n: int = 3, sep: str = " ") -> Column:
         # with fewer than n remaining tokens emit nothing — same window
         # count as the slice() formulation below (sentinel-space anchoring
         # details in text.window_ngrams)
+        # coalesce on the fallback: size(NULL array)=-1 would route NULL
+        # text to array(NULL) here, whereas the HOF path below yields [""]
+        # via concat_ws — keep both paths (and minhash-of-NULL-doc) at
+        # sha256("") rather than an all-NULL signature
         sh = window_ngrams(c, n)
-        return F.when(F.size(sh) > 0, sh).otherwise(F.array(c))
+        return F.when(F.size(sh) > 0, sh).otherwise(
+            F.array(F.coalesce(c, F.lit("")))
+        )
     w = tokens(c, sep)
     upper = F.greatest(F.size(w) - (n - 1), F.lit(1))
     return F.transform(

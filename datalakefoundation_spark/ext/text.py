@@ -66,8 +66,11 @@ def stopword_ratio(text_col: str | Column, stopwords=EN_STOPWORDS) -> Column:
     """Fraction of token OCCURRENCES that are stopwords.
 
     Counted with one codegen'd ``regexp_extract_all`` over a sentinel-space
-    anchor + whole-token lookahead (``(?= |$)`` rejects prefix matches like
-    'an' vs 'a'; regex backtracking makes alternation order irrelevant) —
+    anchor + whole-token lookahead (``(?= |\\z)`` rejects prefix matches like
+    'an' vs 'a'; regex backtracking makes alternation order irrelevant;
+    ``\\z`` not ``$`` because Java's ``$`` also matches before a final line
+    terminator, which would count a trailing ``'the\\n'`` that the
+    ``split(' ')`` token semantics do not) —
     the array-filter lambda this replaces is CodegenFallback, interpreted
     per token on the corpus-cleanup hot path. Group 0 is the consumed
     anchor space, so the array size IS the occurrence count. Falls back to
@@ -83,7 +86,7 @@ def stopword_ratio(text_col: str | Column, stopwords=EN_STOPWORDS) -> Column:
         hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
         return hits / F.size(toks)
     alt = "|".join(_re.escape(s) for s in stopwords)
-    pat = " (?=(?:" + alt + ")(?= |$))"
+    pat = " (?=(?:" + alt + r")(?= |\z))"
     hits = F.size(
         F.regexp_extract_all(F.concat(F.lit(" "), c), F.lit(pat), 0)
     )

@@ -298,9 +298,14 @@ def stream_dedup_index(
                 # converges to exactly-once (version churn, not dup rows)
                 index.overwrite(prior.unionByName(sigs), operation="replay_rebuild")
             if pairs_path is not None:
+                # stream-scoped directory: batch ids restart at 0 under a
+                # new checkpoint, so keying by batch_id alone would let a
+                # second stream sharing pairs_path overwrite prior output
                 pairs.withColumn("__batch_key", F.lit(replay_key)).write.mode(
                     "overwrite"
-                ).parquet(f"{pairs_path}/batch_id={batch_id:012d}")
+                ).parquet(
+                    f"{pairs_path}/stream={stream_id}/batch_id={batch_id:012d}"
+                )
         finally:
             sigs.unpersist()
 

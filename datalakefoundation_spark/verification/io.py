@@ -34,11 +34,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Cached ``spark.read.parquet(f"{sf_dir}/{name}.parquet")``."""
     path = f"{sf_dir}/{name}.parquet"
     try:
-        mtime = int(os.path.getmtime(path))
+        # ns-resolution + size: whole-second mtime would serve a stale
+        # cached plan for a fixture regenerated in place within one second
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
     except OSError:
-        mtime = -1
+        stamp = (-1, -1)
     per = _CACHE.setdefault(spark, {})
-    key = (path, mtime)
+    key = (path, stamp)
     df = per.get(key)
     if df is None:
         df = per[key] = spark.read.parquet(path)

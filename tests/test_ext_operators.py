@@ -101,7 +101,9 @@ def test_shingles_regex_matches_hof_on_edge_cases(spark):
         for _ in range(150)
     ]
     df = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+        [(i, t) for i, t in enumerate(cases)]
+        + [(len(cases), None)],  # NULL text must shingle like "" ([""])
+        "doc_id long, text string",
     )
     for n in (1, 2, 3, 5):
         got = df.select(
@@ -132,7 +134,10 @@ def test_stopword_ratio_regex_matches_filter_lambda(spark):
     rng = random.Random(11)
     words = list(EN_STOPWORDS) + ["an", "and", "thee", "x", "", "ax", "ofa"]
     cases = ["a", "the", "an", "a the", " a", "the ", "a  the", "the the the",
-             "", " ", "ofa of a"]
+             "", " ", "ofa of a",
+             # trailing line terminators: Java's $ matches before a final
+             # \n, \z does not — these pin the \z lookahead choice
+             "see the\n", "the\n", "a\r\n", "of the", "the\nthe"]
     cases += [
         " ".join(rng.choice(words) for _ in range(rng.randint(0, 12)))
         for _ in range(150)
