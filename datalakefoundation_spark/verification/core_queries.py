@@ -855,21 +855,13 @@ QUERIES = {
     "q_pk_pipeline": (q_pk_pipeline, SQL_PK_PIPELINE),
     "q_cast_rename": (q_cast_rename, SQL_CAST_RENAME),
     "q_bookkeeping_aggs": (q_bookkeeping_aggs, SQL_BOOKKEEPING_AGGS),
-    "q_scd2_initial": (q_scd2_initial, SQL_SCD2_INITIAL),
     "q_normalize_names": (q_normalize_names, SQL_NORMALIZE_NAMES),
     "q_distinct_partitions": (q_distinct_partitions, SQL_DISTINCT_PARTITIONS),
     "q_latest_per_key": (q_latest_per_key, SQL_LATEST_PER_KEY),
     "q_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
-    "q_shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
-    "q_region_volume": (q_region_volume, SQL_REGION_VOLUME),
     "q_sessionize_batch": (q_sessionize_batch, SQL_SESSIONIZE_BATCH),
     "q_order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
-    "q_idle_customers": (q_idle_customers, SQL_IDLE_CUSTOMERS),
-    "q_promo_share": (q_promo_share, SQL_PROMO_SHARE),
-    "q_tumbling_counts": (q_tumbling_counts, SQL_TUMBLING_COUNTS),
-    "q_cube_sales": (q_cube_sales, SQL_CUBE_SALES),
-    "q_order_quantiles": (q_order_quantiles, SQL_ORDER_QUANTILES),
 }
 
 # Oracle-paired queries kept OUT of the driver registry (window is 50 rows).
@@ -895,4 +887,12 @@ EXTRA = {
     "q_rollup_sales": (q_rollup_sales, SQL_ROLLUP_SALES),
     "q_top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "q_running_total": (q_running_total, SQL_RUNNING_TOTAL),
+    "q_scd2_initial": (q_scd2_initial, SQL_SCD2_INITIAL),
+    "q_shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "q_region_volume": (q_region_volume, SQL_REGION_VOLUME),
+    "q_idle_customers": (q_idle_customers, SQL_IDLE_CUSTOMERS),
+    "q_promo_share": (q_promo_share, SQL_PROMO_SHARE),
+    "q_tumbling_counts": (q_tumbling_counts, SQL_TUMBLING_COUNTS),
+    "q_cube_sales": (q_cube_sales, SQL_CUBE_SALES),
+    "q_order_quantiles": (q_order_quantiles, SQL_ORDER_QUANTILES),
 }

@@ -1162,23 +1162,12 @@ SELECT doc_id, source, group_rank FROM (
 
 
 EXTRA = {
-    "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "q_semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "q_importance_resample": (q_importance_resample, SQL_IMPORTANCE_RESAMPLE),
     "q_source_cap": (q_source_cap, SQL_SOURCE_CAP),
-    "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
-    "q_grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
-    "q_tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
-    "q_pii_scrub": (q_pii_scrub, _pii_oracle_sql()),
     "q_decontaminate_frac": (q_decontaminate_frac, SQL_DECONTAMINATE_FRAC),
-    "q_mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "q_rare_tokens": (q_rare_tokens, SQL_RARE_TOKENS),
     "q_collocations": (q_collocations, SQL_COLLOCATIONS),
-    "q_dedup_minhash_incr": (q_dedup_minhash_incr, SQL_DEDUP_MINHASH),
-    "q_span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
-    "q_profile_columns": (q_profile_columns, _profile_oracle_sql()),
     "q_check_expectations": (q_check_expectations, SQL_CHECK_EXPECTATIONS),
-    "q_reshard_shuffle": (q_reshard_shuffle, SQL_RESHARD_SHUFFLE),
     # vocabulary-hashing variants: the SAME oracles as the direct paths —
     # hash_distinct must be bit-identical, so oracle-pairing it makes the
     # equivalence a gate property rather than only a local test
@@ -1192,6 +1181,10 @@ EXTRA = {
         ),
         SQL_DEDUP_MINHASH,
     ),
+    "q_token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "q_lang_id": (q_lang_id, SQL_LANG_ID),
+    "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "q_embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
 }
 
 
@@ -1201,14 +1194,10 @@ QUERIES = {
     "q_stratified_sample": (q_stratified_sample, _stratified_oracle_sql()),
     "q_vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "q_text_stats": (q_text_stats, SQL_TEXT_STATS),
-    "q_token_count": (q_token_count, SQL_TOKEN_COUNT),
-    "q_lang_id": (q_lang_id, SQL_LANG_ID),
-    "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "q_dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "q_dedup_simhash": (q_dedup_simhash, _simhash_oracle_sql()),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "q_embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "q_knn_topk": (q_knn_topk, SQL_KNN_TOPK),
     "q_ann_lsh": (q_ann_lsh, _ann_lsh_oracle_sql()),
     "q_ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
@@ -1218,4 +1207,15 @@ QUERIES = {
     "q_repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_novelty": (q_novelty, SQL_NOVELTY),
+    "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "q_grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
+    "q_tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
+    "q_pii_scrub": (q_pii_scrub, _pii_oracle_sql()),
+    "q_span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "q_dedup_minhash_incr": (q_dedup_minhash_incr, SQL_DEDUP_MINHASH),
+    "q_profile_columns": (q_profile_columns, _profile_oracle_sql()),
+    "q_reshard_shuffle": (q_reshard_shuffle, SQL_RESHARD_SHUFFLE),
+    "q_semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "q_mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
 }

@@ -426,7 +426,6 @@ FROM t b JOIN after a ON b.PK_orders = a.PK_orders WHERE {differs}
 # verification.extra_queries) — covered locally by tests/test_oracle_parity
 # and tools/check_oracle.
 EXTRA = {
-    "q_change_feed": (q_change_feed, _change_feed_oracle_sql()),
 }
 
 
@@ -439,4 +438,5 @@ QUERIES = {
     "q_merge_metrics": (q_merge_metrics, SQL_MERGE_METRICS),
     "q_scd2_metrics": (q_scd2_metrics, SQL_SCD2_METRICS),
     "q_watermark_window": (q_watermark_window, SQL_WATERMARK_WINDOW),
+    "q_change_feed": (q_change_feed, _change_feed_oracle_sql()),
 }
