@@ -2,11 +2,14 @@
 
 Images/audio/video are carried as ``binary`` columns next to a typed
 metadata struct. The Spark-side machinery — schema, partitioning, Arrow
-batch shape, ``mapInPandas`` signatures — is real and tested; the actual
-codec step is STUBBED (this container has no image/audio libraries): decode
-either raises ``NotImplementedError`` (strict mode) or produces a
-deterministic fake feature vector derived from the payload bytes, so
-pipelines are fully exercisable end-to-end.
+batch shape, ``mapInPandas`` signatures — is real and tested, and the
+codec step is REAL for the supported containers: PNG and PPM images and
+PCM WAV audio decode through ``ext.codecs`` (pure numpy + stdlib zlib;
+Pillow is picked up automatically as a fast path when importable).
+Payloads in unknown containers (e.g. the text-bytes fixture used by the
+oracle queries) fall back to a deterministic byte-level feature vector —
+or raise in ``strict`` mode, which is now a per-payload unsupported-format
+error rather than a blanket stub guard.
 
 Scale notes:
 * ``mapInPandas`` streams Arrow batches — payload bytes never round-trip
@@ -24,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from datalakefoundation_spark.ext import codecs
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -58,11 +63,33 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def _fake_decode(content: bytes) -> list[float]:
-    """Deterministic stand-in for a real decoder: FEATURE_DIM floats in
-    [0, 1) from the payload's sha256. Replace with PIL/librosa/ffmpeg in a
-    real deployment."""
+    """Deterministic byte-level features for payloads in UNKNOWN containers
+    (e.g. the text-bytes oracle fixture): FEATURE_DIM floats in [0, 1)
+    from the payload's sha256."""
     digest = hashlib.sha256(content).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def _decode_features(content: bytes, strict: bool) -> list[float] | None:
+    """Per-payload feature extraction: REAL decode for supported containers
+    (PNG/PPM pixels -> image_features; PCM WAV -> audio_features), the
+    deterministic byte-level fallback for unknown ones (or an error in
+    strict mode). A corrupt payload in a known container always raises —
+    silently hashing bytes that claimed to be a PNG would mask data
+    corruption."""
+    if content is None:
+        return None
+    kind = codecs.sniff(bytes(content))
+    if kind in ("png", "ppm"):
+        return codecs.image_features(codecs.decode_image(bytes(content)), FEATURE_DIM)
+    if kind == "wav":
+        samples, rate = codecs.wav_decode(bytes(content))
+        return codecs.audio_features(samples, rate, FEATURE_DIM)
+    if strict:
+        raise codecs.UnsupportedMedia(
+            "payload container not recognized (png|ppm|wav supported)"
+        )
+    return _fake_decode(bytes(content))
 
 
 def from_text_fixture(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -84,19 +111,14 @@ def from_text_fixture(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    ``strict=True`` raises NotImplementedError at execution time (the real
-    decoder is not available in this environment); otherwise the
-    deterministic fake decoder runs so the distributed plumbing (batch
-    iteration, schema, null payloads) is fully tested.
+    Supported containers (PNG/PPM/PCM-WAV) decode for REAL through
+    ext.codecs (Pillow fast path when importable); unknown containers get
+    the deterministic byte-level fallback, or — with ``strict=True`` — an
+    UnsupportedMedia error at execution time.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "plug a real decoder here (PIL/librosa/ffmpeg)"
-                )
             contents = pdf["content"]
             yield pd.DataFrame(
                 {
@@ -106,9 +128,7 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
                     "content_sha": contents.map(
                         lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
-                    "features": contents.map(
-                        lambda b: _fake_decode(b) if b is not None else None
-                    ),
+                    "features": contents.map(lambda b: _decode_features(b, strict)),
                 }
             )
 
@@ -118,25 +138,34 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
 def resize_images(
     df: DataFrame, width: int, height: int, strict: bool = False
 ) -> DataFrame:
-    """Image resize in the real Arrow-batched shape: streams (payload, meta)
-    batches through ``mapInPandas`` and rewrites the metadata dimensions.
-    The pixel transform itself is STUBBED (no codecs in this environment —
-    payload passes through unchanged; plug PIL's ``Image.resize`` into the
-    marked line in a real deployment); ``strict=True`` raises instead."""
+    """Arrow-batched image resize: supported image payloads (PNG/PPM) are
+    REALLY decoded, nearest-neighbor resized, and re-encoded in their
+    original container; the metadata dimensions are rewritten to the
+    decoded truth. Unknown containers pass through with metadata updated
+    (byte fixture path), or raise UnsupportedMedia with ``strict=True``."""
+
+    def _resize_one(b, strict=strict):
+        if b is None:
+            return None
+        raw = bytes(b)
+        kind = codecs.sniff(raw)
+        if kind == "png":
+            return codecs.png_encode(codecs.resize_nearest(codecs.png_decode(raw), width, height))
+        if kind == "ppm":
+            return codecs.ppm_encode(codecs.resize_nearest(codecs.ppm_decode(raw), width, height))
+        if strict:
+            raise codecs.UnsupportedMedia("payload is not a supported image container")
+        return raw
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "image codecs unavailable; decode+resize payload here (PIL)"
-                )
             meta = pdf["meta"].map(
                 lambda m: {**(dict(m) if m is not None else {}), "width": width, "height": height}
             )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "content": pdf["content"],  # <- real decoder resizes here
+                    "content": pdf["content"].map(_resize_one),
                     "media_type": pdf["media_type"],
                     "meta": meta,
                 }
