@@ -345,9 +345,14 @@ class Processing:
                 self.rows_per_bucket,
             )
         else:
-            self._bucketed = True
-            self.n_buckets = int(n)
-            self.silver_table().set_layout(self.pk_name, self.n_buckets, force=True)
+            t = self.silver_table()
+            t.set_layout(self.pk_name, int(n), force=True)
+            # honor what the backend actually adopted: a minimal backend
+            # (tables/backend.py) may decline PK-hash bucketing, and the
+            # engine must then run plain-layout merges, not prune against
+            # bucket dirs that don't exist
+            self._bucketed = t.bucket_pk is not None
+            self.n_buckets = t.n_buckets if self._bucketed else 0
 
     def _resolve_layout(self, rows: int) -> None:
         """Pick the layout for a table about to be created from the actual
@@ -429,7 +434,7 @@ class Processing:
         )
 
     # ------------------------------------------------------------ silver table
-    def silver_table(self) -> LakeTable:
+    def silver_table(self):  # -> LakeTable | any tables.backend-conformant backend
         # memoized: each construction costs a control-plane manifest read
         # (layout adoption), and a run calls this from 5+ sites
         if getattr(self, "_silver_table", None) is not None:
@@ -441,6 +446,20 @@ class Processing:
             path = f"{env.root_folder}/_catalog/{loc.value.replace('.', '/')}"
         else:
             path = loc.value
+        # backend seam (tables/backend.py): a factory in options swaps the
+        # storage engine under Full/Merge/Historic without touching them —
+        # the contract test runs both LakeTable and MemoryBackend through
+        # identical histories
+        factory = self.options.get("backend_factory")
+        if factory is not None:
+            self._silver_table = factory(
+                spark=self.spark,
+                path=path,
+                partition_by=self.entity.partition_columns,
+                stats_columns=[w.column_name for w in self.entity.watermarks]
+                + list(self.entity.businesskeys or []),
+            )
+            return self._silver_table
         self._silver_table = LakeTable(
             self.spark,
             path,
@@ -734,9 +753,11 @@ class Processing:
                     "layout during this rewrite", self.entity.destination,
                     known_rows, n,
                 )
-                self.n_buckets = int(n)
-                self._bucketed = True
-                table.set_layout(self.pk_name, self.n_buckets, force=True)
+                table.set_layout(self.pk_name, int(n), force=True)
+                # honor the layout the backend actually adopted (a minimal
+                # backend may decline bucketing — tables/backend.py)
+                self._bucketed = table.bucket_pk is not None
+                self.n_buckets = table.n_buckets if self._bucketed else 0
         # Bucket-level CoW only applies when every live segment declares its
         # buckets (a table created before bucketing was enabled has a
         # None-partitioned segment and must be rewritten wholesale once).
