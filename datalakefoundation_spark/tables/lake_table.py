@@ -726,9 +726,26 @@ class LakeTable:
         # manifest) -> conservative per-segment application.
         masks = self._global_dv_masks(segs)
         dv_frames = self._dv_frames(segs) if masks is None else {}
+        # Segment reads are BATCHED: every plain whole-dir segment (no
+        # ownership filter, no per-segment dv tagging, no file-level
+        # selection) lands in ONE multi-path spark.read.parquet(*dirs)
+        # call instead of its own reader + unionByName node. The
+        # per-segment union loop built an O(live segments) driver plan —
+        # measured 6.1 s of pure plan build at 100 tiny segments and
+        # 60.3 s at 1000 (tools/segment_probe.py) — while the batched read
+        # is one relation whose file listing Spark parallelizes
+        # (parallelPartitionDiscovery) and whose splits coalesce by
+        # maxPartitionBytes instead of one task per tiny file.
+        # mergeSchema keeps unionByName(allowMissingColumns) semantics for
+        # additively-evolved segments (old files read typed NULLs).
+        # Per-segment reads remain where the semantics are per-segment:
+        # partition/bucket ownership filters (seg.partitions), dv masking,
+        # and stats-pruned partial file lists.
         parts: list[DataFrame] = []
+        batched_dirs: list[str] = []
         for seg in segs:
             base = f"{self.path}/{seg.dir}"
+            whole_dir = True
             if prune_spec is not None and seg.files:
                 # file-level skipping inside the surviving segment: read only
                 # the files whose footer stats might hold a matching row.
@@ -742,12 +759,19 @@ class LakeTable:
                 if not keep:
                     continue
                 if len(keep) < len(seg.files):
+                    whole_dir = False
                     df = self.spark.read.option("basePath", base).parquet(
                         *[f"{base}/{p}" for p in sorted(keep)]
                     )
-                else:
-                    df = self.spark.read.parquet(base)
-            else:
+            if (
+                whole_dir
+                and seg.partitions is None
+                and not (masks is None and seg.dv)
+                and not masks
+            ):
+                batched_dirs.append(base)
+                continue
+            if whole_dir:
                 df = self.spark.read.parquet(base)
             if seg.partitions is not None and self.partition_by:
                 # equality predicates on hive partition dirs -> pure dir pruning
@@ -759,6 +783,16 @@ class LakeTable:
                     SEG_V_COL, F.lit(_dir_version(seg.dir)).cast("long")
                 )
             parts.append(df)
+        if batched_dirs:
+            if len(batched_dirs) == 1:
+                parts.insert(0, self.spark.read.parquet(batched_dirs[0]))
+            else:
+                parts.insert(
+                    0,
+                    self.spark.read.option("mergeSchema", "true").parquet(
+                        *batched_dirs
+                    ),
+                )
         if not parts:
             if not mf.segments:
                 raise FileNotFoundError(f"LakeTable has no segments: {self.path}")
