@@ -608,7 +608,14 @@ class LakeTable:
 
         mf = self.latest_manifest()
         next_v = (mf.version + 1) if mf else 0
-        seg_rel = f"data/v{next_v:05d}"
+        # writer-unique dir (same rule as append_arrow / dv writers): two
+        # same-entity writers racing for next_v must never share a segment
+        # path — the Hadoop committer renames task files into the dir, so a
+        # shared path let the CAS LOSER's part files land inside the
+        # WINNER's committed segment (silent row duplication) or fail the
+        # loser with an opaque rename IOException instead of the clean
+        # ConcurrentCommitException (caught by tests/test_merge_race.py)
+        seg_rel = f"data/v{next_v:05d}-{uuid.uuid4().hex[:8]}"
         df = self._with_bucket(df)
         stat_cols = [
             f.name

@@ -46,15 +46,15 @@ def test_crash_between_write_and_commit_append(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
 
     # the orphaned segment dir exists, but the table reads clean (v0 only)
-    assert "v00001" in _data_dirs(path)
+    assert any(d.startswith("v00001") for d in _data_dirs(path))
     fresh = LakeTable(spark, path, stats_columns=["seq"])
     assert fresh.read().count() == 10
     assert fresh.latest_manifest().version == 0
 
     # GC reclaims it (age 0: no concurrent writers in the test)
     removed = fresh.gc_orphans(older_than_seconds=0)
-    assert removed == ["data/v00001"]
-    assert "v00001" not in _data_dirs(path)
+    assert len(removed) == 1 and removed[0].startswith("data/v00001")
+    assert not any(d.startswith("v00001") for d in _data_dirs(path))
 
     # and the table keeps working: the next append reuses the version slot
     fresh.append(_df(spark, 10, 20))
@@ -76,7 +76,8 @@ def test_crash_during_replace_partitions(spark, tmp_path, monkeypatch):
 
     fresh = LakeTable(spark, path, partition_by=["p"])
     assert fresh.read().count() == 10  # pre-crash content intact
-    assert fresh.gc_orphans(older_than_seconds=0) == ["data/v00001"]
+    removed = fresh.gc_orphans(older_than_seconds=0)
+    assert len(removed) == 1 and removed[0].startswith("data/v00001")
     # replayed write succeeds
     fresh.replace_partitions(repl, [{"p": "0"}])
     out = fresh.read()
@@ -107,8 +108,9 @@ def test_gc_age_guard(spark, tmp_path, monkeypatch):
     # a young orphan is indistinguishable from an in-flight concurrent
     # write — the age guard must keep it
     assert t.gc_orphans(older_than_seconds=3600) == []
-    assert "v00001" in _data_dirs(path)
-    assert t.gc_orphans(older_than_seconds=0) == ["data/v00001"]
+    assert any(d.startswith("v00001") for d in _data_dirs(path))
+    removed2 = t.gc_orphans(older_than_seconds=0)
+    assert len(removed2) == 1 and removed2[0].startswith("data/v00001")
 
 
 def test_gc_noop_is_listdir_only(spark, tmp_path, monkeypatch):

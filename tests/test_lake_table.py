@@ -43,7 +43,8 @@ def test_replace_partitions_cow(spark, tmp_path):
     # the untouched partition still points at the ORIGINAL segment (no rewrite)
     mf = t.latest_manifest()
     dirs = {seg.dir for seg in mf.segments}
-    assert "data/v00000" in dirs and "data/v00001" in dirs
+    assert any(d.startswith("data/v00000") for d in dirs)
+    assert any(d.startswith("data/v00001") for d in dirs)
 
 
 def test_partition_move_keeps_row_visible(spark, tmp_path):
@@ -63,7 +64,7 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     assert t.read().head()["k"] == 2
     assert len(t.history()) == 2
     removed = t.vacuum()
-    assert removed == ["data/v00000"]
+    assert len(removed) == 1 and removed[0].startswith("data/v00000")
     assert t.read().head()["k"] == 2
 
 
@@ -257,7 +258,8 @@ def test_restore_rolls_back_without_copying(spark, tmp_path):
     assert new_v == 3
     assert {r["k"] for r in t.read().collect()} == {1, 2}
     # no data copied: the restore commit references v0's segment dir
-    assert {s.dir for s in t.latest_manifest().segments} == {"data/v00000"}
+    restored_dirs = {s.dir for s in t.latest_manifest().segments}
+    assert len(restored_dirs) == 1 and next(iter(restored_dirs)).startswith("data/v00000")
     # rolled-over versions stay time-travel readable
     assert {r["k"] for r in t.read(version=2).collect()} == {9, 10}
     assert t.latest_manifest().operation == "restore"
@@ -280,7 +282,8 @@ def test_restore_refuses_vacuumed_version(spark, tmp_path):
     # segment dir gone but manifest retained (e.g. foreign deletion): the
     # dir-level guard fires instead of committing an unreadable manifest
     t.overwrite(_df(spark, [(3, "c", "z")]))    # v2
-    t.fs.delete_tree(f"{t.path}/data/v00001")
+    v1_dir = t.manifest_at(1).segments[0].dir
+    t.fs.delete_tree(f"{t.path}/{v1_dir}")
     with pytest.raises(FileNotFoundError, match="cannot restore .*segment dirs"):
         t.restore(1)
 
