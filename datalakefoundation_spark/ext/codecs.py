@@ -48,7 +48,7 @@ except ImportError:  # pragma: no cover - environment-dependent
 
 def sniff(content: bytes) -> str | None:
     """Best-effort container detection from magic bytes: 'png' | 'ppm' |
-    'wav' | None (unknown)."""
+    'wav' | 'gif' | None (unknown)."""
     if content is None:
         return None
     if content[:8] == PNG_SIG:
@@ -57,6 +57,8 @@ def sniff(content: bytes) -> str | None:
         return "ppm"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -322,3 +324,221 @@ def audio_features(samples: np.ndarray, rate: int, dim: int = 16) -> list[float]
     ]
     out = [float(x) for x in feats[:dim]]
     return out + [0.0] * (dim - len(out))
+
+
+# --------------------------------------------------------------- GIF (LZW)
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW: variable code width starting at min_code_size+1,
+    CLEAR resets the table, EOI terminates. Returns pixel index stream."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+        next_code = eoi + 1
+
+    width = next_code = 0
+    reset()
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < next_code and code < len(table) and (code < clear or table[code]):
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + [prev[0]]
+            else:
+                raise UnsupportedMedia(f"corrupt GIF LZW stream (code {code})")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table.append(prev + [entry[0]])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _lzw_encode_literal(min_code_size: int, indices: list[int]) -> bytes:
+    """Valid LZW stream that never grows the table: CLEAR before every
+    code-width boundary would be needed — emit CLEAR every (2^w - eoi - 2)
+    literals so codes stay literal-sized. Compression-free but spec-exact;
+    the decoder path is the one that must handle real compressed streams."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    # after a CLEAR, next_code = eoi+1 and grows by 1 per emitted literal;
+    # stay below 2^width so the width never changes
+    budget = (1 << width) - (eoi + 1)
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    since_clear = 0
+    for idx in indices:
+        if since_clear >= budget:
+            emit(clear)
+            since_clear = 0
+        emit(idx)
+        since_clear += 1
+    emit(eoi)
+    if bits:
+        out.append(acc & ((1 << bits) - 1))
+    return bytes(out)
+
+
+def gif_decode_frames(content: bytes) -> tuple[list["np.ndarray"], list[int]]:
+    """Decode an (animated) GIF into RGB frames + per-frame delays (ms).
+
+    Supports global/local color tables, transparency, interlacing, and
+    disposal methods 0/1 (draw over) and 2 (restore background). Each
+    returned frame is the COMPOSED canvas (HxWx3 uint8) at that point."""
+    if content[:6] not in GIF_SIGS:
+        raise UnsupportedMedia("not a GIF payload")
+    w, h, flags, bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(content[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:, :] = gct[bg]
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent = None
+    delay_ms = 0
+    disposal = 0
+    while pos < len(content):
+        b = content[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = content[pos]
+            pos += 1
+            blocks = []
+            while content[pos] != 0:
+                ln = content[pos]
+                blocks.append(content[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and blocks:  # graphic control
+                gflags, d = blocks[0][0], struct.unpack("<H", blocks[0][1:3])[0]
+                disposal = (gflags >> 2) & 0x07
+                delay_ms = d * 10
+                transparent = blocks[0][3] if gflags & 0x01 else None
+            continue
+        if b != 0x2C:
+            raise UnsupportedMedia(f"unexpected GIF block 0x{b:02x}")
+        # image descriptor
+        left, top, iw, ih, iflags = struct.unpack("<HHHHB", content[pos : pos + 9])
+        pos += 9
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = np.frombuffer(content[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise UnsupportedMedia("GIF image without a color table")
+        min_code = content[pos]
+        pos += 1
+        data = bytearray()
+        while content[pos] != 0:
+            ln = content[pos]
+            data.extend(content[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = np.array(_lzw_decode(min_code, bytes(data))[: iw * ih], dtype=np.int32)
+        if len(idx) < iw * ih:
+            raise UnsupportedMedia("truncated GIF frame data")
+        idx = idx.reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = (
+                list(range(0, ih, 8))
+                + list(range(4, ih, 8))
+                + list(range(2, ih, 4))
+                + list(range(1, ih, 2))
+            )
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        prev_region = canvas[top : top + ih, left : left + iw].copy()
+        region = ct[idx.clip(0, len(ct) - 1)]
+        if transparent is not None:
+            mask = (idx == transparent)[:, :, None]
+            region = np.where(mask, prev_region, region)
+        canvas[top : top + ih, left : left + iw] = region
+        frames.append(canvas.copy())
+        delays.append(delay_ms)
+        if disposal == 2:  # restore to background after this frame
+            bg_rgb = gct[bg] if (gct is not None and bg < len(gct)) else 0
+            canvas[top : top + ih, left : left + iw] = bg_rgb
+        transparent = None
+        delay_ms = 0
+        disposal = 0
+    return frames, delays
+
+
+def gif_encode(frames: list["np.ndarray"], delay_ms: int = 100) -> bytes:
+    """Encode RGB frames as an animated GIF with one shared palette built
+    from the frames' distinct colors (<=256 required). Literal-code LZW
+    (valid, uncompressed) — the decoder handles real compressed streams;
+    this encoder exists so tests and fixtures can fabricate real GIFs."""
+    if not frames:
+        raise UnsupportedMedia("no frames")
+    h, w = frames[0].shape[:2]
+    colors = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames], axis=0), axis=0
+    )
+    if len(colors) > 256:
+        raise UnsupportedMedia(f"{len(colors)} colors > 256 (quantize first)")
+    depth = max(2, int(np.ceil(np.log2(max(2, len(colors))))))
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    # netscape looping extension (standard for animation)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in frames:
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_ms // 10) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        idx = [lut[tuple(px)] for px in f.reshape(-1, 3)]
+        out.append(depth)
+        stream = _lzw_encode_literal(depth, idx)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)

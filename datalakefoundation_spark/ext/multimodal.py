@@ -82,6 +82,9 @@ def _decode_features(content: bytes, strict: bool) -> list[float] | None:
     kind = codecs.sniff(bytes(content))
     if kind in ("png", "ppm"):
         return codecs.image_features(codecs.decode_image(bytes(content)), FEATURE_DIM)
+    if kind == "gif":  # animated: features of the first composed frame
+        frames, _delays = codecs.gif_decode_frames(bytes(content))
+        return codecs.image_features(frames[0], FEATURE_DIM)
     if kind == "wav":
         samples, rate = codecs.wav_decode(bytes(content))
         return codecs.audio_features(samples, rate, FEATURE_DIM)
@@ -183,16 +186,60 @@ def media_repartition(df: DataFrame, target_bytes: int = 128 * 1024 * 1024) -> D
     return df.repartition(parts)
 
 
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_png", T.BinaryType()),
+    ]
+)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling STUB: emits (media_id, frame_ts_ms) rows from the
-    metadata duration — the real implementation would decode frames in the
-    same mapInPandas shape as extract_features."""
-    return (
-        df.where(F.col("media_type") == "video")
-        .select(
-            "media_id",
-            F.explode(
-                F.sequence(F.lit(0), F.coalesce(F.col("meta.duration_ms"), F.lit(0)), F.lit(every_ms))
-            ).alias("frame_ts_ms"),
-        )
+    """Video frame sampling — REAL for animated-GIF payloads: decodes the
+    frame sequence (ext.codecs LZW decoder, frame composition with
+    transparency/disposal), walks the frame timeline, keeps one composed
+    frame per ``every_ms`` window, and emits each as PNG bytes. Runs in
+    the same Arrow-batched mapInPandas shape as extract_features.
+
+    Non-GIF payloads keep the metadata-timeline fallback: (media_id,
+    frame_idx, frame_ts_ms, NULL png) rows derived from
+    ``meta.duration_ms`` — the sampling grid without the pixels."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "frame_ts_ms", "frame_png")}
+
+            def emit(mid, idx, ts, png):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["frame_ts_ms"].append(ts)
+                out["frame_png"].append(png)
+
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                raw = bytes(content) if content is not None else None
+                if raw is not None and codecs.sniff(raw) == "gif":
+                    frames, delays = codecs.gif_decode_frames(raw)
+                    ts = 0
+                    next_keep = 0
+                    for i, (frame, d) in enumerate(zip(frames, delays)):
+                        if ts >= next_keep:
+                            emit(mid, i, ts, codecs.png_encode(frame))
+                            next_keep = ts + every_ms
+                        ts += max(d, 1)
+                    continue
+                dur = 0
+                if meta is not None:
+                    m = dict(meta)
+                    dur = int(m.get("duration_ms") or 0)
+                for i, ts in enumerate(range(0, dur + 1, every_ms)):
+                    emit(mid, i, ts, None)
+            yield pd.DataFrame(out)
+
+    vids = df.where(F.col("media_type") == "video").select(
+        "media_id", "content", "meta"
     )
+    return vids.mapInPandas(_sample, FRAMES_SCHEMA)

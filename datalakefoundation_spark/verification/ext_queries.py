@@ -1161,7 +1161,51 @@ SELECT doc_id, source, group_rank FROM (
 """
 
 
+# ---------------------------------------------------------------- BPE (X38)
+def q_bpe_vocab(spark, sf_dir):
+    """The distributed stage of BPE training (ext/bpe.py word_counts): one
+    explode + two-stage count agg + bounded top-k with count-desc,
+    word-asc total order — the word-frequency table the driver-side merge
+    loop trains from. Expressed here as the DataFrame the collect reads."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w"))
+        .limit(200)
+    )
+
+
+SQL_BPE_VOCAB = """
+SELECT t.w AS w, count(*) AS n
+FROM documents, unnest(string_split(text, ' ')) AS t(w)
+WHERE t.w <> ''
+GROUP BY t.w
+ORDER BY n DESC, w ASC
+LIMIT 200
+"""
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """End-to-end BPE: train 200 merges from the corpus word counts
+    (driver-side loop over the bounded vocabulary — deterministic: ties
+    break lexicographically) and encode every document in one
+    Arrow-batched mapInPandas stage. Iterative merging is not
+    SQL-expressible, so this is a rows-only driver check; the algorithmic
+    correctness is pinned by tests/test_bpe.py (textbook-equivalence,
+    determinism across partitionings, lossless round-trip)."""
+    from datalakefoundation_spark.ext import bpe as B
+
+    docs = _docs(spark, sf_dir)
+    merges = B.train_bpe(docs, num_merges=200)
+    return B.bpe_encode(docs, merges).orderBy("doc_id")
+
+
 EXTRA = {
+    "q_bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
+    "q_bpe_token_count": (q_bpe_token_count, None),
     "q_importance_resample": (q_importance_resample, SQL_IMPORTANCE_RESAMPLE),
     "q_source_cap": (q_source_cap, SQL_SOURCE_CAP),
     "q_decontaminate_frac": (q_decontaminate_frac, SQL_DECONTAMINATE_FRAC),
