@@ -75,3 +75,42 @@ def test_process_entities_captures_failures(spark, tmp_path):
     )
     assert runs[0].ok and runs[0].summary.inserted == 5
     assert not runs[1].ok and runs[1].error is not None
+
+
+def test_same_entity_work_items_serialize_in_order(spark, tmp_path):
+    """Two slices for ONE entity in the same fleet must both land, applied
+    in input order (the orchestrator chains same-entity items instead of
+    manufacturing the read-compute-commit race test_merge_race.py proves
+    the CAS would make one of them lose)."""
+    root = str(tmp_path / "root")
+    md = _multi_entity_metadata(root, n=2)
+    for eid in (1, 2):
+        bronze = md.get_entity(eid).get_output().bronzepath.value
+        s1 = [{"ID": i, "SeqNr": i, "data": f"v1_{i}"} for i in range(10)]
+        s2 = [{"ID": i, "SeqNr": 100 + i, "data": f"v2_{i}"} for i in range(5, 15)]
+        spark.createDataFrame(s1).coalesce(1).write.mode("overwrite").parquet(
+            f"{bronze}/s1.parquet"
+        )
+        spark.createDataFrame(s2).coalesce(1).write.mode("overwrite").parquet(
+            f"{bronze}/s2.parquet"
+        )
+    work = [(1, "s1.parquet"), (2, "s1.parquet"), (1, "s2.parquet"), (2, "s2.parquet")]
+    runs = process_entities(spark, md, work, parallelism=4)
+    assert [(r.entity_id, r.slice_file) for r in runs] == work  # input order
+    assert all(r.ok for r in runs), [str(r.error) for r in runs]
+    for eid in (1, 2):
+        rows = {
+            r["ID"]: r["data"]
+            for r in Processing(spark, md, eid, "s1.parquet", {})
+            .silver_table()
+            .read()
+            .collect()
+        }
+        # 0-4 from slice 1, 5-14 updated/inserted by slice 2 ON TOP of it
+        assert set(rows) == set(range(15))
+        assert all(rows[i] == f"v1_{i}" for i in range(5))
+        assert all(rows[i] == f"v2_{i}" for i in range(5, 15))
+    # slice-2 runs saw slice-1 state: second run per entity merged, not full
+    by_item = {(r.entity_id, r.slice_file): r.summary for r in runs}
+    assert by_item[(1, "s2.parquet")].strategy == "merge"
+    assert by_item[(1, "s2.parquet")].inserted == 5  # 10-14 new
