@@ -238,7 +238,7 @@ def wav_encode(samples: np.ndarray, rate: int = 16000) -> bytes:
     arr = np.asarray(samples, dtype=np.float32)
     if arr.ndim == 1:
         arr = arr[:, None]
-    pcm = np.clip(arr * 32767.0, -32768, 32767).astype("<i2")
+    pcm = np.clip(np.rint(arr * 32767.0), -32768, 32767).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wv:
         wv.setnchannels(arr.shape[1])

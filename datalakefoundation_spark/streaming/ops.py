@@ -149,6 +149,46 @@ def stream_dedup(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_watermark: str = "2 minutes",
+    right_watermark: str = "2 minutes",
+    within: str = "1 minute",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with an event-time range bound:
+    each left event pairs with right events of the same key whose timestamp
+    falls in ``[left.ts - within, left.ts + within]``.
+
+    Both watermarks plus the range condition are what make the state store
+    BOUNDED — Spark evicts buffered rows once the watermark passes their
+    joinable horizon, so this scales to unbounded streams (an un-bounded
+    stream join would buffer both streams forever). Outer variants emit
+    NULL-padded rows only after the watermark proves no match can arrive —
+    exactly Spark's documented semantics; this helper just packages the
+    contract (distinct column names, the interval condition, per-side
+    watermarks) so callers can't accidentally build the unbounded form.
+    """
+    li = left.withWatermark("ts", left_watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key, "ts")],
+    )
+    ri = right.withWatermark("ts", right_watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, "ts")],
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return li.join(ri, cond, how)
+
+
 def stream_merge_to_silver(
     events: DataFrame,
     metadata,

@@ -366,3 +366,56 @@ def test_gif_features_decode_first_frame(spark):
     assert row["features"] == pytest.approx(
         codecs.image_features(frames[0], MM.FEATURE_DIM)
     )
+
+
+# ------------------------------------------------------- property round-trips
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    np.testing.assert_array_equal(codecs.png_decode(codecs.png_encode(pixels)), pixels)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    n_frames=st.integers(1, 4),
+    n_colors=st.integers(2, 17),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, n_frames, n_colors, seed):
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    frames = [
+        palette[rng.integers(0, n_colors, size=(h, w))] for _ in range(n_frames)
+    ]
+    got, delays = codecs.gif_decode_frames(codecs.gif_encode(frames, delay_ms=50))
+    assert len(got) == n_frames and delays == [50] * n_frames
+    for a, b in zip(got, frames):
+        np.testing.assert_array_equal(a, b)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 3000),
+    ch=st.sampled_from([1, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.uniform(-0.999, 0.999, size=(n, ch)).astype(np.float32)
+    got, rate = codecs.wav_decode(codecs.wav_encode(samples, rate=8000))
+    assert rate == 8000 and got.shape == (n, ch)
+    # bound: 0.5/32767 rounding + the 32767-encode/32768-decode scale gap
+    np.testing.assert_allclose(got, samples, atol=1 / 16384)

@@ -413,3 +413,60 @@ def test_quality_filter_and_pii_scrub_work_on_streams(spark, tmp_path):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream join: same-key events within the ±1 minute
+    range pair up; out-of-range and other-key events don't. Batch
+    equivalence: the same join condition over the static frames must
+    produce the identical inner-join result set."""
+    from datalakefoundation_spark.streaming.ops import stream_stream_join
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_events(
+        spark,
+        lsrc,
+        [
+            (1, _ts(0, 0), 1, "view", 1.0),
+            (2, _ts(5, 0), 2, "view", 2.0),
+            (3, _ts(9, 0), 1, "view", 3.0),
+        ],
+    )
+    _write_events(
+        spark,
+        rsrc,
+        [
+            (10, _ts(0, 30), 1, "click", 1.0),   # pairs with event 1 (30 s)
+            (11, _ts(7, 0), 2, "click", 2.0),    # 2 min from event 2 -> out of range
+            (12, _ts(9, 40), 1, "click", 3.0),   # pairs with event 3 (40 s)
+            (13, _ts(0, 20), 9, "click", 4.0),   # other key
+        ],
+    )
+    joined = stream_stream_join(
+        read_event_stream(spark, lsrc), read_event_stream(spark, rsrc)
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+    assert got == {(1, 10), (3, 12)}
+    # batch twin over the same static data
+    batch = stream_stream_join(
+        spark.read.parquet(lsrc).selectExpr(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ),
+        spark.read.parquet(rsrc).selectExpr(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ),
+    )
+    assert {
+        (r["l_event_id"], r["r_event_id"]) for r in batch.collect()
+    } == got
