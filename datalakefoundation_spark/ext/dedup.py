@@ -518,6 +518,97 @@ def decontamination(
     )
 
 
+def decontamination_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    exact_verify: bool = True,
+) -> DataFrame:
+    """Two-phase decontamination for benchmark suites too large to
+    broadcast as a raw shingle set.
+
+    Phase 1 screens the corpus against a BLOOM FILTER of the benchmark's
+    distinct shingles: the broadcast shrinks from the full shingle strings
+    (GBs for a large eval suite) to a fixed ``m_bits/8``-byte bit array
+    (128 KiB at the default 2^20 bits), and the membership test is pure
+    codegen (sha256 slices -> k bit probes). No false negatives by
+    construction; false-positive rate ~ (1 - e^(-k*n/m))^k.
+
+    Phase 2 (``exact_verify``) re-runs the exact shingle join ONLY for the
+    documents the screen flagged — at 100 TB the candidate subset is tiny,
+    so the expensive exact join touches a sliver of the corpus. Output then
+    matches :func:`decontamination` exactly (id, n_shared of true hits);
+    with ``exact_verify=False`` the screen's own per-doc candidate count is
+    returned as ``n_candidate`` (a superset signal).
+
+    Build-side collect is control-plane bounded: <= m_bits/64 (16 K) longs,
+    independent of benchmark size.
+    """
+    n_words = m_bits // 64
+
+    def _positions(col: Column) -> list[Column]:
+        h = F.sha2(col, 256)
+        # disjoint 15-hex-char (60-bit) digest slices -> k independent probes
+        return [
+            F.pmod(
+                F.conv(F.substring(h, 1 + 15 * i, 15), 16, 10).cast("long"),
+                F.lit(m_bits),
+            )
+            for i in range(k)
+        ]
+
+    spark = corpus.sparkSession
+    b = benchmark.select(
+        F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("__s")
+    ).distinct()
+    word_rows = (
+        b.select(F.explode(F.array(*_positions(F.col("__s")))).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            # shiftleft's numBits must be a column here -> SQL form
+            F.expr("shiftleft(1L, CAST(pmod(p, 64) AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    arr = [0] * n_words
+    for r in word_rows:
+        arr[r["w"]] = r["bits"]
+    bits_df = spark.createDataFrame([(arr,)], "__bloom array<long>")
+
+    c = ensure_compute_parallelism(corpus).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("__s"),
+    )
+    probed = c.crossJoin(F.broadcast(bits_df))
+    hit = None
+    for i in range(k):
+        # probe: (bloom[p div 64] >>> (p mod 64)) & 1 — pure codegen; SQL
+        # form because shiftrightunsigned's numBits arg must be a column
+        pos = (
+            f"pmod(CAST(conv(substring(sha2(__s, 256), {1 + 15 * i}, 15), 16, 10)"
+            f" AS BIGINT), {m_bits})"
+        )
+        cond = F.expr(
+            f"(shiftrightunsigned(element_at(__bloom, CAST(({pos}) / 64 AS INT) + 1),"
+            f" CAST(pmod({pos}, 64) AS INT)) & 1) = 1"
+        )
+        hit = cond if hit is None else (hit & cond)
+    candidates = probed.where(hit)
+    if not exact_verify:
+        return candidates.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_candidate")
+        )
+    flagged = candidates.select(id_col).distinct()
+    survivors = corpus.join(flagged, id_col, "left_semi")
+    return decontamination(survivors, benchmark, text_col, id_col, shingle_size)
+
+
 def decontamination_fraction(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -434,6 +434,22 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+
+def q_decontaminate_bloom(spark, sf_dir):
+    """Two-phase Bloom-screened decontamination (ext/dedup.py
+    decontamination_bloom): phase 1 probes a 2^20-bit filter of the
+    benchmark's distinct 5-grams (fixed 128 KiB broadcast instead of the
+    raw shingle set), phase 2 exact-verifies only the flagged docs — so
+    the result equals plain decontamination EXACTLY and shares its
+    oracle."""
+    docs = _docs(spark, sf_dir)
+    return D.decontamination_bloom(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        shingle_size=5,
+    )
+
+
 SQL_DECONTAMINATE = """
 WITH w0 AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
 iw AS (SELECT doc_id, source, w,
@@ -1205,6 +1221,7 @@ def q_bpe_token_count(spark, sf_dir):
 
 EXTRA = {
     "q_bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
+    "q_decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE),
     "q_bpe_token_count": (q_bpe_token_count, None),
     "q_importance_resample": (q_importance_resample, SQL_IMPORTANCE_RESAMPLE),
     "q_source_cap": (q_source_cap, SQL_SOURCE_CAP),

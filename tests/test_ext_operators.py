@@ -1500,3 +1500,40 @@ def test_reshard_shuffle_validate_rejects_bad_keys(spark):
         reshard_shuffle(nulls, "k", 4, validate=True)
     ok = spark.createDataFrame([(1, "a"), (2, "c")], ["k", "t"])
     assert reshard_shuffle(ok, "k", 4, validate=True).count() == 2
+
+
+def test_decontamination_bloom_matches_exact(spark, docs):
+    """The two-phase Bloom screen must return EXACTLY the plain
+    decontamination result (no false negatives by construction; phase 2
+    removes the screen's false positives), and the screen-only form must
+    be a superset of the true contaminated doc set."""
+    from pyspark.sql import functions as F
+
+    benchmark = docs.limit(20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    exact = {
+        (r["doc_id"], r["n_shared"])
+        for r in D.decontamination(docs, benchmark).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_shared"])
+        for r in D.decontamination_bloom(docs, benchmark).collect()
+    }
+    assert bloom == exact and len(exact) > 0
+    screen_ids = {
+        r["doc_id"]
+        for r in D.decontamination_bloom(
+            docs, benchmark, exact_verify=False
+        ).collect()
+    }
+    assert {d for d, _ in exact} <= screen_ids
+    # tiny filter: a 2^14-bit array must still screen correctly (more false
+    # positives, still zero false negatives after verify)
+    small = {
+        (r["doc_id"], r["n_shared"])
+        for r in D.decontamination_bloom(
+            docs, benchmark, m_bits=1 << 14, k=2
+        ).collect()
+    }
+    assert small == exact
