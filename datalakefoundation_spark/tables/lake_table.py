@@ -75,6 +75,14 @@ class Segment:
     # (the full Delta file-skipping analog; `stats` alone skips only whole
     # segments). None => unknown, read every file.
     files: dict[str, dict] | None = None
+    # True iff the recorded `partitions` ownership still covers every
+    # hive dir physically inside this segment's directory (set at write
+    # time, flipped to False forever once replace_partitions shrinks the
+    # segment's ownership). Ownership-full segments can be read WITHOUT a
+    # per-segment ownership filter — the batched multi-dir read path
+    # depends on this. Old manifests deserialize as False (conservative:
+    # per-segment read with dir-pruned ownership filters).
+    owns_all: bool = True
     # Deletion-vector refs (merge-on-read): entries {"dir": <data-relative
     # dir of key parquet>, "keys": [col, ...], "flag": <bool col or None>}.
     # A read of THIS segment anti-joins each entry's key projection
@@ -113,6 +121,7 @@ class Manifest:
                         "rows": s.rows,
                         "files": s.files,
                         "dv": s.dv,
+                        "owns_all": s.owns_all,
                     }
                     for s in self.segments
                 ],
@@ -138,6 +147,7 @@ class Manifest:
                     rows=s.get("rows"),
                     files=s.get("files"),
                     dv=list(s.get("dv") or []),
+                    owns_all=bool(s.get("owns_all", False)),
                 )
                 for s in obj.get("segments", [])
             ],
@@ -746,10 +756,19 @@ class LakeTable:
         # mergeSchema keeps unionByName(allowMissingColumns) semantics for
         # additively-evolved segments (old files read typed NULLs).
         # Per-segment reads remain where the semantics are per-segment:
-        # partition/bucket ownership filters (seg.partitions), dv masking,
-        # and stats-pruned partial file lists.
+        # partition/bucket ownership filters (seg.partitions) and
+        # stats-pruned partial file lists. Global-dv-masked tables (MoR
+        # with live patches — the case that accumulates segments FASTEST,
+        # one per trickle merge) also batch: the per-row commit version the
+        # mask join needs is derived from the segment dir name inside
+        # _metadata.file_path instead of a per-segment literal, provided
+        # every batched dir's version parses (else per-segment fallback).
         parts: list[DataFrame] = []
-        batched_dirs: list[str] = []
+        # two homogeneous batches: hive-layout segments (bucket/partition
+        # subdirs) cannot share one multi-path read with plain segments
+        # (Spark rejects conflicting directory structures)
+        batched_plain: list[str] = []
+        batched_hive: list[str] = []
         for seg in segs:
             base = f"{self.path}/{seg.dir}"
             whole_dir = True
@@ -772,11 +791,38 @@ class LakeTable:
                     )
             if (
                 whole_dir
-                and seg.partitions is None
+                # ownership-full segments need NO per-segment filter: plain
+                # segments own everything by definition, and BUCKET-layout
+                # segments whose recorded ownership still covers their
+                # physical dirs (owns_all — tracked in the manifest,
+                # flipped when replace_partitions shrinks them) read
+                # identically without it. Bucketed segments batch via their
+                # LEAF bucket dirs (multi-root hive discovery conflicts on
+                # the non-hive vNNNNN level), so the bucket column is not
+                # materialized — only keep_bucket=False reads qualify; the
+                # merge path (keep_bucket=True + bucket-pruned reads) keeps
+                # per-segment hive reads with real dir pruning. Real
+                # partitioned tables always read per-segment: their
+                # partition VALUES live in the dir names.
+                and (
+                    seg.partitions is None
+                    or (
+                        seg.owns_all
+                        and not keep_bucket
+                        and self.partition_by == [BUCKET_COL]
+                    )
+                )
                 and not (masks is None and seg.dv)
-                and not masks
+                and (not masks or _dir_version(seg.dir) is not None)
             ):
-                batched_dirs.append(base)
+                if seg.partitions is None:
+                    batched_plain.append(base)
+                else:
+                    batched_hive.extend(
+                        f"{base}/{d}"
+                        for d in self.fs.listdir(base)
+                        if d.startswith(f"{BUCKET_COL}=")
+                    )
                 continue
             if whole_dir:
                 df = self.spark.read.parquet(base)
@@ -790,16 +836,29 @@ class LakeTable:
                     SEG_V_COL, F.lit(_dir_version(seg.dir)).cast("long")
                 )
             parts.append(df)
-        if batched_dirs:
+        for batched_dirs in (batched_plain, batched_hive):
+            if not batched_dirs:
+                continue
             if len(batched_dirs) == 1:
-                parts.insert(0, self.spark.read.parquet(batched_dirs[0]))
+                bdf = self.spark.read.parquet(batched_dirs[0])
             else:
-                parts.insert(
-                    0,
-                    self.spark.read.option("mergeSchema", "true").parquet(
-                        *batched_dirs
-                    ),
+                bdf = self.spark.read.option("mergeSchema", "true").parquet(
+                    *batched_dirs
                 )
+            if masks:
+                # per-row commit version parsed from the segment dir inside
+                # the file path: the greedy '.*' pins the LAST
+                # '/data/vNNNNN' occurrence, which is this table's segment
+                # dir regardless of hive-subdir depth (bucketed/partitioned
+                # segments nest one level deeper than plain ones); segments
+                # whose dir doesn't parse were excluded from the batch
+                bdf = bdf.withColumn(
+                    SEG_V_COL,
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"), r".*/data/v(\d{5})", 1
+                    ).cast("long"),
+                )
+            parts.insert(0, bdf)
         if not parts:
             if not mf.segments:
                 raise FileNotFoundError(f"LakeTable has no segments: {self.path}")
@@ -871,7 +930,20 @@ class LakeTable:
         if not entries:
             return {}
         by_keys: dict[tuple, list[DataFrame]] = {}
+        # entry dirs whose name encodes their commit version batch into ONE
+        # multi-path read per (keys, flag) group — the per-entry reader
+        # loop made every live patch its own relation (O(patches) plan
+        # nodes on exactly the trickle-ingest path that accumulates
+        # patches fastest). The per-row version comes from the dir name
+        # via the same last-'/data/vNNNNN' regexp the batched data read
+        # uses; dirs carrying a persisted DV_V_COL (coalesced dvs) keep it
+        # via coalesce. Entries with an explicit version differing from
+        # their dir name fall back to the single-dir form.
+        batchable: dict[tuple, list[str]] = {}
         for d, (keys, flag, v) in entries.items():
+            if _dir_version(d) == v:
+                batchable.setdefault((keys, flag), []).append(d)
+                continue
             f = self.spark.read.parquet(f"{self.path}/{d}")
             if flag:
                 f = f.where(F.col(flag))
@@ -879,6 +951,63 @@ class LakeTable:
                 f = f.select(*keys, DV_V_COL)
             else:
                 f = f.select(*keys).withColumn(DV_V_COL, F.lit(v).cast("long"))
+            by_keys.setdefault(keys, []).append(f)
+        for (keys, flag), dirs in batchable.items():
+            # expand bucketed patch segments to their __dlf_bucket leaf
+            # dirs: multi-root reads reject mixed/hive structures, and leaf
+            # roots need no partition discovery. Dirs with any OTHER hive
+            # structure (real-partitioned patches — multi-level nesting,
+            # values live in dir names) read alone via single-root hive
+            # discovery instead of joining the batch.
+            paths: list[str] = []
+            alone: list[str] = []
+            for d in dirs:
+                base = f"{self.path}/{d}"
+                names = self.fs.listdir(base)
+                buckets = [n for n in names if n.startswith(f"{BUCKET_COL}=")]
+                other_hive = any(
+                    "=" in n and not n.startswith((BUCKET_COL, "_", "."))
+                    for n in names
+                )
+                if other_hive:
+                    alone.append(base)
+                elif buckets:
+                    paths.extend(f"{base}/{n}" for n in buckets)
+                else:
+                    paths.append(base)
+            for base in alone:
+                f = self.spark.read.parquet(base)
+                if flag and flag in f.columns:
+                    f = f.where(F.col(flag))
+                path_v = F.regexp_extract(
+                    F.col("_metadata.file_path"), r".*/data/v(\d{5})", 1
+                ).cast("long")
+                if DV_V_COL in f.columns:
+                    f = f.select(
+                        *keys, F.coalesce(F.col(DV_V_COL), path_v).alias(DV_V_COL)
+                    )
+                else:
+                    f = f.select(*keys, path_v.alias(DV_V_COL))
+                by_keys.setdefault(keys, []).append(f)
+            if not paths:
+                continue
+            if len(paths) == 1:
+                f = self.spark.read.parquet(paths[0])
+            else:
+                f = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            if flag and flag in f.columns:
+                # NULL flag (row from a dir without the column, or a
+                # non-masking patch row) correctly drops from the mask
+                f = f.where(F.col(flag))
+            path_v = F.regexp_extract(
+                F.col("_metadata.file_path"), r".*/data/v(\d{5})", 1
+            ).cast("long")
+            if DV_V_COL in f.columns:
+                f = f.select(
+                    *keys, F.coalesce(F.col(DV_V_COL), path_v).alias(DV_V_COL)
+                )
+            else:
+                f = f.select(*keys, path_v.alias(DV_V_COL))
             by_keys.setdefault(keys, []).append(f)
         masks: dict[tuple, DataFrame] = {}
         for keys, frames in by_keys.items():
@@ -991,6 +1120,7 @@ class LakeTable:
                         Segment(
                             seg.dir, kept, stats=seg.stats, rows=seg.rows,
                             files=seg.files, dv=list(seg.dv or []),
+                            owns_all=seg.owns_all and len(kept) == len(seg.partitions),
                         )
                     )
             segments.append(Segment(seg_rel, new_pvs, stats=stats, rows=rows, files=fstats))
@@ -1320,6 +1450,7 @@ class LakeTable:
                     Segment(
                         seg.dir, kept, stats=seg.stats, rows=seg.rows,
                         files=seg.files, dv=list(seg.dv or []),
+                        owns_all=seg.owns_all and len(kept) == len(seg.partitions),
                     )
                 )
         segments.append(
@@ -1374,7 +1505,7 @@ class LakeTable:
         segments = [
             Segment(
                 s.dir, s.partitions, stats=s.stats, rows=s.rows, files=s.files,
-                dv=list(s.dv or []) + [entry],
+                dv=list(s.dv or []) + [entry], owns_all=s.owns_all,
             )
             for s in mf.segments
         ]
@@ -1455,6 +1586,7 @@ class LakeTable:
                 Segment(
                     s.dir, s.partitions, stats=s.stats, rows=s.rows,
                     files=s.files, dv=list(merged_cache[sig]),
+                    owns_all=s.owns_all,
                 )
             )
         return out
@@ -1475,7 +1607,7 @@ class LakeTable:
         segments = [
             Segment(
                 s.dir, s.partitions, stats=s.stats, rows=s.rows, files=s.files,
-                dv=list(s.dv or []) + [entry],
+                dv=list(s.dv or []) + [entry], owns_all=s.owns_all,
             )
             for s in mf.segments
         ]
@@ -1654,6 +1786,7 @@ class LakeTable:
                         Segment(
                             s.dir, s.partitions, stats=s.stats, rows=s.rows,
                             files=s.files, dv=list(s.dv or []),
+                            owns_all=s.owns_all,
                         )
                         for s in src.segments
                     ],
