@@ -742,3 +742,106 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# ------------------------------------------------------------ embedding prep
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = clamp(round_half_up(x_i / scale), ±127)`` — the standard
+    storage/bandwidth reducer before ANN indexing (4x smaller than f32,
+    8x than f64; IVF/LSH recall loss is negligible at 8 bits).
+
+    One elementwise projection, no shuffle, no Python. Every step is
+    IEEE-exact (float→double widening, double divide, floor) so the
+    DuckDB oracle computes bit-identical q-vectors; round-half-up is
+    spelled ``floor(x + 0.5)`` because the engines' ``round`` tie rules
+    differ. An all-zero vector quantizes to zeros with scale 0.
+    """
+    m = f"array_max(transform({vec_col}, x -> abs(cast(x as double))))"
+    qvec = F.expr(
+        f"transform({vec_col}, x -> CASE WHEN {m} = 0.0d THEN 0 ELSE "
+        f"cast(greatest(cast(-127 as bigint), least(cast(127 as bigint), "
+        f"cast(floor(cast(x as double) / (({m}) / 127.0d) + 0.5d) as bigint))) as int) END)"
+    )
+    return df.select(
+        F.col(id_col),
+        (F.expr(m) / F.lit(127.0)).alias("scale"),
+        qvec.alias("qvec"),
+    )
+
+
+# Deterministic ±1 projection sign for (input dim i, output dim j): parity
+# of a mixed congruential hash. Identical integer arithmetic is embedded in
+# the DuckDB oracle — keep the three constants in sync with
+# verification.ext_queries.SQL_RANDOM_PROJECTION.
+_RP_SIGN = "(1 - 2 * ((i * 40503 + j * 9973 + i * j * 65537) % 97 % 2))"
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    in_dim: int = 64,
+    out_dim: int = 8,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Signed random projection to ``out_dim`` dims over fixed-point inputs
+    (Achlioptas-style ±1 matrix) — the cheap dimensionality reducer ahead
+    of clustering / LSH when 64-float embeddings are still too wide.
+
+    Inputs are first fixed-pointed (``s_i = round_half_up(x_i * 1000)`` as
+    int64) so the projection is pure integer math: bit-exact across
+    engines AND across summation orders, which float dot products are not.
+    The ±1 matrix entry for (i, j) is the parity of a mixed congruential
+    hash of (i, j) — deterministic, never materialized.
+
+    ``impl="arrow"`` (default, the scale path) computes all vectors in a
+    batched numpy int64 matmul inside ``mapInPandas`` — Spark's
+    higher-order ``aggregate``/``transform`` are CodegenFallback
+    (interpreted per element), and a D×J matmul per row is exactly the
+    shape vectorization wins; justified per the UDF policy. ``impl="expr"``
+    is the pure-SQL twin used to cross-check the Arrow path (equivalence
+    test) and to generate the oracle spec. Output: one row per
+    (``vec_id``, projection dim ``j``) with integer component ``y`` — no
+    shuffle either way; partition-local projection.
+    """
+    if impl == "expr":
+        yvec = F.expr(
+            f"transform(sequence(0, {out_dim - 1}), j -> "
+            f"aggregate(sequence(0, {in_dim - 1}), cast(0 as bigint), (acc, i) -> "
+            f"acc + cast({_RP_SIGN} as bigint) * "
+            f"cast(floor(cast(element_at({vec_col}, i + 1) as double) * 1000.0d + 0.5d) as bigint)))"
+        )
+        return df.select(F.col(id_col), F.posexplode(yvec).alias("j", "y"))
+    if impl != "arrow":
+        raise ValueError(f"impl must be 'arrow' or 'expr': {impl!r}")
+    i_idx = np.arange(in_dim).reshape(-1, 1)
+    j_idx = np.arange(out_dim).reshape(1, -1)
+    signs = 1 - 2 * ((i_idx * 40503 + j_idx * 9973 + i_idx * j_idx * 65537) % 97 % 2)
+    signs = signs.astype(np.int64)  # (in_dim, out_dim)
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    out_schema = f"{id_col} long, j int, y long"
+
+    def _project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float32) for v in pdf["__v"]],
+                dtype=np.float32,
+            ).astype(np.float64)
+            s = np.floor(x * 1000.0 + 0.5).astype(np.int64)  # (n, in_dim)
+            y = s @ signs  # (n, out_dim) int64 exact
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf["__id"].to_numpy(), out_dim),
+                    "j": np.tile(np.arange(out_dim, dtype=np.int32), n),
+                    "y": y.reshape(-1),
+                }
+            )
+
+    return ensure_compute_parallelism(src).mapInPandas(_project, out_schema)

@@ -366,3 +366,39 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(*out_cols, "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document into fixed-size overlapping character chunks —
+    the standard pre-tokenization step for training-sequence prep and
+    chunk-level embedding/near-dup pipelines.
+
+    Chunk ``i`` covers ``[i*stride, i*stride + size)`` with
+    ``stride = size - overlap``; the last chunk may be shorter, and a
+    document shorter than ``size`` yields exactly one chunk. The whole
+    operation is one generated-column projection + ``posexplode`` — no
+    shuffle, no Python; at 100 TB it runs at parquet-scan speed and the
+    output inherits the input partitioning (each task explodes only its
+    own rows).
+
+    The chunk count/offset arithmetic uses IEEE double division + ceil so
+    the DuckDB oracle (generate_series + substring) computes the identical
+    boundaries (see verification.ext_queries.SQL_CHUNK_DOCUMENTS).
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
+    stride = size - overlap
+    chunks = F.expr(
+        f"transform(sequence(0, greatest(0, cast(ceil((length({text_col}) - {size})"
+        f" / cast({stride} as double)) as int))),"
+        f" i -> substring({text_col}, i * {stride} + 1, {size}))"
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    ).withColumn("chunk_chars", F.length("chunk_text"))

@@ -188,6 +188,65 @@ WHERE {_COS} >= 0.45
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    return TX.chunk_documents(_docs(spark, sf_dir), size=128, overlap=32)
+
+
+# stride = size - overlap = 96; identical ceil/double boundary arithmetic
+SQL_CHUNK_DOCUMENTS = """
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(0,
+           CAST(ceil((length(text) - 128) / CAST(96 AS DOUBLE)) AS INT)))) AS i
+  FROM documents)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       substring(text, CAST(i AS INT) * 96 + 1, 128) AS chunk_text,
+       length(substring(text, CAST(i AS INT) * 96 + 1, 128)) AS chunk_chars
+FROM c
+"""
+
+
+def q_embedding_quantize(spark, sf_dir):
+    return SIM.quantize_embeddings(_embs(spark, sf_dir))
+
+
+# mirrors quantize_embeddings step-for-step: float->double widening, max|x|,
+# scale = m/127, round-half-up via floor(x/scale + 0.5), clamp to ±127
+SQL_EMBEDDING_QUANTIZE = """
+WITH m AS (
+  SELECT vec_id, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+  FROM embeddings)
+SELECT e.vec_id, m.m / 127.0 AS scale,
+  list_transform(e.embedding, x -> CASE WHEN m.m = 0 THEN 0 ELSE
+    CAST(greatest(-127, least(127,
+      CAST(floor(CAST(x AS DOUBLE) / (m.m / 127.0) + 0.5) AS BIGINT))) AS INT) END) AS qvec
+FROM embeddings e JOIN m USING (vec_id)
+"""
+
+
+def q_random_projection(spark, sf_dir):
+    # arrow impl: the scale path (numpy int64 matmul); the expr twin is
+    # equivalence-tested against it in tests/test_ext_operators.py
+    return SIM.random_projection(_embs(spark, sf_dir), impl="arrow")
+
+
+# sign constants (40503/9973/65537 mod 97 mod 2) must stay in sync with
+# similarity._RP_SIGN; fixed-point s_i = floor(x_i*1000 + 0.5) keeps the
+# whole projection in exact integer arithmetic (order-independent sums)
+SQL_RANDOM_PROJECTION = """
+WITH elems AS (
+  SELECT vec_id, embedding, unnest(generate_series(0, 63)) AS i FROM embeddings),
+ s AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS i,
+         CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS s
+  FROM elems),
+ ej AS (SELECT s.*, unnest(generate_series(0, 7)) AS j FROM s)
+SELECT vec_id, CAST(j AS INT) AS j,
+       CAST(SUM((1 - 2 * ((i * 40503 + j * 9973 + i * j * 65537) % 97 % 2)) * s) AS BIGINT) AS y
+FROM ej GROUP BY vec_id, j
+"""
+
+
 def q_knn_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % 50 == 0)
@@ -1246,6 +1305,9 @@ EXTRA = {
     "q_lang_id": (q_lang_id, SQL_LANG_ID),
     "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "q_embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "q_chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "q_embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "q_random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
 }
 
 

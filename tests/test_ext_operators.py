@@ -1537,3 +1537,119 @@ def test_decontamination_bloom_matches_exact(spark, docs):
         ).collect()
     }
     assert small == exact
+
+
+def test_chunk_documents_covers_and_reconstructs(spark, docs):
+    size, overlap, stride = 128, 32, 96
+    out = TX.chunk_documents(docs, size=size, overlap=overlap).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        text = texts[doc_id]
+        # indices are contiguous from 0 and each chunk is the exact slice
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        for r in rows:
+            start = r["chunk_idx"] * stride
+            assert r["chunk_text"] == text[start : start + size]
+            assert r["chunk_chars"] == len(r["chunk_text"])
+        # stripping the overlap from every chunk after the first
+        # reconstructs the document exactly
+        rebuilt = rows[0]["chunk_text"] + "".join(
+            r["chunk_text"][overlap:] for r in rows[1:]
+        )
+        assert rebuilt == text
+        # every chunk except the last is full-size; the tail is non-empty
+        assert all(r["chunk_chars"] == size for r in rows[:-1])
+        assert rows[-1]["chunk_chars"] >= 1
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "tiny"), (2, "x" * 128)], "doc_id long, text string")
+    rows = TX.chunk_documents(df, size=128, overlap=32).collect()
+    assert sorted((r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in rows) == [
+        (1, 0, "tiny"),
+        (2, 0, "x" * 128),
+    ]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark, docs):
+    with pytest.raises(ValueError):
+        TX.chunk_documents(docs, size=64, overlap=64)
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark, embs):
+    out = SIM.quantize_embeddings(embs).collect()
+    orig = {r["vec_id"]: r["embedding"] for r in embs.collect()}
+    assert len(out) == len(orig)
+    for r in out:
+        x = orig[r["vec_id"]]
+        q, scale = r["qvec"], r["scale"]
+        assert len(q) == len(x)
+        assert all(-127 <= v <= 127 for v in q)
+        m = max(abs(v) for v in x)
+        if m == 0:
+            assert scale == 0 and all(v == 0 for v in q)
+            continue
+        assert scale == pytest.approx(m / 127.0)
+        for qi, xi in zip(q, x):
+            # round-half-up to the nearest scale step: error <= scale/2
+            assert abs(qi * scale - xi) <= scale / 2 + 1e-12
+
+
+def test_quantize_embeddings_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in SIM.quantize_embeddings(df).collect()}
+    assert rows[1]["scale"] == 0.0 and rows[1]["qvec"] == [0, 0, 0]
+    assert rows[2]["qvec"] == [64, -127, 32]  # scale = 2/127
+
+
+def test_random_projection_arrow_matches_expr(spark, embs):
+    """The numpy-matmul scale path and the pure-SQL spec twin must be
+    bit-identical — integer fixed-point math makes this exact, not
+    approximate."""
+    a = {
+        (r["vec_id"], r["j"]): r["y"]
+        for r in SIM.random_projection(embs, impl="arrow").collect()
+    }
+    e = {
+        (r["vec_id"], r["j"]): r["y"]
+        for r in SIM.random_projection(embs, impl="expr").collect()
+    }
+    assert a == e
+    assert len(a) == embs.count() * 8
+
+
+def test_random_projection_preserves_similar_pairs(spark, embs):
+    """Near-identical vectors must land near each other in projected space
+    (sanity that the projection is structure-preserving, not degenerate)."""
+    import math
+
+    base = embs.limit(1).collect()[0]
+    twin = [v + 0.001 for v in base["embedding"]]
+    df = spark.createDataFrame(
+        [(1, base["embedding"]), (2, twin)], "vec_id long, embedding array<float>"
+    )
+    ys = {
+        (r["vec_id"], r["j"]): r["y"]
+        for r in SIM.random_projection(df).collect()
+    }
+    va = [ys[(1, j)] for j in range(8)]
+    vb = [ys[(2, j)] for j in range(8)]
+    na, nb = math.sqrt(sum(v * v for v in va)), math.sqrt(sum(v * v for v in vb))
+    assert na > 0 and nb > 0
+    cos = sum(x * y for x, y in zip(va, vb)) / (na * nb)
+    assert cos > 0.99
+    # and the projection does not collapse everything to one direction:
+    # distinct source vectors produce distinct projections
+    all_ys = SIM.random_projection(embs).groupBy("vec_id").agg(
+        F.collect_list("y").alias("ys")
+    )
+    distinct = all_ys.select(F.countDistinct(F.concat_ws(",", "ys")).alias("n")).collect()[0]["n"]
+    assert distinct > embs.count() * 0.9
