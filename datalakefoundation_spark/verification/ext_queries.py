@@ -247,6 +247,31 @@ FROM ej GROUP BY vec_id, j
 """
 
 
+def q_event_rollup(spark, sf_dir):
+    """Day-level continuous-aggregate computed through the FULL cascade
+    (raw -> minute -> hour -> day) — the oracle aggregates raw directly,
+    so a pass proves the partial-agg state re-aggregates exactly."""
+    from datalakefoundation_spark.ext import rollup as RU
+    from datalakefoundation_spark.verification.core_queries import read_events
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    levels = RU.rollup_cascade(ev)
+    return RU.finalize(levels[RU.DAY_US])
+
+
+SQL_EVENT_ROLLUP = """
+SELECT epoch_us(ts) // 86400000000 * 86400000000 AS bucket_start_us,
+       event_type, count(*) AS n_events,
+       min(value) AS min_value, max(value) AS max_value,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value
+FROM events
+GROUP BY bucket_start_us, event_type
+"""
+
+
 def q_knn_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % 50 == 0)
@@ -1308,6 +1333,7 @@ EXTRA = {
     "q_chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "q_embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "q_random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
+    "q_event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
 }
 
 

@@ -1653,3 +1653,52 @@ def test_random_projection_preserves_similar_pairs(spark, embs):
     )
     distinct = all_ys.select(F.countDistinct(F.concat_ws(",", "ys")).alias("n")).collect()[0]["n"]
     assert distinct > embs.count() * 0.9
+
+
+def test_rollup_cascade_matches_direct_agg_every_level(spark):
+    """Each cascade level must equal the direct aggregation of raw data at
+    that resolution — the re-aggregatable-partial-state property."""
+    from datalakefoundation_spark.ext import rollup as RU
+    from datalakefoundation_spark.verification.core_queries import read_events
+
+    ev = read_events(spark, SF).withColumn("ts_us", F.expr("ts_ns div 1000")).cache()
+    levels = RU.rollup_cascade(ev)
+    assert list(levels) == [RU.MINUTE_US, RU.HOUR_US, RU.DAY_US]
+    for width, level in levels.items():
+        direct = ev.groupBy(
+            (F.col("ts_us") - F.col("ts_us") % width).alias("bucket_start_us"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        got = {tuple(r) for r in level.collect()}
+        want = {tuple(r) for r in direct.collect()}
+        assert got == want, f"level {width} diverges from direct agg"
+
+
+def test_rollup_cascade_scans_raw_once(spark):
+    """The coarse levels' plans must read the finer level, not raw events:
+    the day plan contains exactly ONE scan of the raw relation."""
+    from datalakefoundation_spark.ext import rollup as RU
+    from datalakefoundation_spark.verification.core_queries import read_events
+
+    ev = read_events(spark, SF).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    day = RU.rollup_cascade(ev)[RU.DAY_US]
+    plan = day._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation [") == 1
+    # and three aggregation levels are stacked (minute -> hour -> day)
+    assert plan.count("Aggregate") == 3
+
+
+def test_rollup_rejects_non_nested_resolutions(spark):
+    from datalakefoundation_spark.ext import rollup as RU
+    from datalakefoundation_spark.verification.core_queries import read_events
+
+    ev = read_events(spark, SF).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    with pytest.raises(ValueError):
+        RU.rollup_cascade(ev, resolutions_us=(60, 90))
+    with pytest.raises(ValueError):
+        RU.rollup_cascade(ev, resolutions_us=(3600, 60))
