@@ -89,3 +89,92 @@ def finalize(level: DataFrame) -> DataFrame:
         F.col("sum_dec").cast("double").alias("sum_value"),
         (F.col("sum_dec").cast("double") / F.col("n_events")).alias("avg_value"),
     )
+
+
+def refresh_rollup(
+    raw: DataFrame,
+    stored: dict[int, DataFrame],
+    changed: DataFrame,
+    ts_us_col: str = "ts_us",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> dict[int, DataFrame]:
+    """Incrementally maintain a persisted rollup ladder after raw-table
+    churn — the continuous-aggregate refresh half of the hypertable analog.
+
+    ``changed`` is any DataFrame carrying the churned rows' ``(ts_us,
+    *key_cols)`` — e.g. the union of pre- and post-images from
+    ``tables.changes.change_feed``. Because ``min``/``max`` are not
+    invertible under deletes, the refresh RECOMPUTES affected groups
+    rather than folding ±deltas (the `tables/incremental.py` trick only
+    works for count/sum): the affected finest-level (bucket, key) groups
+    are re-aggregated from ``raw`` via one broadcast semi-join (at 100 TB
+    this scan is partition-pruned to the touched time range — the bucket
+    key IS the partition key of a time-partitioned events table), then
+    each coarser level re-aggregates only its affected buckets from the
+    refreshed finer level. Cost at every level ∝ churn, never table size;
+    untouched buckets are carried over by anti-join, byte-identical.
+
+    Returns the refreshed ladder (same partial-state schema as
+    ``rollup_cascade``); equivalence to a from-scratch rebuild is
+    property-tested under inserts, deletes, and updates."""
+    keys = list(key_cols)
+    resolutions = sorted(stored)
+    finest = resolutions[0]
+    for a, b in zip(resolutions, resolutions[1:]):
+        if b % a != 0:
+            raise ValueError(f"stored resolutions must nest: {a} !| {b}")
+    affected = changed.select(
+        _bucket(F.col(ts_us_col), finest), *keys
+    ).distinct()
+    fresh_src = raw.join(
+        F.broadcast(affected),
+        on=[
+            raw[ts_us_col] - raw[ts_us_col] % finest
+            == affected["bucket_start_us"],
+            *[raw[k] == affected[k] for k in keys],
+        ],
+        how="leftsemi",
+    )
+    fresh = rollup_cascade(
+        fresh_src, ts_us_col, tuple(keys), value_col, (finest,)
+    )[finest]
+    out: dict[int, DataFrame] = {}
+    level = stored[finest].join(
+        F.broadcast(affected), on=["bucket_start_us", *keys], how="left_anti"
+    ).unionByName(fresh)
+    out[finest] = level
+    prev_affected = affected
+    prev_width = finest
+    for width in resolutions[1:]:
+        affected_w = prev_affected.select(
+            _bucket(F.col("bucket_start_us"), width), *keys
+        ).distinct()
+        # recompute the affected coarse groups from the REFRESHED finer
+        # level (all finer buckets inside an affected coarse bucket, not
+        # only the churned ones — the coarse group must re-aggregate its
+        # full extent)
+        fine_in = out[prev_width].alias("f").join(
+            F.broadcast(affected_w).alias("c"),
+            on=[
+                F.col("f.bucket_start_us") - F.col("f.bucket_start_us") % width
+                == F.col("c.bucket_start_us"),
+                *[F.col(f"f.{k}") == F.col(f"c.{k}") for k in keys],
+            ],
+            how="leftsemi",
+        )
+        fresh_w = fine_in.groupBy(
+            _bucket(F.col("bucket_start_us"), width), *keys
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        level = stored[width].join(
+            F.broadcast(affected_w), on=["bucket_start_us", *keys], how="left_anti"
+        ).unionByName(fresh_w)
+        out[width] = level
+        prev_affected = affected_w
+        prev_width = width
+    return out

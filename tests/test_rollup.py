@@ -1,0 +1,131 @@
+"""Incremental rollup (continuous-aggregate) maintenance: refresh_rollup
+must produce byte-identical state to a from-scratch rollup_cascade rebuild
+under inserts, deletes, updates, and group-migrating updates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakefoundation_spark.ext import rollup as RU
+from datalakefoundation_spark.tables.changes import compute_changes
+from datalakefoundation_spark.verification.core_queries import read_events
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return (
+        read_events(spark, SF)
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .select("event_id", "ts_us", "event_type", "value")
+        .cache()
+    )
+
+
+def _levels_equal(a, b, label):
+    ga = {tuple(r) for r in a.collect()}
+    gb = {tuple(r) for r in b.collect()}
+    assert ga == gb, f"{label}: refresh diverges from full rebuild"
+
+
+def _apply_churn(spark, events):
+    """inserts + deletes + plain updates + a ts-migrating update."""
+    ids = [r["event_id"] for r in events.select("event_id").orderBy("event_id").limit(40).collect()]
+    delete_ids = ids[:10]
+    update_ids = ids[10:20]
+    migrate_ids = ids[20:25]
+    base = events.where(~F.col("event_id").isin(delete_ids))
+    base = base.withColumn(
+        "value",
+        F.when(F.col("event_id").isin(update_ids), F.col("value") * 3 + 1).otherwise(
+            F.col("value")
+        ),
+    )
+    # migrate across buckets AND event_type: pre- and post-image land in
+    # different (bucket, key) groups
+    base = base.withColumn(
+        "ts_us",
+        F.when(
+            F.col("event_id").isin(migrate_ids),
+            F.col("ts_us") + F.lit(2 * RU.DAY_US),
+        ).otherwise(F.col("ts_us")),
+    ).withColumn(
+        "event_type",
+        F.when(F.col("event_id").isin(migrate_ids), F.lit("migrated")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    inserts = spark.createDataFrame(
+        [
+            (9_000_001, 1_700_000_000_000_000, "purchase", 12.5),
+            (9_000_002, 1_700_000_000_000_000 + RU.HOUR_US, "newtype", -3.25),
+        ],
+        "event_id long, ts_us long, event_type string, value double",
+    )
+    return base.unionByName(inserts).cache()
+
+
+def test_refresh_rollup_equals_full_rebuild(spark, events):
+    stored = {w: lv.cache() for w, lv in RU.rollup_cascade(events).items()}
+    after = _apply_churn(spark, events)
+    feed = compute_changes(events, after, pk="event_id")
+    refreshed = RU.refresh_rollup(after, stored, feed)
+    expected = RU.rollup_cascade(after)
+    assert set(refreshed) == set(expected)
+    for width in expected:
+        _levels_equal(refreshed[width], expected[width], f"width={width}")
+
+
+def test_refresh_rollup_noop_feed_is_identity(spark, events):
+    stored = {w: lv.cache() for w, lv in RU.rollup_cascade(events).items()}
+    empty = compute_changes(events, events, pk="event_id")
+    assert empty.count() == 0
+    refreshed = RU.refresh_rollup(events, stored, empty)
+    for width, lv in stored.items():
+        _levels_equal(refreshed[width], lv, f"noop width={width}")
+
+
+def test_refresh_rollup_recomputes_only_affected_raw_groups(spark, events):
+    """The raw-side recompute input must be limited to the churned
+    (bucket, key) groups — cost ∝ churn, not table size."""
+    after = _apply_churn(spark, events)
+    feed = compute_changes(events, after, pk="event_id")
+    affected = feed.select(
+        (F.col("ts_us") - F.col("ts_us") % RU.MINUTE_US).alias("b"), "event_type"
+    ).distinct()
+    n_affected_rows = (
+        after.join(
+            affected,
+            on=[
+                after["ts_us"] - after["ts_us"] % RU.MINUTE_US == affected["b"],
+                after["event_type"] == affected["event_type"],
+            ],
+            how="leftsemi",
+        )
+    ).count()
+    assert n_affected_rows < after.count() * 0.5, (
+        "fixture churn unexpectedly touches most of the table; "
+        "the proportionality assertion below would be vacuous"
+    )
+    # the refreshed finest level differs from stored ONLY on affected groups
+    stored = {w: lv.cache() for w, lv in RU.rollup_cascade(events).items()}
+    refreshed = RU.refresh_rollup(after, stored, feed)
+    untouched_before = stored[RU.MINUTE_US].join(
+        affected.withColumnRenamed("b", "bucket_start_us"),
+        on=["bucket_start_us", "event_type"],
+        how="left_anti",
+    )
+    untouched_after = refreshed[RU.MINUTE_US].join(
+        affected.withColumnRenamed("b", "bucket_start_us"),
+        on=["bucket_start_us", "event_type"],
+        how="left_anti",
+    )
+    _levels_equal(untouched_before, untouched_after, "untouched carried over")
+
+
+def test_refresh_rollup_rejects_non_nested_store(spark, events):
+    stored = RU.rollup_cascade(events, resolutions_us=(RU.MINUTE_US,))
+    stored[90_000_000] = stored[RU.MINUTE_US]
+    feed = compute_changes(events, events, pk="event_id")
+    with pytest.raises(ValueError):
+        RU.refresh_rollup(events, stored, feed)
