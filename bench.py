@@ -64,6 +64,10 @@ HEADLINE = [
     "q_quality_filter",
     "q_stratified_sample",
     "q_vocab_topk",
+    "q_chunk_documents",
+    "q_embedding_quantize",
+    "q_random_projection",
+    "q_event_rollup",
 ]
 
 
