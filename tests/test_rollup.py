@@ -123,6 +123,62 @@ def test_refresh_rollup_recomputes_only_affected_raw_groups(spark, events):
     _levels_equal(untouched_before, untouched_after, "untouched carried over")
 
 
+def test_refresh_rollup_lake_equals_rebuild(spark, events, tmp_path):
+    """Ladder persisted as LakeTables, maintained with patch-only writes:
+    post-refresh table contents must equal a from-scratch rebuild."""
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    tables = {
+        w: LakeTable(spark, str(tmp_path / f"lv_{w}"))
+        for w in (RU.MINUTE_US, RU.HOUR_US, RU.DAY_US)
+    }
+    RU.build_rollup_lake(events, tables)
+    after = _apply_churn(spark, events)
+    feed = compute_changes(events, after, pk="event_id")
+    metrics = RU.refresh_rollup_lake(after, tables, feed)
+    expected = RU.rollup_cascade(after)
+    for w in expected:
+        got = tables[w].read().select(*expected[w].columns)
+        _levels_equal(got, expected[w], f"lake width={w}")
+    assert metrics[RU.MINUTE_US]["patched"] > 0
+    # write cost is the patch, not the level: the refresh commit's segment
+    # rows must be ≈ affected groups, far below the full level row count
+    assert metrics[RU.MINUTE_US]["patched"] < tables[RU.MINUTE_US].read().count()
+
+
+def test_refresh_rollup_lake_vanished_group(spark, tmp_path):
+    """Deleting every event of a (bucket, key) group must remove the group
+    row from every level (the delete_keys leg)."""
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    t0 = 1_700_000_000_000_000
+    base = spark.createDataFrame(
+        [
+            (1, t0, "solo", 1.0),
+            (2, t0 + 1_000_000, "solo", 2.0),
+            (3, t0, "keep", 5.0),
+            (4, t0 + RU.DAY_US, "keep", 7.0),
+        ],
+        "event_id long, ts_us long, event_type string, value double",
+    )
+    tables = {
+        w: LakeTable(spark, str(tmp_path / f"v_{w}"))
+        for w in (RU.MINUTE_US, RU.HOUR_US, RU.DAY_US)
+    }
+    RU.build_rollup_lake(base, tables)
+    after = base.where(F.col("event_type") != "solo")
+    feed = compute_changes(base, after, pk="event_id")
+    metrics = RU.refresh_rollup_lake(after, tables, feed)
+    assert metrics[RU.MINUTE_US]["deleted"] == 1
+    for w in tables:
+        rows = tables[w].read().where(F.col("event_type") == "solo").count()
+        assert rows == 0, f"width={w}: vanished group still visible"
+        expected = RU.rollup_cascade(after, resolutions_us=(w,))[w]
+        _levels_equal(
+            tables[w].read().select(*expected.columns), expected, f"width={w}"
+        )
+
+
 def test_refresh_rollup_rejects_non_nested_store(spark, events):
     stored = RU.rollup_cascade(events, resolutions_us=(RU.MINUTE_US,))
     stored[90_000_000] = stored[RU.MINUTE_US]
