@@ -355,3 +355,67 @@ def stream_dedup_index(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_rollup(
+    events: DataFrame,
+    tables: dict,
+    checkpoint: str,
+    ts_us_col: str = "ts_us",
+    key_cols: tuple = ("event_type",),
+    value_col: str = "value",
+    trigger_available_now: bool = True,
+    distinct_col: str | None = None,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Continuous-aggregate head: fold an insert-only event stream into a
+    LakeTable rollup ladder (``ext.rollup``) via ``foreachBatch``. The
+    partial states are commutative monoids, so each micro-batch folds as
+    one union + re-agg of batch-sized inputs per level
+    (``fold_rollup_inserts``) — no raw-table scan, write cost ∝ batch.
+
+    Exactly-once across restarts: foreachBatch replays at-least-once, and
+    a replayed batch may have already folded SOME levels (a crash between
+    level commits). Each level's commit is stamped with a
+    (stream-id, batch-id) replay key in its manifest metrics; on replay,
+    stamped levels are skipped, so every level converges to exactly one
+    fold per batch. The stream id derives from the checkpoint location
+    (batch ids restart at 0 for a new checkpoint — a raw batch_id key
+    would alias streams). Replay keys live in manifest history: vacuum
+    retention must cover the checkpoint-recovery horizon (it does by
+    default — retention is hours, recovery replays the last batch)."""
+    import hashlib
+
+    from datalakefoundation_spark.ext.rollup import fold_rollup_inserts
+
+    stream_id = hashlib.sha256(checkpoint.encode()).hexdigest()[:16]
+
+    def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        replay_key = f"{stream_id}:{batch_id}"
+        skip = tuple(
+            w
+            for w, t in tables.items()
+            if t.exists()
+            and any(
+                (m.metrics or {}).get("__replay_key") == replay_key
+                for m in t.history()
+            )
+        )
+        fold_rollup_inserts(
+            batch_df,
+            tables,
+            ts_us_col,
+            tuple(key_cols),
+            value_col,
+            commit_metrics={"__replay_key": replay_key},
+            skip_levels=skip,
+            distinct_col=distinct_col,
+        )
+
+    writer = events.writeStream.foreachBatch(_fold_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -168,7 +168,9 @@ def test_refresh_rollup_lake_vanished_group(spark, tmp_path):
     RU.build_rollup_lake(base, tables)
     after = base.where(F.col("event_type") != "solo")
     feed = compute_changes(base, after, pk="event_id")
-    metrics = RU.refresh_rollup_lake(after, tables, feed)
+    # threshold > 1 disables the adaptive rebuild: this test exercises the
+    # patch + delete_keys legs, which a 4-row fixture would otherwise skip
+    metrics = RU.refresh_rollup_lake(after, tables, feed, rebuild_threshold=2.0)
     assert metrics[RU.MINUTE_US]["deleted"] == 1
     for w in tables:
         rows = tables[w].read().where(F.col("event_type") == "solo").count()
@@ -177,6 +179,174 @@ def test_refresh_rollup_lake_vanished_group(spark, tmp_path):
         _levels_equal(
             tables[w].read().select(*expected.columns), expected, f"width={w}"
         )
+
+
+def test_refresh_rollup_lake_adaptive_rebuild(spark, events, tmp_path):
+    """When churn touches ≥ threshold of a level's groups, the level must
+    be rebuilt wholesale (one overwrite commit) — and still match."""
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    tables = {
+        w: LakeTable(spark, str(tmp_path / f"a_{w}"))
+        for w in (RU.MINUTE_US, RU.HOUR_US, RU.DAY_US)
+    }
+    RU.build_rollup_lake(events, tables)
+    # churn EVERY row: worst-case scattered update
+    after = events.withColumn("value", F.col("value") + 1.0)
+    feed = compute_changes(events, after, pk="event_id")
+    metrics = RU.refresh_rollup_lake(after, tables, feed)
+    assert all(m["rebuilt"] for m in metrics.values()), metrics
+    assert all(
+        t.latest_manifest().operation == "rollup_rebuild" for t in tables.values()
+    )
+    expected = RU.rollup_cascade(after)
+    for w in expected:
+        got = tables[w].read().select(*expected[w].columns)
+        _levels_equal(got, expected[w], f"adaptive width={w}")
+
+
+def test_fold_rollup_inserts_equals_rebuild(spark, events, tmp_path):
+    """Insert-only fold: ladder after folding a batch must equal a rebuild
+    over base ∪ batch — including brand-new groups and min/max movement."""
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    tables = {
+        w: LakeTable(spark, str(tmp_path / f"f_{w}"))
+        for w in (RU.MINUTE_US, RU.HOUR_US, RU.DAY_US)
+    }
+    RU.build_rollup_lake(events, tables)
+    batch = spark.createDataFrame(
+        [
+            (9_100_001, 1_700_000_000_000_000, "purchase", 1e9),  # max mover
+            (9_100_002, 1_700_000_000_000_000, "purchase", -1e9),  # min mover
+            (9_100_003, 1_700_000_005_000_000, "brandnew", 3.5),  # new group
+        ],
+        "event_id long, ts_us long, event_type string, value double",
+    )
+    patched = RU.fold_rollup_inserts(batch, tables)
+    assert all(n > 0 for n in patched.values())
+    expected = RU.rollup_cascade(events.unionByName(batch))
+    for w in expected:
+        got = tables[w].read().select(*expected[w].columns)
+        _levels_equal(got, expected[w], f"fold width={w}")
+
+
+def test_stream_rollup_restart_exactly_once(spark, events, tmp_path):
+    """stream_rollup over a file source: run to completion, add more
+    files, restart on the same checkpoint — final ladder must equal a
+    batch rebuild over everything, with no double-folded batches."""
+    from datalakefoundation_spark.streaming.ops import stream_rollup
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    src = tmp_path / "src"
+    first = events.where(F.col("event_id") % 2 == 0)
+    second = events.where(F.col("event_id") % 2 == 1)
+    first.write.mode("overwrite").parquet(str(src))
+    tables = {
+        w: LakeTable(spark, str(tmp_path / f"s_{w}"))
+        for w in (RU.MINUTE_US, RU.HOUR_US, RU.DAY_US)
+    }
+    schema = "event_id long, ts_us long, event_type string, value double"
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(str(src))
+        )
+        q = stream_rollup(stream, tables, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    mid = RU.rollup_cascade(first)
+    for w in mid:
+        _levels_equal(
+            tables[w].read().select(*mid[w].columns), mid[w], f"mid width={w}"
+        )
+    second.write.mode("append").parquet(str(src))
+    run()
+    expected = RU.rollup_cascade(events)
+    for w in expected:
+        _levels_equal(
+            tables[w].read().select(*expected[w].columns),
+            expected[w],
+            f"final width={w}",
+        )
+
+
+def test_rollup_hll_distinct_reaggregates(spark, events):
+    """Mergeable distinct sketch: coarse-level estimates derived by
+    unioning fine sketches must equal sketching the coarse bucket
+    directly, and estimates must be near the exact distinct counts."""
+    ev = events.withColumn("uid", F.col("event_id") % 37)
+    ladder = RU.rollup_cascade(ev, distinct_col="uid")
+    day = RU.finalize(ladder[RU.DAY_US]).select(
+        "bucket_start_us", "event_type", "approx_distinct"
+    )
+    direct = RU.finalize(
+        RU.rollup_cascade(ev, distinct_col="uid", resolutions_us=(RU.DAY_US,))[
+            RU.DAY_US
+        ]
+    ).select("bucket_start_us", "event_type", "approx_distinct")
+    got = {tuple(r[:2]): r[2] for r in day.collect()}
+    want = {tuple(r[:2]): r[2] for r in direct.collect()}
+    assert got == want, "union-of-fine-sketches != direct coarse sketch"
+    exact = {
+        tuple(r[:2]): r[2]
+        for r in ev.groupBy(
+            (F.col("ts_us") - F.col("ts_us") % RU.DAY_US).alias("b"),
+            "event_type",
+        )
+        .agg(F.countDistinct("uid").alias("d"))
+        .collect()
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_rollup_hll_refresh_and_fold(spark, events, tmp_path):
+    """The sketch column must survive both maintenance paths: a general
+    refresh (recompute) and an insert-only fold — estimate-equal to a
+    from-scratch rebuild."""
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    ev = events.withColumn("uid", F.col("event_id") % 37)
+
+    def estimates(level_df):
+        return {
+            tuple(r[:2]): r[2]
+            for r in RU.finalize(level_df)
+            .select("bucket_start_us", "event_type", "approx_distinct")
+            .collect()
+        }
+
+    # refresh path (plain DataFrames)
+    stored = {
+        w: lv.cache()
+        for w, lv in RU.rollup_cascade(ev, distinct_col="uid").items()
+    }
+    after = ev.where(F.col("event_id") % 5 != 0)  # deletes
+    feed = compute_changes(ev, after, pk="event_id")
+    refreshed = RU.refresh_rollup(after, stored, feed, distinct_col="uid")
+    rebuilt = RU.rollup_cascade(after, distinct_col="uid")
+    for w in rebuilt:
+        assert estimates(refreshed[w]) == estimates(rebuilt[w]), f"refresh w={w}"
+
+    # fold path (LakeTables, insert-only)
+    tables = {
+        w: LakeTable(spark, str(tmp_path / f"h_{w}"))
+        for w in (RU.MINUTE_US, RU.HOUR_US, RU.DAY_US)
+    }
+    RU.build_rollup_lake(after, tables, distinct_col="uid")
+    batch = spark.createDataFrame(
+        [(9_200_001, 1_700_000_000_000_000, "purchase", 2.0, 999)],
+        "event_id long, ts_us long, event_type string, value double, uid long",
+    )
+    RU.fold_rollup_inserts(batch, tables, distinct_col="uid")
+    folded_all = RU.rollup_cascade(after.unionByName(batch), distinct_col="uid")
+    for w in folded_all:
+        assert estimates(tables[w].read()) == estimates(folded_all[w]), f"fold w={w}"
 
 
 def test_refresh_rollup_rejects_non_nested_store(spark, events):

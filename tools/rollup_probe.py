@@ -148,10 +148,24 @@ def main() -> None:
         }
         RU.build_rollup_lake(raw, tables)
 
+        lake_metrics = {}
+
         def incremental_lake():
-            RU.refresh_rollup_lake(after, tables, changed)
+            lake_metrics.update(RU.refresh_rollup_lake(after, tables, changed))
 
         t_lake = timed("incremental-lake", incremental_lake)
+        # write volume: the 100 TB story. Rebuild and plain incremental
+        # rewrite every level row per refresh; the lake path writes only
+        # the patch (or reports the adaptive per-level rebuild).
+        level_rows = sum(
+            spark.read.parquet(f"{tmp}/full_{w}").count() for w in stored
+        )
+        lake_rows = sum(m["patched"] + m["deleted"] for m in lake_metrics.values())
+        rebuilt = [w for w, m in lake_metrics.items() if m["rebuilt"]]
+        print(
+            f"rows written/refresh: rebuild+incremental {level_rows}, "
+            f"lake {lake_rows} (levels adaptively rebuilt: {rebuilt or 'none'})"
+        )
         # equivalence check at probe scale
         for w in stored:
             a = spark.read.parquet(f"{tmp}/full_{w}")
