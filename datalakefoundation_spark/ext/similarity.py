@@ -758,16 +758,23 @@ def quantize_embeddings(
     DuckDB oracle computes bit-identical q-vectors; round-half-up is
     spelled ``floor(x + 0.5)`` because the engines' ``round`` tie rules
     differ. An all-zero vector quantizes to zeros with scale 0.
+
+    The max is computed in its own projection and REFERENCED inside the
+    transform lambda: higher-order functions are interpreted (no codegen
+    subexpression elimination inside the lambda), so inlining the
+    array_max expression there re-evaluates it per ELEMENT — O(d²) per
+    row, measured ~4x slower at d=64.
     """
     m = f"array_max(transform({vec_col}, x -> abs(cast(x as double))))"
+    with_m = df.select(F.col(id_col), F.col(vec_col), F.expr(m).alias("__m"))
     qvec = F.expr(
-        f"transform({vec_col}, x -> CASE WHEN {m} = 0.0d THEN 0 ELSE "
+        f"transform({vec_col}, x -> CASE WHEN __m = 0.0d THEN 0 ELSE "
         f"cast(greatest(cast(-127 as bigint), least(cast(127 as bigint), "
-        f"cast(floor(cast(x as double) / (({m}) / 127.0d) + 0.5d) as bigint))) as int) END)"
+        f"cast(floor(cast(x as double) / (__m / 127.0d) + 0.5d) as bigint))) as int) END)"
     )
-    return df.select(
+    return with_m.select(
         F.col(id_col),
-        (F.expr(m) / F.lit(127.0)).alias("scale"),
+        (F.col("__m") / F.lit(127.0)).alias("scale"),
         qvec.alias("qvec"),
     )
 
