@@ -513,3 +513,110 @@ def fold_rollup_inserts(
         for part in parts.values():
             part.unpersist()
     return out
+
+
+def gapfill(
+    level: DataFrame,
+    resolution_us: int,
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_cols: tuple[str, ...] = ("n_events", "sum_dec", "min_value", "max_value"),
+    strategy: str = "locf",
+    bounds: Optional[tuple[int, int]] = None,
+) -> DataFrame:
+    """Fill missing time buckets in a rollup level (the continuous
+    aggregate's gap-fill companion: a dashboard wants one row per bucket
+    even for silent intervals).
+
+    Missing (bucket, key) rows are generated per KEY between that key's
+    first and last observed bucket (or explicit ``bounds``) with
+    ``sequence(lo, hi, step)`` + ``explode`` — pure codegen projection,
+    no Python, no join against a calendar table; the fill itself is one
+    window per key ordered by bucket:
+
+    * ``locf`` — last observation carried forward
+      (``last(value, ignoreNulls=True)`` over the unbounded-preceding
+      window; leading gaps stay NULL).
+    * ``zero`` — constant 0 (counts/sums; silence means zero events).
+    * ``linear`` — interpolate between the surrounding observed buckets
+      (two windows recover the previous/next observed (bucket, value)
+      pair; exact fraction arithmetic in double).
+
+    Scale: generated rows are one array per key expanded by explode
+    (no shuffle), the anti-join-free union relies on the generated frame
+    carrying NULL values only where the level lacks the bucket — resolved
+    with a left join on (bucket, key), which broadcasts when the level
+    is dashboard-sized and shuffles on (bucket, key) otherwise. ``gap``
+    marks synthesized rows."""
+    if strategy not in ("locf", "zero", "linear"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    vals = [c for c in value_cols if c in level.columns]
+    step = F.lit(resolution_us)
+    if bounds is not None:
+        lo, hi = (F.lit(int(b)) for b in bounds)
+        span = level.select(*keys).distinct().select(
+            *keys, lo.alias("__lo"), hi.alias("__hi")
+        )
+    else:
+        span = level.groupBy(*keys).agg(
+            F.min("bucket_start_us").alias("__lo"),
+            F.max("bucket_start_us").alias("__hi"),
+        )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), step)
+        ).alias("bucket_start_us"),
+    )
+    joined = grid.join(level, on=["bucket_start_us", *keys], how="left")
+    observed = F.col(vals[0]).isNotNull() if vals else F.lit(True)
+    out = joined.withColumn("gap", ~observed)
+    w = Window.partitionBy(*keys).orderBy("bucket_start_us")
+    if strategy == "zero":
+        out = out.select(
+            "bucket_start_us", *keys,
+            *[F.coalesce(F.col(c), F.lit(0).cast(joined.schema[c].dataType)).alias(c) for c in vals],
+            "gap",
+        )
+    elif strategy == "locf":
+        out = out.select(
+            "bucket_start_us", *keys,
+            *[
+                F.last(F.col(c), ignorenulls=True)
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .alias(c)
+                for c in vals
+            ],
+            "gap",
+        )
+    else:  # linear
+        prev_b = F.last(
+            F.when(~F.col("gap"), F.col("bucket_start_us")), ignorenulls=True
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        next_b = F.first(
+            F.when(~F.col("gap"), F.col("bucket_start_us")), ignorenulls=True
+        ).over(w.rowsBetween(0, Window.unboundedFollowing))
+        frac = F.when(
+            next_b == prev_b, F.lit(0.0)
+        ).otherwise(
+            (F.col("bucket_start_us") - prev_b).cast("double")
+            / (next_b - prev_b).cast("double")
+        )
+        sel = ["bucket_start_us", *keys]
+        for c in vals:
+            pv = F.last(F.col(c), ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("double")
+            nv = F.first(F.col(c), ignorenulls=True).over(
+                w.rowsBetween(0, Window.unboundedFollowing)
+            ).cast("double")
+            sel.append(
+                F.when(~F.col("gap"), F.col(c).cast("double"))
+                .otherwise(pv + (nv - pv) * frac)
+                .alias(c)
+            )
+        sel.append(F.col("gap"))
+        out = out.select(*sel)
+    return out

@@ -272,6 +272,50 @@ GROUP BY bucket_start_us, event_type
 """
 
 
+def q_rollup_gapfill(spark, sf_dir):
+    """Hourly continuous-aggregate gap-filled LOCF: one row per hour per
+    event_type between each type's first and last observed hour, carried
+    counts/sums on silent hours, `gap` marking synthesized rows (34-53
+    real gaps per type at sf0.01)."""
+    from datalakefoundation_spark.ext import rollup as RU
+    from datalakefoundation_spark.verification.core_queries import read_events
+
+    ev = read_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    level = RU.rollup_cascade(ev, resolutions_us=(RU.HOUR_US,))[RU.HOUR_US]
+    g = RU.gapfill(
+        level, RU.HOUR_US, value_cols=("n_events", "sum_dec"), strategy="locf"
+    )
+    return g.select(
+        "bucket_start_us",
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "gap",
+    )
+
+
+SQL_ROLLUP_GAPFILL = """
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 * 3600000000 AS b, event_type,
+         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s
+  FROM events GROUP BY b, event_type),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM hourly GROUP BY event_type),
+grid AS (
+  SELECT s.event_type, gs.g AS b
+  FROM span s, LATERAL unnest(generate_series(s.lo, s.hi, 3600000000)) AS gs(g)),
+j AS (
+  SELECT g.b, g.event_type, h.n, h.s
+  FROM grid g LEFT JOIN hourly h ON h.b = g.b AND h.event_type = g.event_type)
+SELECT b AS bucket_start_us, event_type,
+  last_value(n IGNORE NULLS) OVER w AS n_events,
+  last_value(s IGNORE NULLS) OVER w AS sum_value,
+  n IS NULL AS gap
+FROM j
+WINDOW w AS (PARTITION BY event_type ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_knn_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % 50 == 0)
@@ -1334,6 +1378,7 @@ EXTRA = {
     "q_embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "q_random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     "q_event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
+    "q_rollup_gapfill": (q_rollup_gapfill, SQL_ROLLUP_GAPFILL),
 }
 
 

@@ -349,6 +349,58 @@ def test_rollup_hll_refresh_and_fold(spark, events, tmp_path):
         assert estimates(tables[w].read()) == estimates(folded_all[w]), f"fold w={w}"
 
 
+def test_gapfill_strategies(spark):
+    """Synthetic 1-key ladder with two interior gaps and one leading gap:
+    zero fills 0, locf carries, linear interpolates exactly; observed rows
+    pass through untouched and `gap` flags only synthesized rows."""
+    m = RU.MINUTE_US
+    level = spark.createDataFrame(
+        [(2 * m, "k", 10, 10.0), (5 * m, "k", 40, 40.0), (6 * m, "k", 100, 7.0)],
+        "bucket_start_us long, event_type string, n_events long, v double",
+    )
+    base = {"bounds": (0, 6 * m), "value_cols": ("n_events", "v")}
+
+    rows = {
+        r["bucket_start_us"] // m: r
+        for r in RU.gapfill(level, m, strategy="zero", **base).collect()
+    }
+    assert [rows[i]["n_events"] for i in range(7)] == [0, 0, 10, 0, 0, 40, 100]
+    assert [rows[i]["gap"] for i in range(7)] == [
+        True, True, False, True, True, False, False,
+    ]
+
+    rows = {
+        r["bucket_start_us"] // m: r
+        for r in RU.gapfill(level, m, strategy="locf", **base).collect()
+    }
+    assert [rows[i]["n_events"] for i in range(7)] == [
+        None, None, 10, 10, 10, 40, 100,
+    ]
+
+    rows = {
+        r["bucket_start_us"] // m: r
+        for r in RU.gapfill(level, m, strategy="linear", **base).collect()
+    }
+    got = [rows[i]["v"] for i in range(7)]
+    assert got[:2] == [None, None]  # leading gaps have no left anchor
+    assert got[2:] == [10.0, 20.0, 30.0, 40.0, 7.0]
+
+
+def test_gapfill_spans_per_key_without_bounds(spark):
+    """Without bounds, each key's grid spans only its own observed range."""
+    m = RU.MINUTE_US
+    level = spark.createDataFrame(
+        [(0, "a", 1, 1.0), (3 * m, "a", 2, 2.0), (10 * m, "b", 5, 5.0)],
+        "bucket_start_us long, event_type string, n_events long, v double",
+    )
+    out = RU.gapfill(level, m, strategy="zero", value_cols=("n_events",))
+    per_key = {
+        r["event_type"]: r["cnt"]
+        for r in out.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_key == {"a": 4, "b": 1}
+
+
 def test_refresh_rollup_rejects_non_nested_store(spark, events):
     stored = RU.rollup_cascade(events, resolutions_us=(RU.MINUTE_US,))
     stored[90_000_000] = stored[RU.MINUTE_US]
