@@ -620,3 +620,68 @@ def gapfill(
         sel.append(F.col("gap"))
         out = out.select(*sel)
     return out
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_us_col: str = "ts_us",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    resolution_us: int = HOUR_US,
+) -> DataFrame:
+    """Time-weighted average per (bucket, key) over IRREGULAR samples —
+    the LOCF integral: each sample holds its value until the key's next
+    sample, the held interval is split across every bucket it spans, and
+    each bucket averages value·overlap / overlap. Plain ``avg`` over
+    irregular telemetry over-weights chatty periods; this is the
+    continuous-aggregate answer (TimescaleDB's ``time_weight('LOCF')``).
+
+    Shape: one ``lead`` window per key (sort ∝ key's samples), one
+    ``sequence``+``explode`` split (rows ∝ buckets spanned, bounded by
+    interval length / resolution), one partial-agg groupBy shuffle.
+    Weighting rides as ``decimal(18,4) × µs`` — exact, order-independent,
+    so the DuckDB oracle matches bit-for-bit after the final
+    cast-to-double division. A key's last sample holds no interval and
+    contributes nothing (there is no next observation to bound it);
+    duplicate-timestamp samples hold zero width and drop out."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    step = F.lit(resolution_us)
+    spans = (
+        df.select(
+            *keys,
+            F.col(ts_us_col).alias("__t0"),
+            F.col(value_col).cast("decimal(18,4)").alias("__v"),
+        )
+        .withColumn("__t1", F.lead("__t0").over(Window.partitionBy(*keys).orderBy("__t0")))
+        .where(F.col("__t1") > F.col("__t0"))
+    )
+    split = spans.select(
+        *keys,
+        "__t0",
+        "__t1",
+        "__v",
+        F.explode(
+            F.sequence(
+                F.col("__t0") - F.col("__t0") % step,
+                (F.col("__t1") - 1) - (F.col("__t1") - 1) % step,
+                step,
+            )
+        ).alias("bucket_start_us"),
+    ).select(
+        *keys,
+        "bucket_start_us",
+        "__v",
+        (
+            F.least(F.col("__t1"), F.col("bucket_start_us") + step)
+            - F.greatest(F.col("__t0"), F.col("bucket_start_us"))
+        ).alias("__dur"),
+    )
+    return split.groupBy("bucket_start_us", *keys).agg(
+        (
+            F.sum(F.col("__v") * F.col("__dur")).cast("double")
+            / F.sum("__dur").cast("double")
+        ).alias("twa"),
+        F.sum("__dur").alias("covered_us"),
+    )

@@ -316,6 +316,39 @@ WINDOW w AS (PARTITION BY event_type ORDER BY b
 """
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """Hourly LOCF time-weighted average per event_type over the irregular
+    event stream — each sample holds until the type's next sample, held
+    intervals split across hour buckets, decimal×µs exact weighting."""
+    from datalakefoundation_spark.ext import rollup as RU
+    from datalakefoundation_spark.verification.core_queries import read_events
+
+    ev = read_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    return RU.time_weighted_avg(ev, resolution_us=RU.HOUR_US)
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH s AS (
+  SELECT event_type, epoch_us(ts) AS t0,
+         CAST(value AS DECIMAL(18,4)) AS v,
+         lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS t1
+  FROM events),
+spans AS (SELECT * FROM s WHERE t1 > t0),
+split AS (
+  SELECT event_type, t0, t1, v, gs.b AS bucket_start_us
+  FROM spans, LATERAL unnest(generate_series(
+    t0 - t0 % 3600000000, (t1 - 1) - (t1 - 1) % 3600000000, 3600000000)) AS gs(b)),
+d AS (
+  SELECT event_type, bucket_start_us, v,
+         least(t1, bucket_start_us + 3600000000) - greatest(t0, bucket_start_us) AS dur
+  FROM split)
+SELECT bucket_start_us, event_type,
+       CAST(sum(v * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE) AS twa,
+       CAST(sum(dur) AS BIGINT) AS covered_us
+FROM d GROUP BY bucket_start_us, event_type
+"""
+
+
 def q_knn_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % 50 == 0)
@@ -1379,6 +1412,7 @@ EXTRA = {
     "q_random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     "q_event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
     "q_rollup_gapfill": (q_rollup_gapfill, SQL_ROLLUP_GAPFILL),
+    "q_time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
 }
 
 

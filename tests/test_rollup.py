@@ -401,6 +401,34 @@ def test_gapfill_spans_per_key_without_bounds(spark):
     assert per_key == {"a": 4, "b": 1}
 
 
+def test_time_weighted_avg_hand_computed(spark):
+    """LOCF integral on a hand-checkable fixture: a value held across a
+    bucket boundary splits its weight; last sample contributes nothing."""
+    h = RU.HOUR_US
+    df = spark.createDataFrame(
+        [
+            # key "a": 10 held [0, h/2), 30 held [h/2, 1.5h), 50 last (no next)
+            (0, "a", 10.0),
+            (h // 2, "a", 30.0),
+            (h + h // 2, "a", 50.0),
+            # key "b": single sample -> no output rows at all
+            (0, "b", 7.0),
+        ],
+        "ts_us long, event_type string, value double",
+    )
+    rows = {
+        (r["event_type"], r["bucket_start_us"] // h): r
+        for r in RU.time_weighted_avg(df, resolution_us=h).collect()
+    }
+    assert set(rows) == {("a", 0), ("a", 1)}
+    # bucket 0: 10 for h/2 + 30 for h/2 -> 20, fully covered
+    r0 = rows[("a", 0)]
+    assert r0["twa"] == 20.0 and r0["covered_us"] == h
+    # bucket 1: 30 held for h/2 only -> twa 30, half covered
+    r1 = rows[("a", 1)]
+    assert r1["twa"] == 30.0 and r1["covered_us"] == h // 2
+
+
 def test_refresh_rollup_rejects_non_nested_store(spark, events):
     stored = RU.rollup_cascade(events, resolutions_us=(RU.MINUTE_US,))
     stored[90_000_000] = stored[RU.MINUTE_US]
