@@ -685,3 +685,103 @@ def time_weighted_avg(
         ).alias("twa"),
         F.sum("__dur").alias("covered_us"),
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    lo: float,
+    hi: float,
+    nbins: int = 64,
+    ts_us_col: str = "ts_us",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    resolution_us: int = MINUTE_US,
+) -> DataFrame:
+    """Fixed-grid histogram partial per (bucket, key) — the EXACTLY
+    re-aggregatable quantile state for the ladder. Long form (one row per
+    non-empty bin: ``bucket_start_us, *keys, bin, bin_count``) so coarse
+    levels re-aggregate with a plain sum (``coarsen_histogram``) and any
+    engine reproduces it bit-for-bit — unlike t-digest/KLL, whose merge
+    is order-dependent and engine-specific. The trade is a fixed value
+    range: out-of-range values clamp into the edge bins, and percentile
+    resolution is (hi-lo)/nbins. One partial-agg shuffle; the long form
+    is itself the storage format (sparse: empty bins cost nothing)."""
+    if not (hi > lo) or nbins < 1:
+        raise ValueError(f"need hi > lo and nbins >= 1: {lo}, {hi}, {nbins}")
+    width = (hi - lo) / nbins
+    binc = F.least(
+        F.lit(nbins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)
+            ).cast("int"),
+        ),
+    )
+    return (
+        df.groupBy(
+            _bucket(F.col(ts_us_col), resolution_us),
+            *key_cols,
+            binc.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+    )
+
+
+def coarsen_histogram(
+    level: DataFrame, width_us: int, key_cols: tuple[str, ...] = ("event_type",)
+) -> DataFrame:
+    """Re-aggregate a histogram level into a coarser time bucket — plain
+    sums, exact by construction."""
+    return level.groupBy(
+        _bucket(F.col("bucket_start_us"), width_us), *key_cols, "bin"
+    ).agg(F.sum("bin_count").alias("bin_count"))
+
+
+def percentiles_from_histogram(
+    level: DataFrame,
+    lo: float,
+    hi: float,
+    nbins: int,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    key_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Finalize approximate percentiles from a histogram level: cumulative
+    bin counts (one window per group) + linear interpolation WITHIN the
+    hit bin. Deterministic given the grid, so a SQL oracle reproduces it
+    exactly; error bounded by one bin width. Output: one row per
+    (bucket, key, p)."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    width = (hi - lo) / nbins
+    w = Window.partitionBy("bucket_start_us", *keys).orderBy("bin")
+    cum = level.select(
+        "bucket_start_us", *keys, "bin", "bin_count",
+        F.sum("bin_count").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("bin_count").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("total"),
+    )
+    p_df = cum.sparkSession.createDataFrame(
+        [(float(p),) for p in ps], "p double"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(p_df))
+        .where(
+            (F.col("cum") >= F.col("p") * F.col("total"))
+            & (
+                F.col("cum") - F.col("bin_count")
+                < F.col("p") * F.col("total")
+            )
+        )
+    )
+    frac = (
+        F.col("p") * F.col("total") - (F.col("cum") - F.col("bin_count"))
+    ) / F.col("bin_count")
+    return hit.select(
+        "bucket_start_us", *keys, "p",
+        (F.lit(lo) + (F.col("bin") + frac) * F.lit(width)).alias("value"),
+    )

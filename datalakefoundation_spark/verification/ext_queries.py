@@ -349,6 +349,40 @@ FROM d GROUP BY bucket_start_us, event_type
 """
 
 
+def q_histogram_percentiles(spark, sf_dir):
+    """Daily p50/p90/p99 per event_type FINALIZED FROM a minute-level
+    fixed-grid histogram coarsened to day — the oracle bins raw directly
+    at day level, so a pass proves the histogram partial re-aggregates
+    exactly across the ladder."""
+    from datalakefoundation_spark.ext import rollup as RU
+    from datalakefoundation_spark.verification.core_queries import read_events
+
+    ev = read_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    minute = RU.value_histogram(ev, lo=0.0, hi=500.0, nbins=50)
+    day = RU.coarsen_histogram(minute, RU.DAY_US)
+    return RU.percentiles_from_histogram(day, 0.0, 500.0, 50)
+
+
+SQL_HISTOGRAM_PERCENTILES = """
+WITH h AS (
+  SELECT epoch_us(ts) // 86400000000 * 86400000000 AS b, event_type,
+         least(49, greatest(0, CAST(floor(CAST(value AS DOUBLE) / 10.0) AS INT))) AS bin,
+         count(*) AS c
+  FROM events GROUP BY b, event_type, bin),
+cum AS (
+  SELECT b, event_type, bin, c,
+    sum(c) OVER (PARTITION BY b, event_type ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(c) OVER (PARTITION BY b, event_type) AS total
+  FROM h),
+ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+SELECT b AS bucket_start_us, event_type, p,
+       0.0 + (bin + (p * total - (cum - c)) / c) * 10.0 AS value
+FROM cum, ps
+WHERE cum >= p * total AND cum - c < p * total
+"""
+
+
 def q_knn_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % 50 == 0)
@@ -1413,6 +1447,7 @@ EXTRA = {
     "q_event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
     "q_rollup_gapfill": (q_rollup_gapfill, SQL_ROLLUP_GAPFILL),
     "q_time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
+    "q_histogram_percentiles": (q_histogram_percentiles, SQL_HISTOGRAM_PERCENTILES),
 }
 
 

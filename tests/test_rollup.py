@@ -429,6 +429,49 @@ def test_time_weighted_avg_hand_computed(spark):
     assert r1["twa"] == 30.0 and r1["covered_us"] == h // 2
 
 
+def test_histogram_percentiles(spark, events):
+    """Fixed-grid histogram: ladder re-aggregation is exact (minute→day ==
+    direct day binning), and interpolated percentiles land within one bin
+    width of the exact percentile."""
+    lo, hi, nbins = 0.0, 500.0, 50
+    minute = RU.value_histogram(events, lo, hi, nbins)
+    via_ladder = RU.coarsen_histogram(minute, RU.DAY_US)
+    direct = RU.value_histogram(events, lo, hi, nbins, resolution_us=RU.DAY_US)
+    a = {tuple(r) for r in via_ladder.collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a == b, "histogram ladder re-aggregation not exact"
+
+    got = {
+        (r["bucket_start_us"], r["event_type"], r["p"]): r["value"]
+        for r in RU.percentiles_from_histogram(direct, lo, hi, nbins).collect()
+    }
+    # guarantee: the interpolated value lies in the same bin as the
+    # ceil(p*n)-th order statistic (type-1 quantile) -> within one bin
+    # width of it. (Interpolated-percentile definitions can differ by a
+    # whole inter-sample gap on sparse groups, so that is NOT the bound.)
+    exact = {
+        (r["b"], r["event_type"], p): r[f"q{int(p*100)}"]
+        for r in events.groupBy(
+            (F.col("ts_us") - F.col("ts_us") % RU.DAY_US).alias("b"), "event_type"
+        )
+        .agg(
+            *[
+                F.expr(
+                    f"sort_array(collect_list(value))"
+                    f"[cast(ceil({p} * count(value)) as int) - 1]"
+                ).alias(f"q{int(p*100)}")
+                for p in (0.5, 0.9, 0.99)
+            ]
+        )
+        .collect()
+        for p in (0.5, 0.9, 0.99)
+    }
+    assert set(got) == set(exact)
+    binw = (hi - lo) / nbins
+    for k, v in got.items():
+        assert abs(v - exact[k]) <= binw, (k, v, exact[k])
+
+
 def test_refresh_rollup_rejects_non_nested_store(spark, events):
     stored = RU.rollup_cascade(events, resolutions_us=(RU.MINUTE_US,))
     stored[90_000_000] = stored[RU.MINUTE_US]
