@@ -47,6 +47,47 @@ def _bucket(col, width_us: int):
     return (col - (col % F.lit(width_us))).alias("bucket_start_us")
 
 
+def _py_bucket(t: int, width_us: int) -> int:
+    """Driver-side twin of ``_bucket``. Spark's integer ``%`` truncates
+    toward zero (sign of dividend) while Python's floors, so ``t - t % w``
+    diverges for negative timestamps — this matches Spark exactly."""
+    q = abs(t) // width_us
+    return (q if t >= 0 else -q) * width_us
+
+
+def _prune_to_feed(raw: DataFrame, changed: DataFrame, ts_us_col: str, finest: int):
+    """Collect the feed's [min, max] ts (a partial aggregate — two longs)
+    and return raw filtered to the covering bucket range as a STATIC
+    predicate (parquet row-group skipping / partition pruning), or None
+    for an empty feed. Shared by the plain and lake refresh paths."""
+    bounds = changed.agg(
+        F.min(ts_us_col).alias("lo"), F.max(ts_us_col).alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return None
+    return raw.where(
+        (F.col(ts_us_col) >= F.lit(_py_bucket(bounds["lo"], finest)))
+        & (F.col(ts_us_col) < F.lit(_py_bucket(bounds["hi"], finest) + finest))
+    )
+
+
+def _fresh_finest(raw, affected, finest, keys, ts_us_col, value_col, distinct_col):
+    """Recompute the affected finest-level groups from raw via one
+    broadcast semi-join. Shared by the plain and lake refresh paths."""
+    fresh_src = raw.join(
+        F.broadcast(affected),
+        on=[
+            raw[ts_us_col] - raw[ts_us_col] % finest == affected["bucket_start_us"],
+            *[raw[k] == affected[k] for k in keys],
+        ],
+        how="leftsemi",
+    )
+    return rollup_cascade(
+        fresh_src, ts_us_col, tuple(keys), value_col, (finest,),
+        distinct_col=distinct_col,
+    )[finest]
+
+
 def rollup_cascade(
     df: DataFrame,
     ts_us_col: str = "ts_us",
@@ -213,30 +254,18 @@ def _refresh_levels(
     distinct_col=None,
 ) -> dict[int, DataFrame]:
     if prune_time_range:
-        # min/max straight off the feed: a partial aggregate (no distinct
-        # shuffle), two longs back to the driver
-        bounds = changed.agg(
-            F.min(ts_us_col).alias("lo"), F.max(ts_us_col).alias("hi")
-        ).first()
-        if bounds["lo"] is None:  # empty feed: nothing to refresh
-            return {w: stored[w] for w in resolutions}
-        raw = raw.where(
-            (F.col(ts_us_col) >= F.lit(bounds["lo"] - bounds["lo"] % finest))
-            & (F.col(ts_us_col) < F.lit(bounds["hi"] - bounds["hi"] % finest + finest))
-        )
-    fresh_src = raw.join(
-        F.broadcast(affected),
-        on=[
-            raw[ts_us_col] - raw[ts_us_col] % finest
-            == affected["bucket_start_us"],
-            *[raw[k] == affected[k] for k in keys],
-        ],
-        how="leftsemi",
+        pruned = _prune_to_feed(raw, changed, ts_us_col, finest)
+        if pruned is None:  # empty feed: nothing to refresh — but keep the
+            # materialize contract (a hook-persisting job must still write
+            # every level this cycle, else downstream readers see a hole)
+            return {
+                w: (materialize(w, stored[w]) if materialize is not None else stored[w])
+                for w in resolutions
+            }
+        raw = pruned
+    fresh = _fresh_finest(
+        raw, affected, finest, keys, ts_us_col, value_col, distinct_col
     )
-    fresh = rollup_cascade(
-        fresh_src, ts_us_col, tuple(keys), value_col, (finest,),
-        distinct_col=distinct_col,
-    )[finest]
     out: dict[int, DataFrame] = {}
     level = stored[finest].join(
         F.broadcast(affected), on=["bucket_start_us", *keys], how="left_anti"
@@ -284,12 +313,19 @@ def build_rollup_lake(
     distinct_col: Optional[str] = None,
 ) -> None:
     """Initial materialization of the ladder into LakeTables — one
-    full-overwrite commit per level, raw scanned once (cascade chaining)."""
-    for width, level in rollup_cascade(
-        raw, ts_us_col, key_cols, value_col, tuple(sorted(tables)),
-        distinct_col=distinct_col,
-    ).items():
+    full-overwrite commit per level, raw scanned ONCE: each level commits
+    before the next is derived, and the next level aggregates the
+    COMMITTED table, not the lazy plan (which would chain back to raw and
+    re-scan it per level — 3 full scans for a 3-level ladder)."""
+
+    def commit_and_read(width, level):
         tables[width].overwrite(level, operation="rollup_build")
+        return tables[width].read()
+
+    rollup_cascade(
+        raw, ts_us_col, key_cols, value_col, tuple(sorted(tables)),
+        distinct_col=distinct_col, materialize=commit_and_read,
+    )
 
 
 def refresh_rollup_lake(
@@ -339,35 +375,20 @@ def refresh_rollup_lake(
     metrics: dict[int, dict] = {}
     raw_full = raw  # unpruned: the rebuild fallback needs the whole table
     if prune_time_range:
-        bounds = changed.agg(
-            F.min(ts_us_col).alias("lo"), F.max(ts_us_col).alias("hi")
-        ).first()
-        if bounds["lo"] is None:  # empty feed
+        pruned = _prune_to_feed(raw, changed, ts_us_col, finest)
+        if pruned is None:  # empty feed
             return {
                 w: {"patched": 0, "deleted": 0, "rebuilt": False}
                 for w in resolutions
             }
-        raw = raw.where(
-            (F.col(ts_us_col) >= F.lit(bounds["lo"] - bounds["lo"] % finest))
-            & (F.col(ts_us_col) < F.lit(bounds["hi"] - bounds["hi"] % finest + finest))
-        )
+        raw = pruned
     affected = changed.select(
         _bucket(F.col(ts_us_col), finest), *keys
     ).distinct().persist()
     try:
-        fresh_src = raw.join(
-            F.broadcast(affected),
-            on=[
-                raw[ts_us_col] - raw[ts_us_col] % finest
-                == affected["bucket_start_us"],
-                *[raw[k] == affected[k] for k in keys],
-            ],
-            how="leftsemi",
+        fresh = _fresh_finest(
+            raw, affected, finest, keys, ts_us_col, value_col, distinct_col
         )
-        fresh = rollup_cascade(
-            fresh_src, ts_us_col, tuple(keys), value_col, (finest,),
-            distinct_col=distinct_col,
-        )[finest]
         affected_w = affected
         for i, width in enumerate(resolutions):
             if i > 0:
@@ -390,9 +411,13 @@ def refresh_rollup_lake(
             # adaptive fallback: when churn touches ~the whole level, a
             # wholesale rebuild beats patch-per-group. Level size comes
             # from the manifest (control-plane), affected count is a
-            # churn-sized job.
+            # churn-sized job. MAX segment rows, not the sum: the largest
+            # segment is the last full build/rebuild/compaction (≈ live
+            # group count), while summing would also count every
+            # churn-sized patch's superseded rows — a denominator that
+            # inflates with each refresh until the fallback never fires.
             mf = tables[width].latest_manifest()
-            approx_rows = sum(s.rows or 0 for s in mf.segments) if mf else 0
+            approx_rows = max((s.rows or 0 for s in mf.segments), default=0) if mf else 0
             n_affected = affected_w.count()
             if approx_rows and n_affected >= rebuild_threshold * approx_rows:
                 if i == 0:
@@ -555,7 +580,14 @@ def gapfill(
     vals = [c for c in value_cols if c in level.columns]
     step = F.lit(resolution_us)
     if bounds is not None:
-        lo, hi = (F.lit(int(b)) for b in bounds)
+        # snap raw bounds onto the bucket grid (same truncation-mod as
+        # _bucket): an unaligned lo — e.g. a raw "now - 24h" — would
+        # phase-shift every generated bucket off the level's
+        # bucket_start_us values, the left join would match NOTHING, and
+        # every observed row would silently come back as fill
+        lo, hi = (
+            F.lit(_py_bucket(int(b), resolution_us)) for b in bounds
+        )
         span = level.select(*keys).distinct().select(
             *keys, lo.alias("__lo"), hi.alias("__hi")
         )
@@ -643,7 +675,11 @@ def time_weighted_avg(
     so the DuckDB oracle matches bit-for-bit after the final
     cast-to-double division. A key's last sample holds no interval and
     contributes nothing (there is no next observation to bound it);
-    duplicate-timestamp samples hold zero width and drop out."""
+    duplicate-timestamp samples order by value (a deterministic
+    tiebreak — plain ts ordering would let the shuffle pick which
+    duplicate survives a run), so the LARGEST value at a tied timestamp
+    holds the following interval and the rest drop out at zero width —
+    the oracle sorts identically."""
     from pyspark.sql import Window
 
     keys = list(key_cols)
@@ -654,7 +690,10 @@ def time_weighted_avg(
             F.col(ts_us_col).alias("__t0"),
             F.col(value_col).cast("decimal(18,4)").alias("__v"),
         )
-        .withColumn("__t1", F.lead("__t0").over(Window.partitionBy(*keys).orderBy("__t0")))
+        .withColumn(
+            "__t1",
+            F.lead("__t0").over(Window.partitionBy(*keys).orderBy("__t0", "__v")),
+        )
         .where(F.col("__t1") > F.col("__t0"))
     )
     split = spans.select(

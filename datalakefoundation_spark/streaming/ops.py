@@ -389,6 +389,30 @@ def stream_rollup(
 
     stream_id = hashlib.sha256(checkpoint.encode()).hexdigest()[:16]
 
+    def _already_folded(t, replay_key: str, max_back: int = 20) -> bool:
+        # a replayed batch is the MOST RECENT fold on the level — walk
+        # back from the latest manifest to the newest fold commit and
+        # compare its key there. Scanning full history() would read every
+        # manifest on every batch: O(total commits) per batch, quadratic
+        # over the stream's lifetime. The cap bounds the walk past
+        # interleaved maintenance commits (optimize/vacuum carry no key).
+        mf = t.latest_manifest()
+        if mf is None:
+            return False
+        v = mf.version
+        for _ in range(max_back):
+            if v < 0:
+                return False
+            try:
+                m = mf if v == mf.version else t.manifest_at(v)
+            except FileNotFoundError:
+                return False  # vacuumed past — older than any replay window
+            rk = (m.metrics or {}).get("__replay_key")
+            if rk is not None:
+                return rk == replay_key
+            v -= 1
+        return False
+
     def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -396,11 +420,7 @@ def stream_rollup(
         skip = tuple(
             w
             for w, t in tables.items()
-            if t.exists()
-            and any(
-                (m.metrics or {}).get("__replay_key") == replay_key
-                for m in t.history()
-            )
+            if t.exists() and _already_folded(t, replay_key)
         )
         fold_rollup_inserts(
             batch_df,

@@ -331,7 +331,8 @@ SQL_TIME_WEIGHTED_AVG = """
 WITH s AS (
   SELECT event_type, epoch_us(ts) AS t0,
          CAST(value AS DECIMAL(18,4)) AS v,
-         lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS t1
+         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+           ORDER BY epoch_us(ts), CAST(value AS DECIMAL(18,4))) AS t1
   FROM events),
 spans AS (SELECT * FROM s WHERE t1 > t0),
 split AS (

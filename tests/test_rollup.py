@@ -429,6 +429,21 @@ def test_time_weighted_avg_hand_computed(spark):
     assert r1["twa"] == 30.0 and r1["covered_us"] == h // 2
 
 
+def test_time_weighted_avg_duplicate_ts_deterministic(spark):
+    """Tied timestamps order by value: the LARGEST tied value holds the
+    following interval, the rest drop at zero width — same answer on
+    every run and in the oracle."""
+    h = RU.HOUR_US
+    df = spark.createDataFrame(
+        [(0, "a", 10.0), (0, "a", 99.0), (h // 2, "a", 99.0), (h, "a", 1.0)],
+        "ts_us long, event_type string, value double",
+    )
+    for _ in range(3):
+        rows = RU.time_weighted_avg(df.repartition(8), resolution_us=h).collect()
+        assert len(rows) == 1
+        assert rows[0]["twa"] == 99.0 and rows[0]["covered_us"] == h
+
+
 def test_histogram_percentiles(spark, events):
     """Fixed-grid histogram: ladder re-aggregation is exact (minute→day ==
     direct day binning), and interpolated percentiles land within one bin
