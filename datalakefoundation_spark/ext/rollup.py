@@ -804,11 +804,13 @@ def percentiles_from_histogram(
             w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         ).alias("total"),
     )
-    p_df = cum.sparkSession.createDataFrame(
-        [(float(p),) for p in ps], "p double"
-    )
+    # each row fans out to the requested percentiles via a literal-array
+    # explode — a projection, not a join (a 3-row broadcast crossJoin
+    # would read as a cartesian in every plan audit)
     hit = (
-        cum.crossJoin(F.broadcast(p_df))
+        cum.withColumn(
+            "p", F.explode(F.array(*[F.lit(float(p)) for p in ps]))
+        )
         .where(
             (F.col("cum") >= F.col("p") * F.col("total"))
             & (
