@@ -384,6 +384,51 @@ WHERE cum >= p * total AND cum - c < p * total
 """
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Bigram LM TRAINING tables (ext/lm.py): vocabulary-capped unigram
+    and bigram counts over the documents corpus — the exact-integer half
+    of CCNet-style perplexity filtering (the ln-based score itself is not
+    bit-portable across engines; it is tolerance-verified in
+    tests/test_lm.py). Bigrams with c12 >= 3, vocab_size=200 so the
+    <unk> mapping is actually exercised at sf0.01."""
+    from datalakefoundation_spark.ext import lm as LM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uni, bi = LM.train_bigram_lm(docs, vocab_size=200)
+    return (
+        bi.where(F.col("c12") >= 3)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .select("w1", "w2", "c12", "c1")
+    )
+
+
+SQL_BIGRAM_LM = """
+WITH tok AS (
+  SELECT t.token FROM documents, unnest(string_split(text, ' ')) AS t(token)),
+raw_uni AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+vocab AS (SELECT token FROM raw_uni ORDER BY c DESC, token ASC LIMIT 200),
+uni AS (
+  SELECT CASE WHEN v.token IS NULL THEN '<unk>' ELSE tok.token END AS w,
+         count(*) AS c
+  FROM tok LEFT JOIN vocab v USING (token) GROUP BY w),
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+bg AS (
+  SELECT w[i] AS x, w[i + 1] AS y
+  FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+mapped AS (
+  SELECT CASE WHEN vx.token IS NULL THEN '<unk>' ELSE bg.x END AS w1,
+         CASE WHEN vy.token IS NULL THEN '<unk>' ELSE bg.y END AS w2
+  FROM bg LEFT JOIN vocab vx ON vx.token = bg.x
+          LEFT JOIN vocab vy ON vy.token = bg.y),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM mapped GROUP BY w1, w2)
+SELECT bi.w1, bi.w2, bi.c12, uni.c AS c1
+FROM bi JOIN uni ON uni.w = bi.w1
+WHERE bi.c12 >= 3
+"""
+
+
 def q_knn_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % 50 == 0)
@@ -1449,6 +1494,7 @@ EXTRA = {
     "q_rollup_gapfill": (q_rollup_gapfill, SQL_ROLLUP_GAPFILL),
     "q_time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
     "q_histogram_percentiles": (q_histogram_percentiles, SQL_HISTOGRAM_PERCENTILES),
+    "q_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
 }
 
 
