@@ -402,3 +402,101 @@ def chunk_documents(
     return df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
     ).withColumn("chunk_chars", F.length("chunk_text"))
+
+
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    max_dup_line_frac: float = 0.3,
+    min_required_words: int = 2,
+) -> DataFrame:
+    """Gopher-rule quality screen (Rae et al. 2021, Appendix A1.1) — the
+    standard pretraining-corpus heuristic battery, each rule one exact
+    JVM-side expression over the repo's ``split(' ')`` token contract and
+    ``split('\\n')`` lines:
+
+    * word count in [min_words, max_words]
+    * mean word length in [min_mean_word_len, max_mean_word_len]
+    * symbol-to-word ratio (``#`` occurrences + ``...`` occurrences per
+      word) ≤ max_symbol_word_ratio
+    * fraction of words containing ≥1 ASCII letter ≥ min_alpha_word_frac
+    * fraction of lines starting with a bullet (``-``/``*``/``•``)
+      ≤ max_bullet_line_frac; ending with ``...`` ≤ max_ellipsis_line_frac
+    * duplicate-line fraction (1 - distinct/total) ≤ max_dup_line_frac
+    * ≥ min_required_words distinct "required" English words present
+      (GOPHER_REQUIRED_WORDS) — the cheap English-prose prior
+
+    Output: per-document metrics + per-rule booleans + ``keep``. Pure
+    projection (scan-speed, no shuffle); counts are exact integers so a
+    SQL oracle reproduces every metric bit-for-bit."""
+    toks = tokens(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    n_words = F.size(toks)
+    sum_word_len = (
+        F.length(F.col(text_col)) - (n_words - F.lit(1))
+    )  # total chars minus the separators BETWEEN tokens
+    mean_word_len = sum_word_len.cast("double") / n_words
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0)
+    )
+    # token starts whose token contains an ASCII letter: sentinel space +
+    # lookahead, the same codegen'd trick as stopword_ratio
+    n_alpha_words = F.size(
+        F.regexp_extract_all(
+            F.concat(F.lit(" "), F.col(text_col)),
+            F.lit(" (?=[^ ]*[a-zA-Z])"),
+            0,
+        )
+    )
+    n_lines = F.size(lines)
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    )
+    n_ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$")))
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    n_required = sum(
+        (F.array_contains(toks, w).cast("int") for w in GOPHER_REQUIRED_WORDS),
+        F.lit(0),
+    )
+    m = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        (n_symbols.cast("double") / n_words).alias("symbol_word_ratio"),
+        (n_alpha_words.cast("double") / n_words).alias("alpha_word_frac"),
+        (n_bullet_lines.cast("double") / n_lines).alias("bullet_line_frac"),
+        (n_ellipsis_lines.cast("double") / n_lines).alias("ellipsis_line_frac"),
+        (
+            F.lit(1.0) - n_distinct_lines.cast("double") / n_lines
+        ).alias("dup_line_frac"),
+        n_required.alias("n_required_words"),
+    )
+    rules = {
+        "ok_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbols": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "ok_alpha": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "ok_bullets": F.col("bullet_line_frac") <= max_bullet_line_frac,
+        "ok_ellipsis": F.col("ellipsis_line_frac") <= max_ellipsis_line_frac,
+        "ok_dup_lines": F.col("dup_line_frac") <= max_dup_line_frac,
+        "ok_required_words": F.col("n_required_words") >= min_required_words,
+    }
+    out = m.select("*", *[c.alias(name) for name, c in rules.items()])
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)

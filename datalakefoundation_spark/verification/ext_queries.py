@@ -429,6 +429,64 @@ WHERE bi.c12 >= 3
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality screen (ext/text.py gopher_quality): per-doc
+    metric battery + per-rule flags + keep, all exact-arithmetic. The
+    DuckDB twin uses list ops where Spark uses codegen'd lookahead regex
+    (RE2 has no lookahead)."""
+    from datalakefoundation_spark.ext import text as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.gopher_quality(docs, min_words=30)
+
+
+SQL_GOPHER_QUALITY = """
+WITH m AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_words,
+    CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      / len(string_split(text, ' ')) AS mean_word_len,
+    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+      / len(string_split(text, ' ')) AS symbol_word_ratio,
+    CAST(len(list_filter(string_split(text, ' '),
+                         w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+      / len(string_split(text, ' ')) AS alpha_word_frac,
+    CAST(len(list_filter(string_split(text, chr(10)),
+                         l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+      / len(string_split(text, chr(10))) AS bullet_line_frac,
+    CAST(len(list_filter(string_split(text, chr(10)),
+                         l -> regexp_matches(l, '\\.\\.\\.$'))) AS DOUBLE)
+      / len(string_split(text, chr(10))) AS ellipsis_line_frac,
+    1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+      / len(string_split(text, chr(10))) AS dup_line_frac,
+    CAST(list_contains(string_split(text, ' '), 'the') AS INT)
+      + CAST(list_contains(string_split(text, ' '), 'be') AS INT)
+      + CAST(list_contains(string_split(text, ' '), 'to') AS INT)
+      + CAST(list_contains(string_split(text, ' '), 'of') AS INT)
+      + CAST(list_contains(string_split(text, ' '), 'and') AS INT)
+      + CAST(list_contains(string_split(text, ' '), 'that') AS INT)
+      + CAST(list_contains(string_split(text, ' '), 'have') AS INT)
+      + CAST(list_contains(string_split(text, ' '), 'with') AS INT)
+      AS n_required_words
+  FROM documents)
+SELECT *,
+  (n_words >= 30 AND n_words <= 100000) AS ok_word_count,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+  (symbol_word_ratio <= 0.1) AS ok_symbols,
+  (alpha_word_frac >= 0.8) AS ok_alpha,
+  (bullet_line_frac <= 0.9) AS ok_bullets,
+  (ellipsis_line_frac <= 0.3) AS ok_ellipsis,
+  (dup_line_frac <= 0.3) AS ok_dup_lines,
+  (n_required_words >= 2) AS ok_required_words,
+  ((n_words >= 30 AND n_words <= 100000)
+   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+   AND (symbol_word_ratio <= 0.1) AND (alpha_word_frac >= 0.8)
+   AND (bullet_line_frac <= 0.9) AND (ellipsis_line_frac <= 0.3)
+   AND (dup_line_frac <= 0.3) AND (n_required_words >= 2)) AS keep
+FROM m
+"""
+
+
 def q_knn_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % 50 == 0)
@@ -1495,6 +1553,7 @@ EXTRA = {
     "q_time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
     "q_histogram_percentiles": (q_histogram_percentiles, SQL_HISTOGRAM_PERCENTILES),
     "q_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
+    "q_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
 }
 
 

@@ -1702,3 +1702,44 @@ def test_rollup_rejects_non_nested_resolutions(spark):
         RU.rollup_cascade(ev, resolutions_us=(60, 90))
     with pytest.raises(ValueError):
         RU.rollup_cascade(ev, resolutions_us=(3600, 60))
+
+
+def test_gopher_quality_rules(spark):
+    """Hand-built docs tripping each Gopher rule exactly once; the clean
+    doc passes all eight."""
+    from datalakefoundation_spark.ext.text import gopher_quality
+
+    clean = (
+        "the quick brown fox jumps over that lazy dog and runs away with "
+        "great speed to have fun in the warm sunny fields of summer grass"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "short text"),  # word count
+            (3, " ".join(["a"] * 30)),  # mean word len < 3 (+required)
+            (4, clean + " " + "#" * 1 + " # # #"),  # symbols (4 of ~30)
+            (5, " ".join(["123"] * 15) + " " + " ".join(["456"] * 15)),  # alpha
+            (6, "\n".join(["- bullet point here"] * 10)),  # bullets
+            (7, "\n".join([f"line {i} trails off..." for i in range(10)])),  # ellipsis
+            (8, "\n".join(["the same line of and that have with text"] * 10)),  # dup lines
+            (9, " ".join(f"w{i}" for i in range(40))),  # no required words
+        ],
+        "doc_id long, text string",
+    )
+    out = gopher_quality(docs, min_words=20).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["keep"] is True, rows[1]
+    expect_fail = {
+        2: "ok_word_count",
+        3: "ok_word_len",
+        4: "ok_symbols",
+        5: "ok_alpha",
+        6: "ok_bullets",
+        7: "ok_ellipsis",
+        8: "ok_dup_lines",
+        9: "ok_required_words",
+    }
+    for doc_id, rule in expect_fail.items():
+        assert rows[doc_id][rule] is False, (doc_id, rule, rows[doc_id])
+        assert rows[doc_id]["keep"] is False, (doc_id, rows[doc_id])
