@@ -52,6 +52,9 @@ def clean_corpus(
     shingle_size: int = 3,
     decon_shingle_size: int = 5,
     span_dedup_size: int | None = None,
+    gopher: bool = False,
+    gopher_min_words: int = 50,
+    perplexity: tuple[DataFrame, DataFrame, float] | None = None,
 ) -> CleanResult:
     """The standard pre-training cleanup pipeline:
 
@@ -66,10 +69,15 @@ def clean_corpus(
        then re-applies the minimum-length gate to the rewritten text
     6. benchmark decontamination (drop docs sharing more than
        ``max_contaminated_frac`` of their shingles with ``benchmark``)
-    7. deterministic mixture sampling (``mixture=(strata_col, weights)``)
+    7. optional CCNet-style LM perplexity gate
+       (``perplexity=(uni, bi, max_ppl)`` — train on a reference corpus
+       via ``ext.lm.train_bigram_lm``)
+    8. deterministic mixture sampling (``mixture=(strata_col, weights)``)
 
-    Stages 2/4/5/6/7 are skipped when their inputs say so (``redact_pii``,
-    ``near_dedup``, ``span_dedup_size``, ``benchmark``, ``mixture``).
+    The optional Gopher battery (``gopher=True``) runs right after the
+    basic quality gate — same scan, stricter rules. Optional stages are
+    skipped when their inputs say so (``redact_pii``, ``near_dedup``,
+    ``span_dedup_size``, ``benchmark``, ``perplexity``, ``mixture``).
     Returns the cleaned DataFrame plus each stage's output for auditing."""
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     cur = docs
@@ -83,6 +91,17 @@ def clean_corpus(
         .drop("keep", "reject_reason")
     )
     stages.append(("quality", cur))
+
+    if gopher:
+        # the full Rae-et-al heuristic battery on the survivors — still
+        # scan-speed (pure projection + semi-join on the id)
+        flags = TX.gopher_quality(
+            cur, text_col, id_col, min_words=gopher_min_words
+        )
+        cur = cur.join(
+            flags.where(F.col("keep")).select(id_col), id_col, "left_semi"
+        )
+        stages.append(("gopher", cur))
 
     if redact_pii:
         cur = (
@@ -131,6 +150,19 @@ def clean_corpus(
         cur = cur.join(frac, cur[id_col] == F.col("__dirty_id"), "left_anti")
         stages.append(("decontaminate", cur))
 
+    if perplexity is not None:
+        # CCNet-style LM gate: train the LM on a REFERENCE corpus (not on
+        # `docs` — that would reward the corpus's own junk), pass
+        # (uni, bi, max_ppl). Runs after dedup/decontamination so the LM
+        # join prices only final-candidate documents.
+        from datalakefoundation_spark.ext.lm import perplexity_filter
+
+        uni, bi, max_ppl = perplexity
+        cur = perplexity_filter(
+            cur, uni, bi, max_ppl, text_col=text_col, id_col=id_col
+        )
+        stages.append(("perplexity", cur))
+
     if mixture is not None:
         strata_col, weights = mixture
         cur = mixture_sample(cur, key_col=id_col, strata_col=strata_col, weights=weights)
@@ -152,6 +184,8 @@ def clean_corpus_config(
       text_col, id_col            — column names
       quality.min_tokens          — int
       quality.min_distinct_ratio  — float
+      quality.gopher              — bool (the full Rae-et-al battery)
+      quality.gopher_min_words    — int
       pii.redact                  — bool
       dedup.near                  — bool
       dedup.shingle_size          — int
@@ -172,7 +206,7 @@ def clean_corpus_config(
     if unknown:
         raise ValueError(f"clean_corpus_config: unknown keys {sorted(unknown)}")
     sub_known = {
-        "quality": {"min_tokens", "min_distinct_ratio"},
+        "quality": {"min_tokens", "min_distinct_ratio", "gopher", "gopher_min_words"},
         "pii": {"redact"},
         "dedup": {"near", "shingle_size", "span_size"},
         "decontaminate": {"shingle_size", "max_frac"},
@@ -212,4 +246,6 @@ def clean_corpus_config(
         span_dedup_size=(
             int(dedup["span_size"]) if "span_size" in dedup else None
         ),
+        gopher=bool(quality.get("gopher", False)),
+        gopher_min_words=int(quality.get("gopher_min_words", 50)),
     )

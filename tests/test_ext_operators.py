@@ -1743,3 +1743,38 @@ def test_gopher_quality_rules(spark):
     for doc_id, rule in expect_fail.items():
         assert rows[doc_id][rule] is False, (doc_id, rule, rows[doc_id])
         assert rows[doc_id]["keep"] is False, (doc_id, rows[doc_id])
+
+
+def test_clean_corpus_gopher_and_perplexity_stages(spark, docs):
+    """The two new optional gates compose into the recipe: stage records
+    appear in order, survivor sets shrink monotonically, and every kept
+    doc passes both gates when re-checked standalone."""
+    from datalakefoundation_spark.ext import lm as LM
+    from datalakefoundation_spark.ext.recipes import clean_corpus
+    from datalakefoundation_spark.ext.text import gopher_quality
+
+    uni, bi = LM.train_bigram_lm(docs, vocab_size=300)
+    res = clean_corpus(
+        docs,
+        min_tokens=5,
+        gopher=True,
+        gopher_min_words=5,
+        redact_pii=False,
+        near_dedup=False,
+        perplexity=(uni, bi, 1e6),  # permissive: stage plumbing, not tuning
+    )
+    names = [n for n, _ in res.stages]
+    assert names == ["input", "quality", "gopher", "exact_dedup", "perplexity"]
+    counts = res.counts()
+    assert (
+        counts["input"]
+        >= counts["quality"]
+        >= counts["gopher"]
+        >= counts["exact_dedup"]
+        >= counts["perplexity"]
+    )
+    kept = res.df
+    flags = gopher_quality(kept, min_words=5)
+    assert flags.where(~F.col("keep")).count() == 0
+    scores = LM.score_documents(kept, uni, bi)
+    assert scores.where(F.col("ppl") > 1e6).count() == 0
