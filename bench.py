@@ -68,6 +68,11 @@ HEADLINE = [
     "q_embedding_quantize",
     "q_random_projection",
     "q_event_rollup",
+    "q_rollup_gapfill",
+    "q_time_weighted_avg",
+    "q_histogram_percentiles",
+    "q_bigram_lm",
+    "q_gopher_quality",
 ]
 
 
