@@ -826,3 +826,44 @@ def percentiles_from_histogram(
         "bucket_start_us", *keys, "p",
         (F.lit(lo) + (F.col("bin") + frac) * F.lit(width)).alias("value"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    ts_us_col: str = "ts_us",
+    user_col: str = "user_id",
+    resolution_us: int = DAY_US,
+) -> DataFrame:
+    """Retention cohort table: users grouped by their FIRST-activity
+    bucket (the cohort), counted per subsequent activity period — the
+    standard product-analytics triangle (cohort × period → active
+    users). All exact integer arithmetic.
+
+    Plan: one groupBy(user) for first-activity, one distinct over
+    (user, bucket) for activity periods, one join on user (both sides
+    hash-partitioned by the SAME key — no extra exchange), one final
+    count. Output: (cohort_start_us, period, n_active) where period 0 is
+    the cohort bucket itself, so n_active at period 0 is the cohort
+    size."""
+    first = events.groupBy(user_col).agg(
+        F.min(F.col(ts_us_col) - F.col(ts_us_col) % F.lit(resolution_us)).alias(
+            "cohort_start_us"
+        )
+    )
+    active = events.select(
+        user_col,
+        _bucket(F.col(ts_us_col), resolution_us),
+    ).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            "cohort_start_us",
+            (
+                (F.col("bucket_start_us") - F.col("cohort_start_us"))
+                / F.lit(resolution_us)
+            )
+            .cast("long")
+            .alias("period"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -487,6 +487,30 @@ FROM m
 """
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Retention cohort triangle (ext/rollup.py retention_cohorts): users
+    grouped by first-activity day, distinct-active counted per later day
+    period — all exact integers."""
+    from datalakefoundation_spark.ext import rollup as RU
+    from datalakefoundation_spark.verification.core_queries import read_events
+
+    ev = read_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    return RU.retention_cohorts(ev)
+
+
+SQL_RETENTION_COHORTS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 * 86400000000 AS b FROM events),
+first AS (SELECT user_id, min(b) AS cohort_start_us FROM e GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, b FROM e)
+SELECT f.cohort_start_us,
+       (a.b - f.cohort_start_us) // 86400000000 AS period,
+       count(*) AS n_active
+FROM active a JOIN first f USING (user_id)
+GROUP BY f.cohort_start_us, period
+"""
+
+
 def q_knn_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % 50 == 0)
@@ -1554,6 +1578,7 @@ EXTRA = {
     "q_histogram_percentiles": (q_histogram_percentiles, SQL_HISTOGRAM_PERCENTILES),
     "q_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "q_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "q_retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
 }
 
 

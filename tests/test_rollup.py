@@ -493,3 +493,33 @@ def test_refresh_rollup_rejects_non_nested_store(spark, events):
     feed = compute_changes(events, events, pk="event_id")
     with pytest.raises(ValueError):
         RU.refresh_rollup(events, stored, feed)
+
+
+def test_retention_cohorts_hand_computed(spark):
+    """3 users: u1 active days 0,1,3; u2 days 1,1 (dup events same day);
+    u3 day 3 only. Cohort(u1)=d0, cohort(u2)=d1, cohort(u3)=d3."""
+    d = RU.DAY_US
+    ev = spark.createDataFrame(
+        [
+            (1, 0, "x", 0.0), (2, d + 5, "x", 0.0), (3, 3 * d, "x", 0.0),  # u1
+            (4, d, "x", 0.0), (5, d + 9, "x", 0.0),                        # u2
+            (6, 3 * d + 1, "x", 0.0),                                      # u3
+        ],
+        "event_id long, ts_us long, event_type string, value double",
+    ).withColumn(
+        "user_id",
+        F.when(F.col("event_id") <= 3, 1)
+        .when(F.col("event_id") <= 5, 2)
+        .otherwise(3),
+    )
+    got = {
+        (r["cohort_start_us"] // d, r["period"]): r["n_active"]
+        for r in RU.retention_cohorts(ev).collect()
+    }
+    assert got == {
+        (0, 0): 1,  # u1 day 0
+        (0, 1): 1,  # u1 day 1
+        (0, 3): 1,  # u1 day 3
+        (1, 0): 1,  # u2 day 1 (dup events -> one active)
+        (3, 0): 1,  # u3 day 3
+    }
