@@ -867,3 +867,51 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def anomaly_scores(
+    level: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "n_events",
+    trailing: int = 24,
+    min_history: int = 6,
+) -> DataFrame:
+    """Trailing-window z-scores over a rollup level — the monitoring
+    use-case a continuous aggregate exists for: each (bucket, key) row is
+    compared against the mean/stddev of the PRECEDING ``trailing``
+    buckets of its key (the current bucket is excluded, so a spike cannot
+    mask itself). Rows with fewer than ``min_history`` preceding buckets
+    emit NULL (no basis). One window per key ordered by bucket; the
+    variance is computed from exact decimal sums (Σx, Σx²) so the oracle
+    reproduces it bit-for-bit (engine ``stddev`` implementations differ
+    in summation order; Σ/Σ² with a closed-form final division do not).
+
+    Output: level's key columns + bucket, value, trailing mean, z. The
+    z denominator is the POPULATION stddev of the window; windows with
+    zero variance emit NULL z (division by zero), not ±inf."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_start_us")
+        .rowsBetween(-trailing, -1)
+    )
+    x = F.col(value_col).cast("decimal(18,4)")
+    n = F.count(x).over(w)
+    s1 = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    mean = s1.cast("double") / n
+    var = s2.cast("double") / n - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(
+        (n >= min_history) & (std > 0),
+        (F.col(value_col).cast("double") - mean) / std,
+    )
+    return level.select(
+        "bucket_start_us",
+        *keys,
+        F.col(value_col).alias("value"),
+        F.when(n >= min_history, mean).alias("trailing_mean"),
+        z.alias("z"),
+    )

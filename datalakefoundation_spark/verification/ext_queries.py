@@ -511,6 +511,46 @@ GROUP BY f.cohort_start_us, period
 """
 
 
+def q_rollup_anomalies(spark, sf_dir):
+    """Trailing 24-hour z-scores over the hourly event rollup
+    (ext/rollup.py anomaly_scores) — variance from exact decimal Σ/Σ²
+    (engine stddev implementations differ in summation order; the
+    closed-form does not)."""
+    from datalakefoundation_spark.ext import rollup as RU
+    from datalakefoundation_spark.verification.core_queries import read_events
+
+    ev = read_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    level = RU.rollup_cascade(ev, resolutions_us=(RU.HOUR_US,))[RU.HOUR_US]
+    return RU.anomaly_scores(level)
+
+
+SQL_ROLLUP_ANOMALIES = """
+WITH level AS (
+  SELECT epoch_us(ts) // 3600000000 * 3600000000 AS b, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY b, event_type),
+win AS (
+  SELECT b, event_type, n_events,
+    count(CAST(n_events AS DECIMAL(18,4))) OVER w AS n,
+    sum(CAST(n_events AS DECIMAL(18,4))) OVER w AS s1,
+    sum(CAST(n_events AS DECIMAL(18,4)) * CAST(n_events AS DECIMAL(18,4))) OVER w AS s2
+  FROM level
+  WINDOW w AS (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT b AS bucket_start_us, event_type, n_events AS value,
+  CASE WHEN n >= 6 THEN CAST(s1 AS DOUBLE) / n END AS trailing_mean,
+  CASE WHEN n >= 6 AND sqrt(greatest(
+         CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+         0.0)) > 0
+       THEN (CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+            / sqrt(greatest(
+                CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                0.0))
+  END AS z
+FROM win
+"""
+
+
 def q_knn_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % 50 == 0)
@@ -1579,6 +1619,7 @@ EXTRA = {
     "q_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "q_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "q_retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "q_rollup_anomalies": (q_rollup_anomalies, SQL_ROLLUP_ANOMALIES),
 }
 
 

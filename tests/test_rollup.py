@@ -523,3 +523,25 @@ def test_retention_cohorts_hand_computed(spark):
         (1, 0): 1,  # u2 day 1 (dup events -> one active)
         (3, 0): 1,  # u3 day 3
     }
+
+
+def test_anomaly_scores_hand_computed(spark):
+    """Flat series of 10s with one 100 spike: the spike z is huge, flat
+    rows after warm-up have z NULL (zero variance), rows before
+    min_history have NULL mean and z."""
+    h = RU.HOUR_US
+    rows = [(i * h, "k", 10 if i != 20 else 100) for i in range(24)]
+    level = spark.createDataFrame(
+        rows, "bucket_start_us long, event_type string, n_events long"
+    )
+    out = {
+        r["bucket_start_us"] // h: r
+        for r in RU.anomaly_scores(level, trailing=12, min_history=6).collect()
+    }
+    for i in range(6):  # not enough history
+        assert out[i]["trailing_mean"] is None and out[i]["z"] is None
+    assert out[10]["trailing_mean"] == 10.0 and out[10]["z"] is None  # flat
+    assert out[20]["z"] is None or out[20]["z"] > 100  # spike vs zero-var window
+    # the window BEFORE the spike is all 10s -> zero variance -> z NULL even
+    # for the spike itself; the rows AFTER include the spike in their window
+    assert out[21]["z"] is not None and abs(out[21]["z"]) < 1.0
