@@ -1612,28 +1612,26 @@ EXTRA = {
     "q_chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "q_embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "q_random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
-    "q_event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
-    "q_rollup_gapfill": (q_rollup_gapfill, SQL_ROLLUP_GAPFILL),
-    "q_time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
-    "q_histogram_percentiles": (q_histogram_percentiles, SQL_HISTOGRAM_PERCENTILES),
-    "q_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
-    "q_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "q_retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "q_rollup_anomalies": (q_rollup_anomalies, SQL_ROLLUP_ANOMALIES),
+    # rotated OUT of the driver window in late r5 (4 rounds driver-green
+    # each; shapes covered by surviving registry rows) to make room for
+    # the r5 time-series/LM/gopher operators:
+    "q_stratified_sample": (q_stratified_sample, _stratified_oracle_sql()),
+    "q_vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "q_text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "q_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "q_knn_topk": (q_knn_topk, SQL_KNN_TOPK),
+    "q_novelty": (q_novelty, SQL_NOVELTY),
 }
 
 
 QUERIES = {
     "q_multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "q_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
-    "q_stratified_sample": (q_stratified_sample, _stratified_oracle_sql()),
-    "q_vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
-    "q_text_stats": (q_text_stats, SQL_TEXT_STATS),
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "q_dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "q_dedup_simhash": (q_dedup_simhash, _simhash_oracle_sql()),
-    "q_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "q_knn_topk": (q_knn_topk, SQL_KNN_TOPK),
     "q_ann_lsh": (q_ann_lsh, _ann_lsh_oracle_sql()),
     "q_ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "q_salted_agg": (q_salted_agg, SQL_SALTED_AGG),
@@ -1641,7 +1639,6 @@ QUERIES = {
     "q_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "q_repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "q_novelty": (q_novelty, SQL_NOVELTY),
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "q_grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
@@ -1653,4 +1650,11 @@ QUERIES = {
     "q_reshard_shuffle": (q_reshard_shuffle, SQL_RESHARD_SHUFFLE),
     "q_semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "q_mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    # rotated IN late r5 for first-time driver verification:
+    "q_event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
+    "q_rollup_gapfill": (q_rollup_gapfill, SQL_ROLLUP_GAPFILL),
+    "q_time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
+    "q_histogram_percentiles": (q_histogram_percentiles, SQL_HISTOGRAM_PERCENTILES),
+    "q_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
+    "q_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
 }
