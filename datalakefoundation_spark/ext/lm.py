@@ -55,17 +55,21 @@ def train_bigram_lm(
     vocab = raw_uni.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
         vocab_size
     ).select("w")
+    # mapped unigram counts derive from raw_uni (distinct-token-sized),
+    # NOT by re-exploding the corpus — the second corpus-scale shuffle
+    # that would add is pure waste: sum the out-of-vocab rows into <unk>
     uni = (
-        toks.join(
+        raw_uni.join(
             F.broadcast(vocab.withColumn("__kw", F.lit(True))), "w", "left"
         )
         .select(
             F.when(F.col("__kw").isNotNull(), F.col("w"))
             .otherwise(F.lit(UNK))
-            .alias("w")
+            .alias("w"),
+            "c",
         )
         .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("c"))
     )
     # bigram windows carry exactly one space (tokens cannot contain one);
     # map EACH side through the vocab with one broadcast join per side
@@ -113,11 +117,16 @@ def score_documents(
 
     Scale: doc bigrams explode (scan-speed), two vocab-mapping joins and
     the c1/c12 lookups — uni is vocab-bounded (broadcast); bi joins
-    shuffle unless ``min_bigram_count`` keeps it broadcast-sized."""
-    stats = uni.agg(
-        F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
-    ).first()
-    total, v = stats["total"], stats["v"]
+    shuffle unless ``min_bigram_count`` keeps it broadcast-sized. The
+    (total, V) normalizer rides as a broadcast one-row crossJoin — NOT a
+    driver collect, so building this plan runs no job and a lazy ``uni``
+    is not executed an extra time (persist uni/bi across many scoring
+    calls; each action re-derives them otherwise)."""
+    stats = F.broadcast(
+        uni.agg(
+            F.sum("c").alias("__total"), F.count(F.lit(1)).alias("__v")
+        )
+    )
     vocab = uni.select("w").where(F.col("w") != UNK)
     pairs = docs.select(
         F.col(id_col), F.explode(window_ngrams(text_col, 2)).alias("bg")
@@ -143,6 +152,7 @@ def score_documents(
         mapped.join(bi, ["w1", "w2"], "left")
         .join(c1, "w1", "left")
         .join(c2, "w2", "left")
+        .crossJoin(stats)
         .select(
             id_col,
             F.when(
@@ -152,7 +162,7 @@ def score_documents(
             .otherwise(
                 F.lit(alpha)
                 * (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(1.0))
-                / F.lit(float(total + v + 1))
+                / (F.col("__total") + F.col("__v") + F.lit(1)).cast("double")
             )
             .alias("p"),
         )
@@ -176,9 +186,13 @@ def perplexity_filter(
     id_col: str = "doc_id",
     alpha: float = 0.4,
 ) -> DataFrame:
-    """Keep documents whose LM perplexity is at most ``max_ppl`` —
-    the CCNet quality gate as one semi-join against the scores."""
-    keep = score_documents(docs, uni, bi, text_col, id_col, alpha).where(
-        F.col("ppl") <= F.lit(max_ppl)
+    """Keep documents whose LM perplexity is at most ``max_ppl`` — the
+    CCNet quality gate as one anti-join against the over-threshold set.
+    Documents with no score (fewer than 2 tokens — no bigram evidence)
+    are KEPT: this gate answers only the perplexity question; length
+    policy belongs to the length filters, and a semi-join against scores
+    would silently turn it into an undocumented min-length filter."""
+    bad = score_documents(docs, uni, bi, text_col, id_col, alpha).where(
+        F.col("ppl") > F.lit(max_ppl)
     )
-    return docs.join(keep.select(id_col), id_col, "left_semi")
+    return docs.join(bad.select(id_col), id_col, "left_anti")

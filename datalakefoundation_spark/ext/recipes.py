@@ -94,12 +94,17 @@ def clean_corpus(
 
     if gopher:
         # the full Rae-et-al heuristic battery on the survivors — still
-        # scan-speed (pure projection + semi-join on the id)
-        flags = TX.gopher_quality(
-            cur, text_col, id_col, min_words=gopher_min_words
-        )
-        cur = cur.join(
-            flags.where(F.col("keep")).select(id_col), id_col, "left_semi"
+        # scan-speed: keep_input carries the source columns through the
+        # metric projection so the gate is a plain filter, NOT a join
+        # (a semi-join on doc_id would shuffle the whole corpus twice)
+        original_cols = cur.columns
+        cur = (
+            TX.gopher_quality(
+                cur, text_col, id_col,
+                min_words=gopher_min_words, keep_input=True,
+            )
+            .where(F.col("keep"))
+            .select(*original_cols)
         )
         stages.append(("gopher", cur))
 

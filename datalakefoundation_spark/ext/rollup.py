@@ -878,9 +878,13 @@ def anomaly_scores(
 ) -> DataFrame:
     """Trailing-window z-scores over a rollup level — the monitoring
     use-case a continuous aggregate exists for: each (bucket, key) row is
-    compared against the mean/stddev of the PRECEDING ``trailing``
-    buckets of its key (the current bucket is excluded, so a spike cannot
-    mask itself). Rows with fewer than ``min_history`` preceding buckets
+    compared against the mean/stddev of the preceding ``trailing``
+    OBSERVED buckets of its key (the current bucket is excluded, so a
+    spike cannot mask itself). The window is ROWS-based: on a sparse key
+    whose level skips empty buckets, "trailing 24" means the last 24
+    buckets WITH DATA, however old — if silence should count as zero,
+    run ``gapfill(level, ..., strategy="zero")`` first and score the
+    filled level. Rows with fewer than ``min_history`` preceding buckets
     emit NULL (no basis). One window per key ordered by bucket; the
     variance is computed from exact decimal sums (Σx, Σx²) so the oracle
     reproduces it bit-for-bit (engine ``stddev`` implementations differ

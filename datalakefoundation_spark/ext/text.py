@@ -421,6 +421,7 @@ def gopher_quality(
     max_ellipsis_line_frac: float = 0.3,
     max_dup_line_frac: float = 0.3,
     min_required_words: int = 2,
+    keep_input: bool = False,
 ) -> DataFrame:
     """Gopher-rule quality screen (Rae et al. 2021, Appendix A1.1) — the
     standard pretraining-corpus heuristic battery, each rule one exact
@@ -438,9 +439,18 @@ def gopher_quality(
     * ≥ min_required_words distinct "required" English words present
       (GOPHER_REQUIRED_WORDS) — the cheap English-prose prior
 
-    Output: per-document metrics + per-rule booleans + ``keep``. Pure
+    Output: per-document metrics + per-rule booleans + ``keep``
+    (``keep_input=True`` also carries every input column through, so a
+    caller can ``.where(keep)`` with NO join — the recipe path). Pure
     projection (scan-speed, no shuffle); counts are exact integers so a
-    SQL oracle reproduces every metric bit-for-bit."""
+    SQL oracle reproduces every metric bit-for-bit. Regex-parity notes:
+    line rules are counted with one codegen'd ``regexp_extract_all``
+    over the whole text (an ``F.filter`` lambda is CodegenFallback —
+    interpreted per line); the ellipsis anchor is a ``(?=\\n|\\z)``
+    lookahead, NOT ``$`` (Java ``$`` also matches before a final line
+    terminator — a ``...\\r\\n`` line would diverge from the oracle);
+    the whitespace class is spelled explicitly because Java ``\\s`` and
+    RE2 ``\\s`` disagree on vertical tab."""
     toks = tokens(text_col)
     lines = F.split(F.col(text_col), "\n")
     n_words = F.size(toks)
@@ -461,17 +471,23 @@ def gopher_quality(
         )
     )
     n_lines = F.size(lines)
+    ws = r"[ \t\f\r\x0B]"  # explicit: Java \s has \x0B, RE2 \s does not
     n_bullet_lines = F.size(
-        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+        F.regexp_extract_all(
+            F.col(text_col), F.lit("(?:^|\n)" + ws + r"*[-*•]"), 0
+        )
     )
-    n_ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$")))
+    n_ellipsis_lines = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\.\.\.(?=\n|\z)"), 0)
+    )
     n_distinct_lines = F.size(F.array_distinct(lines))
     n_required = sum(
         (F.array_contains(toks, w).cast("int") for w in GOPHER_REQUIRED_WORDS),
         F.lit(0),
     )
+    lead_cols = [F.col("*")] if keep_input else [F.col(id_col)]
     m = df.select(
-        F.col(id_col),
+        *lead_cols,
         n_words.alias("n_words"),
         mean_word_len.alias("mean_word_len"),
         (n_symbols.cast("double") / n_words).alias("symbol_word_ratio"),

@@ -452,7 +452,7 @@ WITH m AS (
                          w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
       / len(string_split(text, ' ')) AS alpha_word_frac,
     CAST(len(list_filter(string_split(text, chr(10)),
-                         l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+                         l -> regexp_matches(l, '^[ \\t\\f\\r\\x0B]*[-*•]'))) AS DOUBLE)
       / len(string_split(text, chr(10))) AS bullet_line_frac,
     CAST(len(list_filter(string_split(text, chr(10)),
                          l -> regexp_matches(l, '\\.\\.\\.$'))) AS DOUBLE)
@@ -512,10 +512,11 @@ GROUP BY f.cohort_start_us, period
 
 
 def q_rollup_anomalies(spark, sf_dir):
-    """Trailing 24-hour z-scores over the hourly event rollup
-    (ext/rollup.py anomaly_scores) — variance from exact decimal Σ/Σ²
-    (engine stddev implementations differ in summation order; the
-    closed-form does not)."""
+    """Z-scores vs the trailing 24 OBSERVED hourly buckets per event_type
+    (ext/rollup.py anomaly_scores; gapfill first when silence should
+    count as zero) — variance from exact decimal Σ/Σ² (engine stddev
+    implementations differ in summation order; the closed-form does
+    not)."""
     from datalakefoundation_spark.ext import rollup as RU
     from datalakefoundation_spark.verification.core_queries import read_events
 
