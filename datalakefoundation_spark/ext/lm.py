@@ -196,3 +196,129 @@ def perplexity_filter(
         F.col("ppl") > F.lit(max_ppl)
     )
     return docs.join(bad.select(id_col), id_col, "left_anti")
+
+
+def _map_vocab(df: DataFrame, vocab: DataFrame, cols: list[str]) -> DataFrame:
+    """Map each of ``cols`` through the vocabulary (OOV -> <unk>) with one
+    broadcast join per column."""
+    out = df
+    for c in cols:
+        flag = f"__k_{c}"
+        out = out.join(
+            F.broadcast(
+                vocab.select(F.col("w").alias(c)).withColumn(flag, F.lit(True))
+            ),
+            c,
+            "left",
+        ).withColumn(
+            c, F.when(F.col(flag).isNotNull(), F.col(c)).otherwise(F.lit(UNK))
+        ).drop(flag)
+    return out
+
+
+def train_trigram_lm(
+    ref: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    min_bigram_count: int = 1,
+    min_trigram_count: int = 1,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Order-3 training: the bigram tables plus mapped-token trigram
+    counts ``(w1, w2, w3, c123)`` — one extra corpus-scale count shuffle
+    over ``train_bigram_lm``. CCNet proper uses a 5-gram; order 3 is
+    where the backoff CHAIN (trigram -> bigram -> unigram) appears, and
+    higher orders are the same recursion with more count tables."""
+    uni, bi = train_bigram_lm(ref, text_col, vocab_size, min_bigram_count)
+    vocab = uni.select("w").where(F.col("w") != UNK)
+    tris = ref.select(F.explode(window_ngrams(text_col, 3)).alias("tg")).select(
+        F.substring_index("tg", " ", 1).alias("w1"),
+        F.substring_index(F.substring_index("tg", " ", 2), " ", -1).alias("w2"),
+        F.substring_index("tg", " ", -1).alias("w3"),
+    )
+    tri = (
+        _map_vocab(tris, vocab, ["w1", "w2", "w3"])
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+    if min_trigram_count > 1:
+        tri = tri.where(F.col("c123") >= min_trigram_count)
+    return uni, bi, tri
+
+
+def score_documents_trigram(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    tri: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid-backoff chain over document trigrams:
+
+        p(w3|w1,w2) = c123/c12                    seen trigram
+                    = alpha * c23/c2              else, seen bigram
+                    = alpha^2 * p_uni(w3)         else
+        p_uni as in ``score_documents`` (add-one over the vocabulary)
+
+    Same lazy shape as the bigram scorer: the normalizer rides as a
+    broadcast one-row crossJoin, count tables join per order. Documents
+    with fewer than 3 tokens get no score row (use the bigram scorer or
+    keep-unscored gating for short text)."""
+    stats = F.broadcast(
+        uni.agg(F.sum("c").alias("__total"), F.count(F.lit(1)).alias("__v"))
+    )
+    vocab = uni.select("w").where(F.col("w") != UNK)
+    tgs = docs.select(
+        F.col(id_col), F.explode(window_ngrams(text_col, 3)).alias("tg")
+    ).select(
+        id_col,
+        F.substring_index("tg", " ", 1).alias("w1"),
+        F.substring_index(F.substring_index("tg", " ", 2), " ", -1).alias("w2"),
+        F.substring_index("tg", " ", -1).alias("w3"),
+    )
+    mapped = _map_vocab(tgs, vocab, ["w1", "w2", "w3"])
+    bi12 = bi.select(
+        F.col("w1"), F.col("w2").alias("w2"), F.col("c12").alias("c12")
+    )
+    bi23 = bi.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c12").alias("c23")
+    )
+    c2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")))
+    c3 = F.broadcast(uni.select(F.col("w").alias("w3"), F.col("c").alias("c3")))
+    p_uni3 = (
+        (F.coalesce(F.col("c3"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (F.col("__total") + F.col("__v") + F.lit(1)).cast("double")
+    )
+    scored = (
+        mapped.join(tri, ["w1", "w2", "w3"], "left")
+        .join(bi12, ["w1", "w2"], "left")
+        .join(bi23, ["w2", "w3"], "left")
+        .join(c2, "w2", "left")
+        .join(c3, "w3", "left")
+        .crossJoin(stats)
+        .select(
+            id_col,
+            # c123 ⇒ c12 exists in full counts, but an aggressive
+            # min_bigram_count can prune the stored c12 row — back off
+            F.when(
+                F.col("c123").isNotNull() & F.col("c12").isNotNull(),
+                F.col("c123").cast("double") / F.col("c12").cast("double"),
+            )
+            .when(
+                F.col("c23").isNotNull(),
+                F.lit(alpha)
+                * F.col("c23").cast("double") / F.col("c2").cast("double"),
+            )
+            .otherwise(F.lit(alpha * alpha) * p_uni3)
+            .alias("p"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            (-F.avg(F.log("p"))).alias("avg_neg_logp"),
+        )
+        .withColumn("ppl", F.exp("avg_neg_logp"))
+    )

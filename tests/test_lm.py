@@ -110,3 +110,53 @@ def test_gibberish_scores_worse_and_filter_keeps_clean(spark):
     kept = LM.perplexity_filter(both, uni, bi, max_ppl=thr)
     assert kept.where(F.col("doc_id") < 1_000_000).count() == 40
     assert kept.where(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def _py_train_tri(texts, vocab_size):
+    uni, bi = _py_train(texts, vocab_size)
+    vocab = set(uni) - {LM.UNK}
+    m = lambda w: w if w in vocab else LM.UNK
+    tri = Counter()
+    for txt in texts:
+        ts = [m(t) for t in txt.split(" ")]
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            tri[(a, b, c)] += 1
+    return uni, bi, tri
+
+
+def _py_score_tri(texts_by_id, uni, bi, tri, alpha=0.4):
+    total, v = sum(uni.values()), len(uni)
+    vocab = set(uni) - {LM.UNK}
+    m = lambda w: w if w in vocab else LM.UNK
+    out = {}
+    for doc_id, txt in texts_by_id.items():
+        ts = [m(t) for t in txt.split(" ")]
+        ps = []
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            if (a, b, c) in tri and (a, b) in bi:
+                ps.append(tri[(a, b, c)] / bi[(a, b)])
+            elif (b, c) in bi:
+                ps.append(alpha * bi[(b, c)] / uni[b])
+            else:
+                ps.append(alpha * alpha * (uni.get(c, 0) + 1.0) / (total + v + 1))
+        if ps:
+            out[doc_id] = -sum(math.log(p) for p in ps) / len(ps)
+    return out
+
+
+def test_trigram_train_and_scores_match_python(spark, docs):
+    rows = docs.collect()
+    texts = [r["text"] for r in rows]
+    by_id = {r["doc_id"]: r["text"] for r in rows}
+    py_uni, py_bi, py_tri = _py_train_tri(texts, vocab_size=100)
+    expected = _py_score_tri(by_id, py_uni, py_bi, py_tri)
+    uni, bi, tri = LM.train_trigram_lm(docs, vocab_size=100)
+    got_tri = {(r["w1"], r["w2"], r["w3"]): r["c123"] for r in tri.collect()}
+    assert got_tri == dict(py_tri)
+    got = {
+        r["doc_id"]: r["avg_neg_logp"]
+        for r in LM.score_documents_trigram(docs, uni, bi, tri).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-9), k
