@@ -487,6 +487,40 @@ FROM m
 """
 
 
+def q_trigram_lm(spark, sf_dir):
+    """Trigram LM TRAINING counts (ext/lm.py train_trigram_lm) — the
+    order-3 exact-integer tables, c123 >= 3, vocab_size=200 as in
+    q_bigram_lm so the <unk> mapping is exercised."""
+    from datalakefoundation_spark.ext import lm as LM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _uni, _bi, tri = LM.train_trigram_lm(docs, vocab_size=200)
+    return tri.where(F.col("c123") >= 3)
+
+
+SQL_TRIGRAM_LM = """
+WITH tok AS (
+  SELECT t.token FROM documents, unnest(string_split(text, ' ')) AS t(token)),
+raw_uni AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+vocab AS (SELECT token FROM raw_uni ORDER BY c DESC, token ASC LIMIT 200),
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3),
+tg AS (
+  SELECT w[i] AS x, w[i + 1] AS y, w[i + 2] AS z
+  FROM w, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+mapped AS (
+  SELECT CASE WHEN vx.token IS NULL THEN '<unk>' ELSE tg.x END AS w1,
+         CASE WHEN vy.token IS NULL THEN '<unk>' ELSE tg.y END AS w2,
+         CASE WHEN vz.token IS NULL THEN '<unk>' ELSE tg.z END AS w3
+  FROM tg LEFT JOIN vocab vx ON vx.token = tg.x
+          LEFT JOIN vocab vy ON vy.token = tg.y
+          LEFT JOIN vocab vz ON vz.token = tg.z)
+SELECT w1, w2, w3, count(*) AS c123
+FROM mapped GROUP BY w1, w2, w3 HAVING count(*) >= 3
+"""
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Retention cohort triangle (ext/rollup.py retention_cohorts): users
     grouped by first-activity day, distinct-active counted per later day
@@ -1615,6 +1649,7 @@ EXTRA = {
     "q_random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     "q_retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "q_rollup_anomalies": (q_rollup_anomalies, SQL_ROLLUP_ANOMALIES),
+    "q_trigram_lm": (q_trigram_lm, SQL_TRIGRAM_LM),
     # rotated OUT of the driver window in late r5 (4 rounds driver-green
     # each; shapes covered by surviving registry rows) to make room for
     # the r5 time-series/LM/gopher operators:
