@@ -160,3 +160,42 @@ def test_trigram_train_and_scores_match_python(spark, docs):
     assert set(got) == set(expected)
     for k in expected:
         assert got[k] == pytest.approx(expected[k], abs=1e-9), k
+
+
+def test_lm_scoring_on_stream(spark, docs, tmp_path):
+    """The CCNet gate on a document stream: each micro-batch is scored as
+    a batch via foreachBatch (the per-doc aggregation needs no cross-batch
+    state — a document is contained in its batch, so a direct streaming
+    agg's watermark machinery would be pure overhead) — union of batch
+    scores == one-shot batch scores."""
+    uni, bi = LM.train_bigram_lm(docs, vocab_size=100)
+    uni, bi = uni.cache(), bi.cache()
+    src = tmp_path / "docs"
+    docs.repartition(4).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "scores")
+
+    def _score_batch(batch_df, _batch_id):
+        LM.score_documents(batch_df, uni, bi).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(_score_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["avg_neg_logp"] for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: r["avg_neg_logp"]
+        for r in LM.score_documents(docs, uni, bi).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
