@@ -545,3 +545,83 @@ def test_anomaly_scores_hand_computed(spark):
     # the window BEFORE the spike is all 10s -> zero variance -> z NULL even
     # for the spike itself; the rows AFTER include the spike in their window
     assert out[21]["z"] is not None and abs(out[21]["z"]) < 1.0
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_refresh_equivalence_under_random_churn(spark, tmp_path, seed):
+    """Randomized churn (seeded): dels/updates/ts-migrations/inserts drawn
+    per-seed over a synthetic corpus — refresh_rollup AND the lake path
+    must both equal a from-scratch rebuild. Catches interaction bugs the
+    hand-built fixture can't (e.g. a migration landing in an insert's
+    bucket, churn clustering entirely inside one hour)."""
+    import random
+
+    rng = random.Random(seed)
+    t0 = 1_700_000_000_000_000
+    n = 400
+    rows = [
+        (
+            i,
+            t0 + rng.randrange(0, 3 * RU.DAY_US),
+            f"type_{rng.randrange(4)}",
+            round(rng.uniform(-50, 50), 3),
+        )
+        for i in range(n)
+    ]
+    base = spark.createDataFrame(
+        rows, "event_id long, ts_us long, event_type string, value double"
+    ).cache()
+    ids = list(range(n))
+    rng.shuffle(ids)
+    dels, upds, migs = set(ids[:30]), set(ids[30:60]), set(ids[60:75])
+    after = (
+        base.where(~F.col("event_id").isin(dels))
+        .withColumn(
+            "value",
+            F.when(F.col("event_id").isin(upds), F.col("value") * 2 - 1).otherwise(
+                F.col("value")
+            ),
+        )
+        .withColumn(
+            "ts_us",
+            F.when(
+                F.col("event_id").isin(migs),
+                F.col("ts_us") + F.lit(rng.randrange(1, 40) * RU.HOUR_US),
+            ).otherwise(F.col("ts_us")),
+        )
+    )
+    inserts = spark.createDataFrame(
+        [
+            (
+                n + j,
+                t0 + rng.randrange(0, 3 * RU.DAY_US),
+                f"type_{rng.randrange(4)}",
+                round(rng.uniform(-50, 50), 3),
+            )
+            for j in range(20)
+        ],
+        "event_id long, ts_us long, event_type string, value double",
+    )
+    after = after.unionByName(inserts).cache()
+    feed = compute_changes(base, after, pk="event_id")
+    expected = RU.rollup_cascade(after)
+
+    stored = {w: lv.cache() for w, lv in RU.rollup_cascade(base).items()}
+    refreshed = RU.refresh_rollup(after, stored, feed)
+    for w in expected:
+        _levels_equal(refreshed[w], expected[w], f"seed={seed} plain w={w}")
+
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    tables = {
+        w: LakeTable(spark, str(tmp_path / f"r{seed}_{w}"))
+        for w in (RU.MINUTE_US, RU.HOUR_US, RU.DAY_US)
+    }
+    RU.build_rollup_lake(base, tables)
+    RU.refresh_rollup_lake(after, tables, feed)
+    for w in expected:
+        _levels_equal(
+            tables[w].read().select(*expected[w].columns),
+            expected[w],
+            f"seed={seed} lake w={w}",
+        )
