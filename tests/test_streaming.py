@@ -393,11 +393,18 @@ def test_quality_filter_and_pii_scrub_work_on_streams(spark, tmp_path):
     docs.coalesce(1).write.parquet(src)
     stream = spark.readStream.schema(docs.schema).parquet(src)
 
-    cleaned = pii_scrub(
-        TX.quality_filter(stream, min_tokens=10).where("keep").drop(
+    def gate(df):
+        # quality filter -> Gopher battery (keep_input carries the source
+        # columns so the battery is a plain filter on streams too) -> PII
+        base = TX.quality_filter(df, min_tokens=10).where("keep").drop(
             "keep", "reject_reason"
         )
-    )
+        gq = TX.gopher_quality(
+            base, min_words=5, min_required_words=0, keep_input=True
+        )
+        return pii_scrub(gq.where("keep").select(*base.columns))
+
+    cleaned = gate(stream)
     q = (
         cleaned.writeStream.format("memory")
         .queryName("stream_quality")
@@ -407,11 +414,8 @@ def test_quality_filter_and_pii_scrub_work_on_streams(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM stream_quality")
-    want = pii_scrub(
-        TX.quality_filter(docs, min_tokens=10).where("keep").drop(
-            "keep", "reject_reason"
-        )
-    )
+    want = gate(docs)
+    assert got.count() > 0
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
