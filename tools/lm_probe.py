@@ -6,8 +6,14 @@ token salting — the LM needs a shared vocabulary across replicas, which
 is exactly the Zipfian shape a real reference corpus has), trains the
 vocabulary-capped bigram LM, then scores the whole corpus against it.
 
-Usage: python tools/lm_probe.py [replica counts...]   (default 10 40)
-  10 replicas = 50k docs, 40 = 200k, 200 = 1M.
+Usage: python tools/lm_probe.py [replica counts...] [--salt]
+  (default 10 40; 10 replicas = 50k docs, 40 = 200k, 200 = 1M)
+
+``--salt`` suffixes every token with its replica id (the dedup_cert
+vocab-explosion trick): distinct tokens grow ~base_vocab x R, the cap is
+lowered to 1000, and the probe asserts the <unk> path actually carries
+count mass — the vocabulary-capping stress the plain mode (tiny shared
+synthetic vocab) cannot exercise.
 """
 
 from __future__ import annotations
@@ -24,30 +30,38 @@ from datalakefoundation_spark.ext import lm as LM
 from datalakefoundation_spark.session import get_spark
 
 
-def build_corpus(spark, replicas: int):
+def build_corpus(spark, replicas: int, salt: bool):
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
         "doc_id", "text"
     )
     n = base.count()
     reps = spark.range(replicas).withColumnRenamed("id", "rep")
+    text = F.col("text")
+    if salt:
+        text = F.expr(
+            "regexp_replace(text, '([^ ]+)', concat('$1#', cast(rep as string)))"
+        )
     return (
         base.crossJoin(reps)
         .select(
             (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
-            F.col("text"),
+            text.alias("text"),
         )
     ), n * replicas
 
 
 def main() -> None:
-    replica_counts = [int(a) for a in sys.argv[1:]] or [10, 40]
+    args = [a for a in sys.argv[1:] if a != "--salt"]
+    salt = "--salt" in sys.argv[1:]
+    replica_counts = [int(a) for a in args] or [10, 40]
+    vocab_size = 1000 if salt else 50_000
     spark = get_spark()
     for r in replica_counts:
-        docs, n_docs = build_corpus(spark, r)
+        docs, n_docs = build_corpus(spark, r, salt)
         docs = docs.persist()
         docs.count()
         t0 = time.time()
-        uni, bi = LM.train_bigram_lm(docs, vocab_size=50_000, min_bigram_count=2)
+        uni, bi = LM.train_bigram_lm(docs, vocab_size=vocab_size, min_bigram_count=2)
         uni = uni.persist()
         bi = bi.persist()
         n_uni, n_bi = uni.count(), bi.count()
@@ -56,10 +70,18 @@ def main() -> None:
         scored = LM.score_documents(docs, uni, bi)
         n_scored = scored.count()
         t_score = time.time() - t0
+        unk_note = ""
+        if salt:
+            unk_c = (
+                uni.where(F.col("w") == LM.UNK).agg(F.sum("c")).first()[0] or 0
+            )
+            total_c = uni.agg(F.sum("c")).first()[0]
+            assert unk_c > 0, "salted corpus must exercise the <unk> path"
+            unk_note = f"  unk_mass={unk_c / total_c:.1%}"
         print(
             f"docs={n_docs:>9,}  train={t_train:6.2f}s  "
             f"score={t_score:6.2f}s ({n_scored / t_score:,.0f} docs/s)  "
-            f"|uni|={n_uni:,} |bi|={n_bi:,} scored={n_scored:,}"
+            f"|uni|={n_uni:,} |bi|={n_bi:,} scored={n_scored:,}{unk_note}"
         )
         for df in (docs, uni, bi):
             df.unpersist()
