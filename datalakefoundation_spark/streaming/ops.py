@@ -357,6 +357,33 @@ def stream_dedup_index(
     return writer.start()
 
 
+def replay_key_folded(t, replay_key: str, max_back: int = 20) -> bool:
+    """True when ``replay_key`` is the most recent fold commit on LakeTable
+    ``t`` — the stream_rollup replay check. Walks back from the latest
+    manifest to the NEWEST commit carrying a ``__replay_key`` and compares
+    there; scanning full history() would read every manifest on every
+    batch (O(total commits) per batch, quadratic over the stream's
+    lifetime). ``max_back`` bounds the walk past interleaved maintenance
+    commits (optimize/vacuum/delete carry no key); a vacuumed-away or
+    exhausted walk answers False (older than any replay window)."""
+    mf = t.latest_manifest()
+    if mf is None:
+        return False
+    v = mf.version
+    for _ in range(max_back):
+        if v < 0:
+            return False
+        try:
+            m = mf if v == mf.version else t.manifest_at(v)
+        except FileNotFoundError:
+            return False
+        rk = (m.metrics or {}).get("__replay_key")
+        if rk is not None:
+            return rk == replay_key
+        v -= 1
+    return False
+
+
 def stream_rollup(
     events: DataFrame,
     tables: dict,
@@ -389,30 +416,6 @@ def stream_rollup(
 
     stream_id = hashlib.sha256(checkpoint.encode()).hexdigest()[:16]
 
-    def _already_folded(t, replay_key: str, max_back: int = 20) -> bool:
-        # a replayed batch is the MOST RECENT fold on the level — walk
-        # back from the latest manifest to the newest fold commit and
-        # compare its key there. Scanning full history() would read every
-        # manifest on every batch: O(total commits) per batch, quadratic
-        # over the stream's lifetime. The cap bounds the walk past
-        # interleaved maintenance commits (optimize/vacuum carry no key).
-        mf = t.latest_manifest()
-        if mf is None:
-            return False
-        v = mf.version
-        for _ in range(max_back):
-            if v < 0:
-                return False
-            try:
-                m = mf if v == mf.version else t.manifest_at(v)
-            except FileNotFoundError:
-                return False  # vacuumed past — older than any replay window
-            rk = (m.metrics or {}).get("__replay_key")
-            if rk is not None:
-                return rk == replay_key
-            v -= 1
-        return False
-
     def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -420,7 +423,7 @@ def stream_rollup(
         skip = tuple(
             w
             for w, t in tables.items()
-            if t.exists() and _already_folded(t, replay_key)
+            if t.exists() and replay_key_folded(t, replay_key)
         )
         fold_rollup_inserts(
             batch_df,

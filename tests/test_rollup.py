@@ -625,3 +625,35 @@ def test_refresh_equivalence_under_random_churn(spark, tmp_path, seed):
             expected[w],
             f"seed={seed} lake w={w}",
         )
+
+
+def test_replay_key_folded_walkback(spark, tmp_path):
+    """The stream_rollup replay check must find the newest fold commit
+    even past interleaved maintenance commits (which carry no key), stop
+    at the FIRST key found (an older batch's key must not answer True),
+    and respect the walk cap."""
+    from datalakefoundation_spark.streaming.ops import replay_key_folded
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "rk"))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    assert replay_key_folded(t, "s:0") is False  # table absent
+    t.overwrite(df, operation="rollup_fold", metrics={"__replay_key": "s:0"})
+    assert replay_key_folded(t, "s:0") is True
+    assert replay_key_folded(t, "s:1") is False
+    # maintenance commit WITHOUT a key on top: walk must skip it
+    t.append(df)
+    assert replay_key_folded(t, "s:0") is True
+    # a newer fold supersedes: the old key no longer answers True
+    from datalakefoundation_spark.tables.lake_table import MASK_COL
+    t.merge_patch(
+        df.withColumn(MASK_COL, F.lit(True)), keys=["id"], mask_col=MASK_COL,
+        operation="rollup_fold", metrics={"__replay_key": "s:1"},
+    )
+    assert replay_key_folded(t, "s:1") is True
+    assert replay_key_folded(t, "s:0") is False
+    # cap: bury the fold under more no-key commits than max_back allows
+    for _ in range(4):
+        t.append(df)
+    assert replay_key_folded(t, "s:1", max_back=3) is False
+    assert replay_key_folded(t, "s:1", max_back=10) is True
