@@ -657,3 +657,82 @@ def test_replay_key_folded_walkback(spark, tmp_path):
         t.append(df)
     assert replay_key_folded(t, "s:1", max_back=3) is False
     assert replay_key_folded(t, "s:1", max_back=10) is True
+
+
+def test_refresh_rollup_lake_multi_round_then_compact(spark, tmp_path):
+    """Five sequential churn rounds against the same ladder (patches and
+    DVs stack across commits), then optimize() on every level: contents
+    must equal a rebuild from the final corpus at every step, and
+    compaction must not change them."""
+    import random
+
+    rng = random.Random(7)
+    t0 = 1_700_000_000_000_000
+    rows = [
+        (
+            i,
+            t0 + rng.randrange(0, 2 * RU.DAY_US),
+            f"type_{rng.randrange(3)}",
+            round(rng.uniform(0, 20), 2),
+        )
+        for i in range(200)
+    ]
+    cur = spark.createDataFrame(
+        rows, "event_id long, ts_us long, event_type string, value double"
+    ).cache()
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    tables = {
+        w: LakeTable(spark, str(tmp_path / f"m_{w}"))
+        for w in (RU.MINUTE_US, RU.HOUR_US, RU.DAY_US)
+    }
+    RU.build_rollup_lake(cur, tables)
+    next_id = 200
+    for rnd in range(5):
+        ids = [r["event_id"] for r in cur.select("event_id").collect()]
+        rng.shuffle(ids)
+        dels, upds = set(ids[:10]), set(ids[10:20])
+        after = (
+            cur.where(~F.col("event_id").isin(dels))
+            .withColumn(
+                "value",
+                F.when(
+                    F.col("event_id").isin(upds), F.col("value") + 1.5
+                ).otherwise(F.col("value")),
+            )
+            .unionByName(
+                spark.createDataFrame(
+                    [
+                        (
+                            next_id + j,
+                            t0 + rng.randrange(0, 2 * RU.DAY_US),
+                            f"type_{rng.randrange(3)}",
+                            round(rng.uniform(0, 20), 2),
+                        )
+                        for j in range(8)
+                    ],
+                    "event_id long, ts_us long, event_type string, value double",
+                )
+            )
+            .cache()
+        )
+        next_id += 8
+        feed = compute_changes(cur, after, pk="event_id")
+        # disable adaptive rebuild: this test is ABOUT patch stacking
+        RU.refresh_rollup_lake(after, tables, feed, rebuild_threshold=2.0)
+        expected = RU.rollup_cascade(after)
+        for w in expected:
+            _levels_equal(
+                tables[w].read().select(*expected[w].columns),
+                expected[w],
+                f"round={rnd} w={w}",
+            )
+        cur = after
+    # patches really did stack across the five rounds
+    assert len(tables[RU.MINUTE_US].latest_manifest().segments) > 3
+    for w, t in tables.items():
+        t.optimize()
+        expected = RU.rollup_cascade(cur, resolutions_us=(w,))[w]
+        _levels_equal(
+            t.read().select(*expected.columns), expected, f"compacted w={w}"
+        )
