@@ -852,3 +852,72 @@ def random_projection(
             )
 
     return ensure_compute_parallelism(src).mapInPandas(_project, out_schema)
+
+
+def hashed_feature_entries(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. 2009) in
+    LONG FORM: each token maps to ``bucket = sha256(token)[:6 hex] % dim``
+    with a ±1 sign from an independent hash nibble (signs unbias collision
+    noise), and the (doc, bucket) weight is the exact signed token count —
+    all integers, so the DuckDB oracle reproduces it bit-for-bit. This is
+    the text→vector bridge: raw documents become ANN-ready vectors with
+    no external embedding model.
+
+    Plan: explode tokens -> (doc, token) tf (one shuffle) -> hash is a
+    pure projection -> (doc, bucket) sum (map-side combined re-agg).
+    Output: (id_col, bucket, weight)."""
+    from .text import tokens
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    h = F.sha2(F.col("token"), 256)
+    bucket = (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % dim).alias(
+        "bucket"
+    )
+    sign = F.lit(1) - F.lit(2) * (
+        F.conv(F.substring(h, 7, 1), 16, 10).cast("long") % 2
+    )
+    return (
+        tf.select(F.col(id_col), bucket, (sign * F.col("tf")).alias("__w"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("__w").alias("weight"))
+    )
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Dense ``array<double>`` form of ``hashed_feature_entries`` — drop-in
+    input for the similarity family (brute_force_topk / LSH / IVF /
+    quantize_embeddings / random_projection all take an array column).
+    Values are exact integer counts widened to double (lossless up to
+    2^53), so two engines — and two partitionings — produce identical
+    vectors."""
+    entries = hashed_feature_entries(df, text_col, id_col, dim)
+    return entries.groupBy(id_col).agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(
+                F.element_at(
+                    F.map_from_entries(
+                        F.collect_list(
+                            F.struct(
+                                F.col("bucket").cast("int").alias("k"),
+                                F.col("weight").alias("v"),
+                            )
+                        )
+                    ),
+                    i.cast("int"),
+                ),
+                F.lit(0),
+            ).cast("double"),
+        ).alias("features")
+    )

@@ -521,6 +521,31 @@ FROM mapped GROUP BY w1, w2, w3 HAVING count(*) >= 3
 """
 
 
+def q_hashed_features(spark, sf_dir):
+    """Feature-hashed document vectors in long form
+    (ext/similarity.hashed_feature_entries): token -> sha-bucket % 64 with
+    ±1 sign, exact signed counts — the text→vector bridge that makes the
+    ANN family run on raw documents with no embedding model."""
+    from datalakefoundation_spark.ext import similarity as SIM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return SIM.hashed_feature_entries(docs, dim=64)
+
+
+SQL_HASHED_FEATURES = """
+WITH tok AS (
+  SELECT doc_id, t.token FROM documents, unnest(string_split(text, ' ')) AS t(token)),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+h AS (
+  SELECT doc_id,
+    ('0x' || substr(sha256(token), 1, 6))::BIGINT % 64 AS bucket,
+    (1 - 2 * (('0x' || substr(sha256(token), 7, 1))::BIGINT % 2)) * tf AS w
+  FROM tf)
+SELECT doc_id, bucket, CAST(sum(w) AS BIGINT) AS weight
+FROM h GROUP BY doc_id, bucket
+"""
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Retention cohort triangle (ext/rollup.py retention_cohorts): users
     grouped by first-activity day, distinct-active counted per later day
@@ -1650,6 +1675,7 @@ EXTRA = {
     "q_retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "q_rollup_anomalies": (q_rollup_anomalies, SQL_ROLLUP_ANOMALIES),
     "q_trigram_lm": (q_trigram_lm, SQL_TRIGRAM_LM),
+    "q_hashed_features": (q_hashed_features, SQL_HASHED_FEATURES),
     # rotated OUT of the driver window in late r5 (4 rounds driver-green
     # each; shapes covered by surviving registry rows) to make room for
     # the r5 time-series/LM/gopher operators:

@@ -1778,3 +1778,34 @@ def test_clean_corpus_gopher_and_perplexity_stages(spark, docs):
     assert flags.where(~F.col("keep")).count() == 0
     scores = LM.score_documents(kept, uni, bi)
     assert scores.where(F.col("ppl") > 1e6).count() == 0
+
+
+def test_hashed_features_feed_ann(spark, docs):
+    """Text→vector bridge: hashed_features vectors drive the existing ANN
+    ops — an exact duplicate document is its twin's rank-1 neighbor at
+    cosine 1.0, and the dense form matches the long-form entries."""
+    from datalakefoundation_spark.ext import similarity as SIM
+
+    base = docs.limit(30)
+    dup = base.limit(1).withColumn("doc_id", F.col("doc_id") + 500_000)
+    corpus = base.unionByName(dup)
+    feats = SIM.hashed_features(corpus, dim=64).cache()
+    # dense == long form
+    entries = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in SIM.hashed_feature_entries(corpus, dim=64).collect()
+    }
+    for r in feats.collect():
+        for b, v in enumerate(r["features"]):
+            assert v == float(entries.get((r["doc_id"], b), 0)), (r["doc_id"], b)
+    dup_id = dup.first()["doc_id"]
+    orig_id = base.first()["doc_id"]
+    top = SIM.brute_force_topk(
+        feats.where(F.col("doc_id") == dup_id),
+        feats,
+        k=1,
+        id_col="doc_id",
+        vec_col="features",
+    ).first()
+    assert top["neighbor_id"] == orig_id
+    assert top["cosine"] == pytest.approx(1.0, abs=1e-12)
