@@ -921,3 +921,53 @@ def hashed_features(
             ).cast("double"),
         ).alias("features")
     )
+
+
+def sparse_cosine_pairs(
+    entries: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All-pairs cosine over SPARSE vectors in long form (``id, bucket,
+    weight`` — e.g. ``hashed_feature_entries`` output): the relational
+    sparse-similarity join. Dot products come from one equi-join on
+    bucket (only shared buckets pair — zero terms never materialize),
+    norms from one per-id aggregate, cosine = dot / (na*nb).
+
+    With INTEGER-valued weights every sum is exact in double (no rounding
+    below 2^53 → order-independent), so the result is bit-portable across
+    engines and partitionings — unlike float-embedding cosine, which
+    needs the IEEE-fold UDF (`dedup.cosine_similarity`).
+
+    This is the verification/baseline form (pairs ∝ bucket co-occupancy);
+    the scale path feeds the same vectors through the banded-LSH
+    candidate machinery and re-scores only candidates. Output:
+    (id_a, id_b, cosine) with id_a < id_b and cosine >= threshold."""
+    e = entries.select(
+        F.col(id_col).alias("__id"),
+        F.col("bucket"),
+        F.col("weight").cast("double").alias("__w"),
+    )
+    norms = e.groupBy("__id").agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n")
+    )
+    a = e.select(F.col("__id").alias("id_a"), "bucket", F.col("__w").alias("wa"))
+    b = e.select(F.col("__id").alias("id_b"), "bucket", F.col("__w").alias("wb"))
+    dots = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("__dot"))
+    )
+    na = norms.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = norms.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__dot") / (F.col("__na") * F.col("__nb"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+    )

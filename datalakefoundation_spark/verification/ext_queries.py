@@ -546,6 +546,39 @@ FROM h GROUP BY doc_id, bucket
 """
 
 
+def q_text_near_dup(spark, sf_dir):
+    """Text near-duplicate pairs straight from raw documents: feature-hash
+    to sparse integer vectors, then the relational sparse-cosine join
+    (integer sums are exact in double → bit-portable, unlike
+    float-embedding cosine). Low threshold so the fixture yields pairs."""
+    from datalakefoundation_spark.ext import similarity as SIM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    entries = SIM.hashed_feature_entries(docs, dim=64)
+    return SIM.sparse_cosine_pairs(entries, threshold=0.9)
+
+
+SQL_TEXT_NEAR_DUP = """
+WITH tok AS (
+  SELECT doc_id, t.token FROM documents, unnest(string_split(text, ' ')) AS t(token)),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+e AS (
+  SELECT doc_id,
+    ('0x' || substr(sha256(token), 1, 6))::BIGINT % 64 AS bucket,
+    CAST(sum((1 - 2 * (('0x' || substr(sha256(token), 7, 1))::BIGINT % 2)) * tf)
+         AS DOUBLE) AS w
+  FROM tf GROUP BY doc_id, bucket),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS n FROM e GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY id_a, id_b)
+SELECT id_a, id_b, dot / (na.n * nb.n) AS cosine
+FROM dots JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b
+WHERE dot / (na.n * nb.n) >= 0.9
+"""
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Retention cohort triangle (ext/rollup.py retention_cohorts): users
     grouped by first-activity day, distinct-active counted per later day
@@ -1676,6 +1709,7 @@ EXTRA = {
     "q_rollup_anomalies": (q_rollup_anomalies, SQL_ROLLUP_ANOMALIES),
     "q_trigram_lm": (q_trigram_lm, SQL_TRIGRAM_LM),
     "q_hashed_features": (q_hashed_features, SQL_HASHED_FEATURES),
+    "q_text_near_dup": (q_text_near_dup, SQL_TEXT_NEAR_DUP),
     # rotated OUT of the driver window in late r5 (4 rounds driver-green
     # each; shapes covered by surviving registry rows) to make room for
     # the r5 time-series/LM/gopher operators:
