@@ -73,6 +73,8 @@ HEADLINE = [
     "q_histogram_percentiles",
     "q_bigram_lm",
     "q_gopher_quality",
+    "q_hashed_features",
+    "q_text_near_dup",
 ]
 
 
