@@ -939,10 +939,13 @@ def sparse_cosine_pairs(
     engines and partitionings — unlike float-embedding cosine, which
     needs the IEEE-fold UDF (`dedup.cosine_similarity`).
 
-    This is the verification/baseline form (pairs ∝ bucket co-occupancy);
-    the scale path feeds the same vectors through the banded-LSH
-    candidate machinery and re-scores only candidates. Output:
-    (id_a, id_b, cosine) with id_a < id_b and cosine >= threshold."""
+    This is the verification/baseline form: the bucket join is quadratic
+    in documents when vectors are DENSE in the hashed space (a tiny
+    vocabulary fills every bucket — measured ~97 s for 5k docs at dim
+    64). The scale path feeds the same vectors through the banded-LSH
+    candidate machinery and re-scores only candidates; genuinely sparse
+    corpora (real vocabularies, dim >> 64) keep the join selective.
+    Output: (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold."""
     e = entries.select(
         F.col(id_col).alias("__id"),
         F.col("bucket"),
