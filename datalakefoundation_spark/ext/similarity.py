@@ -974,3 +974,81 @@ def sparse_cosine_pairs(
         )
         .where(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def text_near_dup_scaled(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    threshold: float = 0.9,
+    bands: int = 8,
+    planes_per_band: int = 8,
+) -> DataFrame:
+    """The SCALE path for text near-duplicates over hashed features:
+    banded-LSH candidate generation (one band-key shuffle, never
+    all-pairs) followed by the exact sparse-cosine re-score of candidates
+    only. Same (id_a, id_b, cosine ≥ threshold) contract as
+    ``sparse_cosine_pairs``; recall < 1 by LSH design (tune ``bands``
+    up), precision exact (every emitted pair carries its true cosine).
+    The fixture-level recall and exact-cosine agreement vs the all-pairs
+    baseline are asserted in tests/test_ext_operators.py."""
+    entries = hashed_feature_entries(docs, text_col, id_col, dim).persist()
+    try:
+        dense = entries.groupBy(id_col).agg(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(
+                        F.map_from_entries(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("bucket").cast("int").alias("k"),
+                                    F.col("weight").alias("v"),
+                                )
+                            )
+                        ),
+                        i.cast("int"),
+                    ),
+                    F.lit(0),
+                ).cast("double"),
+            ).alias("features")
+        )
+        cand = lsh_near_dup_candidates(
+            dense, id_col=id_col, vec_col="features",
+            bands=bands, planes_per_band=planes_per_band, dim=dim,
+        )
+        # exact sparse re-score of CANDIDATES: join each side's entries,
+        # dot over shared buckets, norms per id — integer-exact as in
+        # sparse_cosine_pairs, but pair volume is candidate-bounded
+        ea = entries.select(
+            F.col(id_col).alias("id_a"), "bucket",
+            F.col("weight").cast("double").alias("wa"),
+        )
+        eb = entries.select(
+            F.col(id_col).alias("id_b"), "bucket",
+            F.col("weight").cast("double").alias("wb"),
+        )
+        norms = entries.groupBy(id_col).agg(
+            F.sqrt(F.sum(F.col("weight").cast("double") ** 2)).alias("__n")
+        )
+        dots = (
+            cand.join(ea, "id_a")
+            .join(eb, ["id_b", "bucket"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("__dot"))
+        )
+        out = (
+            dots.join(norms.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")), "id_a")
+            .join(norms.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")), "id_b")
+            .select(
+                "id_a", "id_b",
+                (F.col("__dot") / (F.col("__na") * F.col("__nb"))).alias("cosine"),
+            )
+            .where(F.col("cosine") >= F.lit(threshold))
+        )
+        # materialization boundary: entries is persisted only inside this
+        # call, so force the result before releasing it
+        return out.localCheckpoint(eager=True)
+    finally:
+        entries.unpersist()

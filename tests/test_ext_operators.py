@@ -1809,3 +1809,31 @@ def test_hashed_features_feed_ann(spark, docs):
     ).first()
     assert top["neighbor_id"] == orig_id
     assert top["cosine"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_text_near_dup_scaled_vs_baseline(spark, docs):
+    """The LSH-candidates + sparse-re-score scale path vs the all-pairs
+    baseline: every emitted pair must carry the EXACT baseline cosine
+    (precision 1.0 by construction), and recall on the fixture must be
+    substantial (tunable with bands — 8 here)."""
+    from datalakefoundation_spark.ext import similarity as SIM
+
+    corpus = docs.limit(120)
+    base_pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in SIM.sparse_cosine_pairs(
+            SIM.hashed_feature_entries(corpus, dim=64), threshold=0.9
+        ).collect()
+    }
+    assert base_pairs, "fixture must contain near-dup pairs at 0.9"
+    scaled = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in SIM.text_near_dup_scaled(
+            corpus, dim=64, threshold=0.9, bands=8
+        ).collect()
+    }
+    for k, v in scaled.items():
+        assert k in base_pairs, f"scaled emitted a non-baseline pair {k}"
+        assert v == base_pairs[k], f"cosine mismatch on {k}"
+    recall = len(scaled) / len(base_pairs)
+    assert recall >= 0.5, (len(scaled), len(base_pairs))
