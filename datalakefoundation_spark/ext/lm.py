@@ -74,19 +74,10 @@ def train_bigram_lm(
     # bigram windows carry exactly one space (tokens cannot contain one);
     # map EACH side through the vocab with one broadcast join per side
     pairs = ref.select(F.explode(window_ngrams(text_col, 2)).alias("bg")).select(
-        F.substring_index("bg", " ", 1).alias("x"),
-        F.substring_index("bg", " ", -1).alias("y"),
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
     )
-    v1 = vocab.withColumnRenamed("w", "x").withColumn("__kx", F.lit(True))
-    v2 = vocab.withColumnRenamed("w", "y").withColumn("__ky", F.lit(True))
-    mapped = (
-        pairs.join(F.broadcast(v1), "x", "left")
-        .join(F.broadcast(v2), "y", "left")
-        .select(
-            F.when(F.col("__kx").isNotNull(), F.col("x")).otherwise(F.lit(UNK)).alias("w1"),
-            F.when(F.col("__ky").isNotNull(), F.col("y")).otherwise(F.lit(UNK)).alias("w2"),
-        )
-    )
+    mapped = _map_vocab(pairs, vocab, ["w1", "w2"])
     bi = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     if min_bigram_count > 1:
         bi = bi.where(F.col("c12") >= min_bigram_count)
@@ -132,20 +123,10 @@ def score_documents(
         F.col(id_col), F.explode(window_ngrams(text_col, 2)).alias("bg")
     ).select(
         id_col,
-        F.substring_index("bg", " ", 1).alias("x"),
-        F.substring_index("bg", " ", -1).alias("y"),
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
     )
-    v1 = vocab.withColumnRenamed("w", "x").withColumn("__kx", F.lit(True))
-    v2 = vocab.withColumnRenamed("w", "y").withColumn("__ky", F.lit(True))
-    mapped = (
-        pairs.join(F.broadcast(v1), "x", "left")
-        .join(F.broadcast(v2), "y", "left")
-        .select(
-            id_col,
-            F.when(F.col("__kx").isNotNull(), F.col("x")).otherwise(F.lit(UNK)).alias("w1"),
-            F.when(F.col("__ky").isNotNull(), F.col("y")).otherwise(F.lit(UNK)).alias("w2"),
-        )
-    )
+    mapped = _map_vocab(pairs, vocab, ["w1", "w2"])
     c1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")))
     c2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")))
     scored = (

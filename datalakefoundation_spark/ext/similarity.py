@@ -901,25 +901,35 @@ def hashed_features(
     Values are exact integer counts widened to double (lossless up to
     2^53), so two engines — and two partitionings — produce identical
     vectors."""
-    entries = hashed_feature_entries(df, text_col, id_col, dim)
-    return entries.groupBy(id_col).agg(
+    return _dense_from_entries(
+        hashed_feature_entries(df, text_col, id_col, dim), id_col, dim
+    )
+
+
+def _dense_from_entries(entries: DataFrame, id_col: str, dim: int) -> DataFrame:
+    """(id, bucket, weight) long form -> (id, features array<double>).
+    The bucket map is built ONCE per row in the aggregate and the dense
+    transform reads it in a following select — nesting map_from_entries
+    inside the transform lambda would rebuild the map per ELEMENT
+    (interpreted HOF, O(dim·k) per doc instead of O(dim+k))."""
+    m = entries.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("bucket").cast("int").alias("k"),
+                    F.col("weight").alias("v"),
+                )
+            )
+        ).alias("__m")
+    )
+    return m.select(
+        id_col,
         F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda i: F.coalesce(
-                F.element_at(
-                    F.map_from_entries(
-                        F.collect_list(
-                            F.struct(
-                                F.col("bucket").cast("int").alias("k"),
-                                F.col("weight").alias("v"),
-                            )
-                        )
-                    ),
-                    i.cast("int"),
-                ),
-                F.lit(0),
+                F.element_at(F.col("__m"), i.cast("int")), F.lit(0)
             ).cast("double"),
-        ).alias("features")
+        ).alias("features"),
     )
 
 
@@ -927,6 +937,7 @@ def sparse_cosine_pairs(
     entries: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.9,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs cosine over SPARSE vectors in long form (``id, bucket,
     weight`` — e.g. ``hashed_feature_entries`` output): the relational
@@ -945,7 +956,19 @@ def sparse_cosine_pairs(
     64). The scale path feeds the same vectors through the banded-LSH
     candidate machinery and re-scores only candidates; genuinely sparse
     corpora (real vocabularies, dim >> 64) keep the join selective.
-    Output: (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold."""
+    ``candidates`` (an (id_a, id_b) DataFrame, id_a < id_b — e.g.
+    ``lsh_near_dup_candidates`` output) restricts scoring to the given
+    pairs: the scale path is this same function composed behind a
+    candidate generator, so baseline and scaled results agree by
+    CONSTRUCTION, not by parallel implementations.
+
+    Zero-norm documents (all signed weights cancelled) have no direction
+    and are excluded — without the guard Spark's 0/0 is NULL (dropped)
+    while DuckDB's is NaN, which its total order ranks ABOVE any
+    threshold. Pairs sharing no bucket have cosine exactly 0 and are
+    only representable for threshold > 0 (the join never materializes
+    zero terms). Output: (id_a, id_b, cosine) with id_a < id_b,
+    cosine >= threshold."""
     e = entries.select(
         F.col(id_col).alias("__id"),
         F.col("bucket"),
@@ -953,15 +976,27 @@ def sparse_cosine_pairs(
     )
     norms = e.groupBy("__id").agg(
         F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n")
-    )
+    ).where(F.col("__n") > 0)
     a = e.select(F.col("__id").alias("id_a"), "bucket", F.col("__w").alias("wa"))
     b = e.select(F.col("__id").alias("id_b"), "bucket", F.col("__w").alias("wb"))
-    dots = (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("__dot"))
-    )
+    if candidates is not None:
+        # candidate-bounded: each pair joins its two entry lists directly,
+        # so dot work is ∝ |candidates| · dim — NOT the all-pairs bucket
+        # join filtered afterwards (which would still expand every
+        # co-bucket combination before discarding non-candidates)
+        dots = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "bucket"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("__dot"))
+        )
+    else:
+        dots = (
+            a.join(b, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("__dot"))
+        )
     na = norms.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
     nb = norms.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
     return (
@@ -985,68 +1020,22 @@ def text_near_dup_scaled(
     bands: int = 8,
     planes_per_band: int = 8,
 ) -> DataFrame:
-    """The SCALE path for text near-duplicates over hashed features:
-    banded-LSH candidate generation (one band-key shuffle, never
-    all-pairs) followed by the exact sparse-cosine re-score of candidates
-    only. Same (id_a, id_b, cosine ≥ threshold) contract as
-    ``sparse_cosine_pairs``; recall < 1 by LSH design (tune ``bands``
-    up), precision exact (every emitted pair carries its true cosine).
-    The fixture-level recall and exact-cosine agreement vs the all-pairs
-    baseline are asserted in tests/test_ext_operators.py."""
+    """The SCALE path for text near-duplicates over hashed features — a
+    pure COMPOSITION: banded-LSH candidate generation (one band-key
+    shuffle, never all-pairs) feeding ``sparse_cosine_pairs(candidates=)``
+    for the exact re-score, so baseline and scale path agree by
+    construction. Recall < 1 by LSH design (tune ``bands`` up); precision
+    exact (every emitted pair carries its true cosine). Fixture-level
+    recall and exact-cosine agreement vs the all-pairs baseline are
+    asserted in tests/test_ext_operators.py."""
     entries = hashed_feature_entries(docs, text_col, id_col, dim).persist()
     try:
-        dense = entries.groupBy(id_col).agg(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i: F.coalesce(
-                    F.element_at(
-                        F.map_from_entries(
-                            F.collect_list(
-                                F.struct(
-                                    F.col("bucket").cast("int").alias("k"),
-                                    F.col("weight").alias("v"),
-                                )
-                            )
-                        ),
-                        i.cast("int"),
-                    ),
-                    F.lit(0),
-                ).cast("double"),
-            ).alias("features")
-        )
+        dense = _dense_from_entries(entries, id_col, dim)
         cand = lsh_near_dup_candidates(
             dense, id_col=id_col, vec_col="features",
             bands=bands, planes_per_band=planes_per_band, dim=dim,
         )
-        # exact sparse re-score of CANDIDATES: join each side's entries,
-        # dot over shared buckets, norms per id — integer-exact as in
-        # sparse_cosine_pairs, but pair volume is candidate-bounded
-        ea = entries.select(
-            F.col(id_col).alias("id_a"), "bucket",
-            F.col("weight").cast("double").alias("wa"),
-        )
-        eb = entries.select(
-            F.col(id_col).alias("id_b"), "bucket",
-            F.col("weight").cast("double").alias("wb"),
-        )
-        norms = entries.groupBy(id_col).agg(
-            F.sqrt(F.sum(F.col("weight").cast("double") ** 2)).alias("__n")
-        )
-        dots = (
-            cand.join(ea, "id_a")
-            .join(eb, ["id_b", "bucket"])
-            .groupBy("id_a", "id_b")
-            .agg(F.sum(F.col("wa") * F.col("wb")).alias("__dot"))
-        )
-        out = (
-            dots.join(norms.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")), "id_a")
-            .join(norms.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")), "id_b")
-            .select(
-                "id_a", "id_b",
-                (F.col("__dot") / (F.col("__na") * F.col("__nb"))).alias("cosine"),
-            )
-            .where(F.col("cosine") >= F.lit(threshold))
-        )
+        out = sparse_cosine_pairs(entries, id_col, threshold, candidates=cand)
         # materialization boundary: entries is persisted only inside this
         # call, so force the result before releasing it
         return out.localCheckpoint(eager=True)

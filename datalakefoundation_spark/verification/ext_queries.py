@@ -575,7 +575,7 @@ dots AS (
   GROUP BY id_a, id_b)
 SELECT id_a, id_b, dot / (na.n * nb.n) AS cosine
 FROM dots JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b
-WHERE dot / (na.n * nb.n) >= 0.9
+WHERE na.n > 0 AND nb.n > 0 AND dot / (na.n * nb.n) >= 0.9
 """
 
 

@@ -689,7 +689,9 @@ def test_refresh_rollup_lake_multi_round_then_compact(spark, tmp_path):
     RU.build_rollup_lake(cur, tables)
     next_id = 200
     for rnd in range(5):
-        ids = [r["event_id"] for r in cur.select("event_id").collect()]
+        # sort before shuffling: collect() order is partitioning-dependent,
+        # and an unsorted base would make the "seeded" churn irreproducible
+        ids = sorted(r["event_id"] for r in cur.select("event_id").collect())
         rng.shuffle(ids)
         dels, upds = set(ids[:10]), set(ids[10:20])
         after = (
