@@ -23,13 +23,14 @@ DRIVER_WINDOW = 50
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from datalakefoundation_spark.verification import (
+        analytics_queries,
         core_queries,
         ext_queries,
         strategy_queries,
     )
 
     merged: dict[str, tuple[QueryFn, str | None]] = {}
-    for mod in (core_queries, strategy_queries, ext_queries):
+    for mod in (core_queries, strategy_queries, ext_queries, analytics_queries):
         for name, pair in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")

@@ -261,5 +261,12 @@ EXTRA = {
         q_never_urgent_customers, SQL_NEVER_URGENT_CUSTOMERS
     ),
     "q_high_volume_suppliers": (q_high_volume_suppliers, SQL_HIGH_VOLUME_SUPPLIERS),
+}
+
+
+# rotated IN for r6 — first driver CORRECTNESS exposure for the sequential
+# event-funnel shape (the other four analytics shapes share their subquery
+# forms with driver-verified strategy/core rows).
+QUERIES = {
     "q_event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
 }

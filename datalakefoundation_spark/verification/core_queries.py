@@ -850,18 +850,11 @@ FROM orders
 # still oracle-paired, benchmarked and pytest-verified (tests/test_oracle_parity.py),
 # just outside the driver's 50-row window.
 QUERIES = {
-    "q_filter_predicate": (q_filter_predicate, SQL_FILTER_PREDICATE),
-    "q_projection_pipeline": (q_projection_pipeline, SQL_PROJECTION_PIPELINE),
     "q_pk_pipeline": (q_pk_pipeline, SQL_PK_PIPELINE),
-    "q_cast_rename": (q_cast_rename, SQL_CAST_RENAME),
     "q_bookkeeping_aggs": (q_bookkeeping_aggs, SQL_BOOKKEEPING_AGGS),
-    "q_normalize_names": (q_normalize_names, SQL_NORMALIZE_NAMES),
-    "q_distinct_partitions": (q_distinct_partitions, SQL_DISTINCT_PARTITIONS),
     "q_latest_per_key": (q_latest_per_key, SQL_LATEST_PER_KEY),
     "q_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
     "q_sessionize_batch": (q_sessionize_batch, SQL_SESSIONIZE_BATCH),
-    "q_order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
 }
 
 # Oracle-paired queries kept OUT of the driver registry (window is 50 rows).
@@ -874,6 +867,18 @@ QUERIES = {
 # q_top_customers' join+agg+top-k shape ⊂ q_shipping_priority;
 # q_running_total's running-sum frame ⊂ q_sessionize_batch.
 EXTRA = {
+    # rotated OUT of the driver window in r6 (each driver-green r3+r4+r5;
+    # shapes covered by surviving registry rows: scan+filter+project ⊂
+    # q_pk_pipeline / q_pricing_summary, join+agg ⊂ the merge/strategy rows,
+    # distinct-collect ⊂ q_bookkeeping_aggs' fused action) to make room for
+    # first-time verification of the r5 LM/feature/near-dup family:
+    "q_filter_predicate": (q_filter_predicate, SQL_FILTER_PREDICATE),
+    "q_projection_pipeline": (q_projection_pipeline, SQL_PROJECTION_PIPELINE),
+    "q_cast_rename": (q_cast_rename, SQL_CAST_RENAME),
+    "q_normalize_names": (q_normalize_names, SQL_NORMALIZE_NAMES),
+    "q_distinct_partitions": (q_distinct_partitions, SQL_DISTINCT_PARTITIONS),
+    "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
+    "q_order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
     "q_scan_project": (q_scan_project, SQL_SCAN_PROJECT),
     "q_select_expr": (q_select_expr, SQL_SELECT_EXPR),
     "q_calculated_columns": (q_calculated_columns, SQL_CALCULATED_COLUMNS),

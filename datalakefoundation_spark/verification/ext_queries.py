@@ -1676,28 +1676,9 @@ def q_bpe_token_count(spark, sf_dir):
 
 
 EXTRA = {
-    "q_bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
-    "q_decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE),
     "q_bpe_token_count": (q_bpe_token_count, None),
     "q_importance_resample": (q_importance_resample, SQL_IMPORTANCE_RESAMPLE),
     "q_source_cap": (q_source_cap, SQL_SOURCE_CAP),
-    "q_decontaminate_frac": (q_decontaminate_frac, SQL_DECONTAMINATE_FRAC),
-    "q_rare_tokens": (q_rare_tokens, SQL_RARE_TOKENS),
-    "q_collocations": (q_collocations, SQL_COLLOCATIONS),
-    "q_check_expectations": (q_check_expectations, SQL_CHECK_EXPECTATIONS),
-    # vocabulary-hashing variants: the SAME oracles as the direct paths —
-    # hash_distinct must be bit-identical, so oracle-pairing it makes the
-    # equivalence a gate property rather than only a local test
-    "q_dedup_simhash_vocab": (
-        lambda spark, sf_dir: D.simhash(_docs(spark, sf_dir), hash_distinct=True),
-        _simhash_oracle_sql(),
-    ),
-    "q_dedup_minhash_vocab": (
-        lambda spark, sf_dir: D.minhash_dedup_candidates(
-            _docs(spark, sf_dir), hash_distinct=True
-        ),
-        SQL_DEDUP_MINHASH,
-    ),
     "q_token_count": (q_token_count, SQL_TOKEN_COUNT),
     "q_lang_id": (q_lang_id, SQL_LANG_ID),
     "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
@@ -1705,11 +1686,17 @@ EXTRA = {
     "q_chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "q_embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "q_random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
-    "q_retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
-    "q_rollup_anomalies": (q_rollup_anomalies, SQL_ROLLUP_ANOMALIES),
-    "q_trigram_lm": (q_trigram_lm, SQL_TRIGRAM_LM),
-    "q_hashed_features": (q_hashed_features, SQL_HASHED_FEATURES),
-    "q_text_near_dup": (q_text_near_dup, SQL_TEXT_NEAR_DUP),
+    # rotated OUT of the driver window in r6 (driver-green r4+r5; exact-hash
+    # groupBy ⊂ q_dedup_minhash's banded groupBy, scalar-expr quality gates ⊂
+    # q_gopher_quality, salted-agg/pack shapes window-tested) to make room
+    # for first-time verification of the r5 LM/feature/near-dup family:
+    "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "q_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "q_salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    "q_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "q_multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "q_repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "q_ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     # rotated OUT of the driver window in late r5 (4 rounds driver-green
     # each; shapes covered by surviving registry rows) to make room for
     # the r5 time-series/LM/gopher operators:
@@ -1723,17 +1710,10 @@ EXTRA = {
 
 
 QUERIES = {
-    "q_multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
-    "q_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
-    "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "q_dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "q_dedup_simhash": (q_dedup_simhash, _simhash_oracle_sql()),
     "q_ann_lsh": (q_ann_lsh, _ann_lsh_oracle_sql()),
-    "q_ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
-    "q_salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "q_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "q_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "q_repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
@@ -1753,4 +1733,31 @@ QUERIES = {
     "q_histogram_percentiles": (q_histogram_percentiles, SQL_HISTOGRAM_PERCENTILES),
     "q_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "q_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    # rotated IN for r6 — the 13 oracle-paired ext queries that had never
+    # had a driver CORRECTNESS row (VERDICT r5 directive #1); LM/feature/
+    # near-dup family first, then the decontamination/quality knobs:
+    "q_trigram_lm": (q_trigram_lm, SQL_TRIGRAM_LM),
+    "q_hashed_features": (q_hashed_features, SQL_HASHED_FEATURES),
+    "q_text_near_dup": (q_text_near_dup, SQL_TEXT_NEAR_DUP),
+    "q_bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
+    "q_retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "q_rollup_anomalies": (q_rollup_anomalies, SQL_ROLLUP_ANOMALIES),
+    "q_collocations": (q_collocations, SQL_COLLOCATIONS),
+    "q_rare_tokens": (q_rare_tokens, SQL_RARE_TOKENS),
+    "q_check_expectations": (q_check_expectations, SQL_CHECK_EXPECTATIONS),
+    "q_decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE),
+    "q_decontaminate_frac": (q_decontaminate_frac, SQL_DECONTAMINATE_FRAC),
+    # vocabulary-hashing variants: the SAME oracles as the direct paths —
+    # hash_distinct must be bit-identical, so oracle-pairing it makes the
+    # equivalence a gate property rather than only a local test
+    "q_dedup_simhash_vocab": (
+        lambda spark, sf_dir: D.simhash(_docs(spark, sf_dir), hash_distinct=True),
+        _simhash_oracle_sql(),
+    ),
+    "q_dedup_minhash_vocab": (
+        lambda spark, sf_dir: D.minhash_dedup_candidates(
+            _docs(spark, sf_dir), hash_distinct=True
+        ),
+        SQL_DEDUP_MINHASH,
+    ),
 }
