@@ -349,19 +349,25 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_stride: int = 37,
     centroids: DataFrame | None = None,
+    blocked: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (cosine, ties -> lowest
     centroid id). Default centroids are the deterministic subset
     ``id % stride == 0`` (the oracle-matched variant); pass
     ``centroids=kmeans_centroids(df)`` for the trained production index —
     the structure (tiny broadcast centroid table, one row_number per
-    vector) is identical either way.
+    vector) is identical either way. ``blocked=True`` swaps in the
+    row-identical matmul assignment (``_nearest_centroids_blocked``) for
+    large centroid counts — at K=1000 the per-pair crossJoin form scores
+    N x K rows, the blocked form touches the corpus exactly once.
 
     Returns (vec_id, v, cluster_id)."""
     v = ensure_compute_parallelism(df).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     cent = centroids if centroids is not None else _stride_centroids(v, centroid_stride)
+    if blocked:
+        return _nearest_centroids_blocked(v, cent, 1)
     return _nearest_centroids(v, cent, 1)
 
 
@@ -373,17 +379,21 @@ def ivf_probes(
     centroid_stride: int = 37,
     nprobe: int = 2,
     centroids: DataFrame | None = None,
+    blocked: bool = False,
 ) -> DataFrame:
     """(vec_id, v, cluster_id) rows giving, for each vector matching
     ``probe_cond``, its ``nprobe`` nearest centroid cells (rank 1 = its
     storage cell). Centroids default to the stride subset drawn from the
     FULL input — the same set ``ivf_assign`` uses — so probe cells line
     up with storage cells; pass the same ``centroids`` to both for the
-    trained variant. Output fan-out is nprobe rows per probed vector."""
+    trained variant. Output fan-out is nprobe rows per probed vector.
+    ``blocked=True`` uses the matmul assignment (see ``ivf_assign``)."""
     v = ensure_compute_parallelism(df).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     cent = centroids if centroids is not None else _stride_centroids(v, centroid_stride)
+    if blocked:
+        return _nearest_centroids_blocked(v.where(probe_cond), cent, nprobe)
     return _nearest_centroids(v.where(probe_cond), cent, nprobe)
 
 
@@ -396,6 +406,7 @@ def ivf_topk(
     query_stride: int = 50,
     nprobe: int = 2,
     centroids: DataFrame | None = None,
+    blocked: bool = False,
 ) -> DataFrame:
     """Approximate top-k via IVF multiprobe: queries (``id % query_stride``)
     search their ``nprobe`` nearest centroid cells; the corpus is stored
@@ -404,8 +415,11 @@ def ivf_topk(
     are a small fraction of the corpus), closing most of the recall gap of
     nprobe=1 for vectors near cell boundaries. ``centroids`` (e.g. from
     ``kmeans_centroids``) swaps in a trained index; default stride subset
-    stays the oracle-matched form."""
-    assigned = ivf_assign(df, id_col, vec_col, centroid_stride, centroids=centroids)
+    stays the oracle-matched form. ``blocked=True`` swaps both centroid
+    assignments to the matmul path (row-identical; for large K)."""
+    assigned = ivf_assign(
+        df, id_col, vec_col, centroid_stride, centroids=centroids, blocked=blocked
+    )
     q = ivf_probes(
         df,
         F.col("vec_id") % query_stride == 0,
@@ -414,6 +428,7 @@ def ivf_topk(
         centroid_stride,
         nprobe,
         centroids=centroids,
+        blocked=blocked,
     ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cluster_id")
     c = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cluster_id"
@@ -438,6 +453,7 @@ def lsh_topk(
     bands: int = 4,
     planes_per_band: int = 8,
     dim: int = 64,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via banded LSH: candidates are pairs sharing ANY
     band key (OR over bands boosts recall; each band's groupBy shuffles on
@@ -451,7 +467,7 @@ def lsh_topk(
     identical to the per-pair oracle."""
     pairs = _banded_pairs(
         df, id_col, vec_col, bands, planes_per_band, dim,
-        ordered=False, with_vectors=True,
+        ordered=False, with_vectors=True, max_bucket_width=max_bucket_width,
     )
     scored = pairs.select(
         F.col("a.__id").alias("query_id"),
@@ -685,6 +701,7 @@ def ivf_pq_topk(
     rerank: int = 32,
     centroids: DataFrame | None = None,
     codebooks=None,
+    blocked: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate nearest neighbors — the memory-bounded scale
     path for billion-vector search (Jégou et al., "Product Quantization
@@ -708,7 +725,9 @@ def ivf_pq_topk(
     memory with (m, nbits)."""
     if codebooks is None:
         codebooks = pq_codebooks(df, id_col, vec_col, m=m, nbits=nbits, dim=dim)
-    assigned = ivf_assign(df, id_col, vec_col, centroid_stride, centroids=centroids)
+    assigned = ivf_assign(
+        df, id_col, vec_col, centroid_stride, centroids=centroids, blocked=blocked
+    )
     codes = pq_encode(df, codebooks, id_col, vec_col)
     stored = assigned.select("vec_id", "cluster_id").join(codes, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"), "cluster_id", "codes"
@@ -721,6 +740,7 @@ def ivf_pq_topk(
         centroid_stride,
         nprobe,
         centroids=centroids,
+        blocked=blocked,
     ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cluster_id")
     adc = _adc_cosine(codebooks)
     cand = (
@@ -1041,3 +1061,179 @@ def text_near_dup_scaled(
         return out.localCheckpoint(eager=True)
     finally:
         entries.unpersist()
+
+
+# ----------------------------------------------------- blocked matmul paths
+def _collect_query_matrix(
+    q: DataFrame, max_queries: int = 100_000
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bounded driver collect of a (vec_id, v) query frame -> (ids, Q).
+
+    The query set of a top-k batch job is control-plane sized by contract
+    (it is broadcast into every task closure); the cap turns "someone
+    passed the corpus as the query side" into an immediate error instead
+    of a driver OOM."""
+    rows = q.limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}; blocked top-k "
+            "broadcasts the query matrix — pass a bounded query set"
+        )
+    if not rows:
+        raise ValueError("empty query set")
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return ids, Q
+
+
+def _dim_order_cosine_block(M: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """(n x dim) corpus block x (q x dim) queries -> (n x q) cosine matrix
+    with the EXACT IEEE op sequence of ``_seq_cosine_udf``: dots and norms
+    accumulate per ascending dimension (separate multiply then add — numpy
+    emits no FMA here), result ``dot / (sqrt(nq) * sqrt(nc))``.
+    Multiplication is IEEE-commutative, so the denominator operand order
+    cannot differ from the per-pair fold. Bit-identical results mean the
+    blocked operators below are row-identical to their per-pair twins, not
+    merely approximately equal (tested in tests/test_ann_blocked.py)."""
+    n, q = M.shape[0], Q.shape[0]
+    dot = np.zeros((n, q), dtype=np.float64)
+    nc = np.zeros(n, dtype=np.float64)
+    nq = np.zeros(q, dtype=np.float64)
+    for i in range(M.shape[1]):
+        ci = M[:, i]
+        qi = Q[:, i]
+        dot += ci[:, None] * qi[None, :]
+        nc += ci * ci
+        nq += qi * qi
+    return dot / (np.sqrt(nq)[None, :] * np.sqrt(nc)[:, None])
+
+
+def brute_force_topk_blocked(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: Column | None = None,
+    query_stride: int = 50,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Exact cosine top-k at corpus scale — the matmul-blocked twin of
+    ``brute_force_topk`` and the ground-truth generator for the ANN
+    certification (tools/ann_cert.py).
+
+    ``brute_force_topk`` materializes |queries| x |corpus| pair ROWS, each
+    carrying both vectors through the plan — correct, but Arrow-transfer
+    bound beyond ~10^7 pairs. Here the query matrix (bounded driver
+    collect, broadcast in the task closure) meets the corpus in ONE
+    ``mapInPandas`` pass: each Arrow batch computes its (batch x queries)
+    cosine block as ``dim`` vectorized accumulate steps (the IEEE op order
+    of the per-pair fold — see ``_dim_order_cosine_block``) and emits only
+    its per-query top-k partial rows, so the shuffle after the scan is
+    |queries| x k x num_batches rows of three scalars. The final window
+    re-ranks partials globally; partial top-k under the same total order
+    (cosine desc, NaN greatest like Spark, id asc) is exact.
+
+    At 100 TB: no shuffle of the corpus at all — one scan, an
+    embarrassingly-parallel map, and a tiny top-k reduction. This is the
+    certified-exact baseline every ANN path in this module is measured
+    against."""
+    v = ensure_compute_parallelism(df).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    pred = query_pred if query_pred is not None else F.col("vec_id") % query_stride == 0
+    qids, Q = _collect_query_matrix(v.where(pred), max_queries)
+    kk = int(k)
+
+    def _partials(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            cos = _dim_order_cosine_block(M, Q)
+            # Spark's desc ordering treats NaN as greater than any double;
+            # mirror it in the sort key (output keeps the true NaN value)
+            key = np.where(np.isnan(cos), np.inf, cos)
+            out_q, out_n, out_c = [], [], []
+            for j in range(Q.shape[0]):
+                col = key[:, j]
+                mask = ids != qids[j]  # exclude self
+                cand = np.nonzero(mask)[0]
+                if cand.size == 0:
+                    continue
+                # total order: cosine desc, id asc — lexsort's last key is
+                # primary
+                order = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
+                out_q.append(np.full(order.size, qids[j], dtype=np.int64))
+                out_n.append(ids[order])
+                out_c.append(cos[order, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    partials = v.mapInPandas(
+        _partials, "query_id long, neighbor_id long, cosine double"
+    )
+    # Arrow folds float64 NaN into NULL on the way back from the map (same
+    # gotcha as cosine_similarity); a NULL here can only be a squashed NaN
+    # (null vectors never reach the block), and it must be restored BEFORE
+    # the window — Spark sorts NaN first under desc but NULL last
+    partials = partials.withColumn(
+        "cosine", F.coalesce("cosine", F.lit(float("nan")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _nearest_centroids_blocked(
+    v: DataFrame, cent: DataFrame, nprobe: int = 1, max_centroids: int = 1_000_000
+) -> DataFrame:
+    """Matmul twin of ``_nearest_centroids`` for LARGE centroid tables.
+
+    The per-pair form crossJoins corpus x centroids — N x K scored rows,
+    fine at the fixture's K≈30 but 10^9 rows at (1M vectors, K=1000).
+    Here the centroid matrix (one bounded collect — K rows is the index's
+    control plane, exactly what FAISS holds in RAM) rides the closure and
+    each Arrow batch computes its (batch x K) cosine block in the fold's
+    IEEE op order, then takes its ``nprobe`` best cells with the identical
+    tie rule (cosine desc, NaN greatest, lowest cluster_id) via a stable
+    argsort over id-ascending columns. Row-identical to the per-pair form
+    (tests/test_ann_blocked.py); output fan-out is nprobe rows per vector,
+    and the corpus is never shuffled."""
+    crows = cent.orderBy("cluster_id").limit(max_centroids + 1).collect()
+    if len(crows) > max_centroids:
+        raise ValueError("centroid table exceeds max_centroids")
+    cids = np.array([r["cluster_id"] for r in crows], dtype=np.int64)
+    C = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in crows])
+    npb = int(nprobe)
+
+    def _assign(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            cos = _dim_order_cosine_block(M, C)
+            key = np.where(np.isnan(cos), np.inf, cos)
+            # centroids were collected id-ascending, so a STABLE argsort of
+            # -key keeps the lowest cluster_id first within ties — the
+            # row_number tie rule of the per-pair form
+            order = np.argsort(-key, axis=1, kind="stable")[:, :npb]
+            n = order.shape[0]
+            out = pdf.iloc[np.repeat(np.arange(n), order.shape[1])].reset_index(
+                drop=True
+            )
+            out["cluster_id"] = cids[order].reshape(-1)
+            yield out
+
+    return v.select("vec_id", "v").mapInPandas(
+        _assign, "vec_id long, v array<double>, cluster_id long"
+    )
