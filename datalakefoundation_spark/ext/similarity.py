@@ -294,6 +294,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     centroid_stride: int = 37,
     iterations: int = 5,
+    blocked: bool = False,
 ) -> DataFrame:
     """Deterministic k-means refinement of the stride centroid subset —
     the production centroid trainer the IVF docstring names. Pure
@@ -321,7 +322,11 @@ def kmeans_centroids(
     )
     cent = _stride_centroids(v, centroid_stride)
     for _ in range(iterations):
-        assigned = _nearest_centroids(v, cent, 1)
+        assigned = (
+            _nearest_centroids_blocked(v, cent, 1)
+            if blocked
+            else _nearest_centroids(v, cent, 1)
+        )
         means = (
             assigned.select("cluster_id", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster_id", "pos")

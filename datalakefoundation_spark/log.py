@@ -13,8 +13,11 @@ ParquetAppender.scala:70-117, DatalakeLogManager.scala:13-86):
   (default ``default.dlf_logs``); anything else appends parquet files under
   a path (default ``<root>/system/log``). Both share the reference's
   6-column schema: timestamp, level, message, data, data_type, run_id.
-  The reference's Delta VARIANT ``data`` column is a JSON string here (the
-  documented Spark-4 fallback).
+  Where the runtime supports Spark 4 VARIANT (probed once per session —
+  ``variant_supported``), the table's ``data`` column surfaces as VARIANT
+  exactly like the reference's (TableAppender.scala:104-115): JSON payloads
+  parse structurally, stacktraces become variant strings. Engines without
+  the type get the documented JSON-string fallback.
 * A session ``run_id`` (ThreadContext analog) stamps every row; ``with_data``
   scopes a structured payload to a block; exceptions log their stacktrace
   with data_type='stacktrace' (DatalakeLogManager.logException).
@@ -43,6 +46,23 @@ LEVELS = {
     "TRACE": 5, "DEBUG": 10, "INFO": 20, "WARN": 30,
     "ERROR": 40, "FATAL": 50, "OFF": 1000,
 }
+
+_VARIANT_SUPPORT: dict[int, bool] = {}
+
+
+def variant_supported(spark: SparkSession) -> bool:
+    """Capability probe, once per session: can this runtime parse JSON into
+    a VARIANT column (Spark 4 with the variant expression set)? Gates the
+    log table's ``data`` column type — VARIANT where available (reference
+    TableAppender.scala:104-115), JSON string otherwise."""
+    key = id(spark)
+    if key not in _VARIANT_SUPPORT:
+        try:
+            t = spark.sql("select parse_json('{\"a\":1}') v").schema["v"].dataType
+            _VARIANT_SUPPORT[key] = t.typeName().lower().startswith("variant")
+        except Exception:
+            _VARIANT_SUPPORT[key] = False
+    return _VARIANT_SUPPORT[key]
 
 
 def parse_log_level(level: str) -> int:
@@ -87,12 +107,22 @@ class TableLogSink:
         root_folder: str,
         table_name: str,
         create_if_not_exists: bool = True,
+        variant: bool | None = None,
     ) -> None:
         self.spark = spark
         self.table_name = table_name
         parts = table_name.split(".")
         self.db = parts[0] if len(parts) > 1 else "default"
         self.tbl = parts[-1]
+        # ``data`` surfaces as VARIANT when the runtime supports it
+        # (reference TableAppender.scala:104-115): JSON payloads parse to
+        # structured variant, non-JSON payloads (stacktraces) become
+        # variant STRINGS via the cast — nothing is lost to a failed
+        # parse. Physical storage stays a JSON string column either way
+        # (portable parquet); the typed view is the query surface, so
+        # ``data:field::int`` path expressions work wherever the engine
+        # can evaluate them. ``variant=None`` probes the session.
+        self.variant = variant_supported(spark) if variant is None else variant
         path = f"{root_folder}/_catalog/{self.db}/{self.tbl}"
         self.table = LakeTable(spark, path)
         if create_if_not_exists and not self.table.exists():
@@ -101,8 +131,17 @@ class TableLogSink:
 
     def _register(self) -> None:
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.db}")
+        base = self.table.to_view_sql()
+        if self.variant:
+            select = (
+                "SELECT timestamp, level, message, "
+                "coalesce(try_parse_json(data), cast(data as variant)) AS data, "
+                f"data_type, run_id FROM ({base})"
+            )
+        else:
+            select = base
         self.spark.sql(
-            f"CREATE OR REPLACE VIEW {self.db}.{self.tbl} AS {self.table.to_view_sql()}"
+            f"CREATE OR REPLACE VIEW {self.db}.{self.tbl} AS {select}"
         )
 
     def write_batch(self, entries: list[LogEntry]) -> None:

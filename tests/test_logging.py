@@ -23,6 +23,21 @@ def _mgr(spark, tmp_path, **kw):
     return DatalakeLogManager(spark, _env(tmp_path, **kw))
 
 
+def _payload(v):
+    """The ``data`` column value -> python object across BOTH view types:
+    VariantVal (runtime with VARIANT support — the reference's column type)
+    or the JSON-string fallback. Variant strings / JSON docs / plain
+    strings all land on the natural python value."""
+    if v is None:
+        return None
+    if hasattr(v, "toJson"):
+        return json.loads(v.toJson())
+    try:
+        return json.loads(v)
+    except json.JSONDecodeError:
+        return v
+
+
 def test_parse_log_level_fallback():
     assert parse_log_level("INFO") == 20
     assert parse_log_level("fatal") == 50
@@ -45,8 +60,8 @@ def test_table_appender_buffers_and_writes(spark, tmp_path):
     rows = logs.collect()
     assert {r["level"] for r in rows} == {"INFO", "WARN"}
     assert {r["message"] for r in rows} == {"Test message 1", "Test message 2"}
-    payload = [r["data"] for r in rows if r["data"]]
-    assert json.loads(payload[0]) == {"records": 100}
+    payload = [r["data"] for r in rows if r["data"] is not None]
+    assert _payload(payload[0]) == {"records": 100}
     # every row carries the session run_id (ThreadContext analog)
     assert all(r["run_id"] == mgr.run_id for r in rows)
 
@@ -92,7 +107,7 @@ def test_summary_written_even_at_warn_level(spark, tmp_path):
     rows = spark.table("default.test_dlf_logs_d").collect()
     assert len(rows) == 1
     assert rows[0]["data_type"] == "ProcessingSummary"
-    data = json.loads(rows[0]["data"])
+    data = _payload(rows[0]["data"])
     assert data["records_in_slice"] == 42
     assert rows[0]["run_id"] == summary.run_id
 
@@ -109,7 +124,8 @@ def test_exception_logs_stacktrace(spark, tmp_path):
     mgr.flush()
     row = spark.table("default.test_dlf_logs_e").head()
     assert row["data_type"] == "stacktrace"
-    assert "ValueError: boom in merge" in row["data"]
+    # non-JSON payloads survive the variant view as variant STRINGS
+    assert "ValueError: boom in merge" in _payload(row["data"])
 
 
 def test_with_data_scopes_payload(spark, tmp_path):
@@ -123,9 +139,49 @@ def test_with_data_scopes_payload(spark, tmp_path):
     mgr.log("outside", level="INFO")
     mgr.flush()
     rows = {r["message"]: r for r in spark.table("default.test_dlf_logs_f").collect()}
-    assert json.loads(rows["inside"]["data"]) == {"slice": "s1.parquet"}
+    assert _payload(rows["inside"]["data"]) == {"slice": "s1.parquet"}
     assert rows["inside"]["data_type"] == "SliceInfo"
     assert rows["outside"]["data"] is None
+
+
+def test_table_sink_variant_data_column(spark, tmp_path):
+    """K7: on a runtime with VARIANT support the log table's ``data``
+    column IS variant (reference TableAppender.scala:104-115) and path
+    expressions work; skipped where the engine lacks the type."""
+    from datalakefoundation_spark.log import variant_supported
+
+    if not variant_supported(spark):
+        pytest.skip("runtime has no VARIANT type — JSON-string fallback active")
+    mgr = _mgr(
+        spark, tmp_path, log_appender_type="table",
+        log_output="default.test_dlf_logs_v", log_level="INFO",
+    )
+    mgr.log("variant row", level="INFO", data={"records": 7, "nested": {"ok": True}})
+    mgr.flush()
+    dt = spark.table("default.test_dlf_logs_v").schema["data"].dataType
+    assert dt.typeName().lower().startswith("variant")
+    got = spark.sql(
+        "select data:records::int AS records, data:nested.ok::boolean AS ok "
+        "from default.test_dlf_logs_v where data is not null"
+    ).first()
+    assert (got["records"], got["ok"]) == (7, True)
+
+
+def test_table_sink_json_string_fallback(spark, tmp_path):
+    """Forced variant=False: the documented JSON-string fallback — ``data``
+    stays a string column and readers use json parsing."""
+    sink = TableLogSink(
+        spark, str(tmp_path), "default.test_dlf_logs_w", variant=False
+    )
+    import datetime as dt
+
+    sink.write_batch([
+        LogEntry(dt.datetime.now(), "INFO", "m", json.dumps({"a": 1}), None, "r1")
+    ])
+    schema = spark.table("default.test_dlf_logs_w").schema
+    assert schema["data"].dataType.typeName() == "string"
+    row = spark.table("default.test_dlf_logs_w").head()
+    assert json.loads(row["data"]) == {"a": 1}
 
 
 def test_threshold_flushes_batch(spark, tmp_path):

