@@ -148,17 +148,23 @@ def main() -> None:
                 rec[f"ivf_np{nprobe}_s"] = round(time.time() - t0, 1)
                 rec[f"ivf_np{nprobe}_recall"] = recall_at_k(truth, got)
 
-            # --- IVF-PQ + exact re-rank, same trained index
-            t0 = time.time()
-            got = _topk_sets(
-                ivf_pq_topk(
-                    vdf, k=K, m=8, nbits=4, centroid_stride=cstride,
-                    query_stride=qstride, nprobe=8, rerank=128,
-                    centroids=cent, blocked=True,
-                ).collect()
-            )
-            rec["ivfpq_np8_s"] = round(time.time() - t0, 1)
-            rec["ivfpq_np8_recall"] = recall_at_k(truth, got)
+            # --- IVF-PQ + exact re-rank, same trained index. Hashed-count
+            # vectors are ADVERSARIAL for raw-vector PQ (mass concentrates
+            # on head buckets, so 4-bit codes tie massively — measured
+            # recall 0.23 at 1M with nbits=4/rerank=128); the tuned point
+            # is nbits=8 with a deeper exact re-rank, which stays a
+            # bounded join (queries x rerank rows). Two depths recorded.
+            for rerank in (512, 1024):
+                t0 = time.time()
+                got = _topk_sets(
+                    ivf_pq_topk(
+                        vdf, k=K, m=8, nbits=8, centroid_stride=cstride,
+                        query_stride=qstride, nprobe=8, rerank=rerank,
+                        centroids=cent, blocked=True,
+                    ).collect()
+                )
+                rec[f"ivfpq_np8_rr{rerank}_s"] = round(time.time() - t0, 1)
+                rec[f"ivfpq_np8_rr{rerank}_recall"] = recall_at_k(truth, got)
 
         records.append(rec)
         print(json.dumps(rec), flush=True)
@@ -170,9 +176,9 @@ def main() -> None:
     assert final["ivf_np8_recall"] >= 0.8, (
         f"trained-IVF np8 recall floor broken: {final['ivf_np8_recall']} < 0.8"
     )
-    assert final["ivfpq_np8_recall"] >= 0.75, (
-        f"IVF-PQ np8 rerank=128 recall floor broken: "
-        f"{final['ivfpq_np8_recall']} < 0.75"
+    assert final["ivfpq_np8_rr1024_recall"] >= 0.75, (
+        f"IVF-PQ np8 nbits=8 rerank=1024 recall floor broken: "
+        f"{final['ivfpq_np8_rr1024_recall']} < 0.75"
     )
     assert final["ivf_np8_recall"] >= final["ivf_np1_recall"], "multiprobe must not hurt"
     print("ANN CERT OK")

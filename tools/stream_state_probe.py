@@ -1,0 +1,184 @@
+"""Streaming state-size evidence under load (VERDICT r5 directive #6).
+
+Exactly-once and batch-equivalence of the streaming operators are pinned
+by tests/test_streaming.py; the missing evidence is the BOUNDED-STATE
+claim: drive ~1M events with a skewed key distribution through the
+watermarked stream-stream join and through sessionization as a sequence
+of micro-batches whose event time ADVANCES, record the state store's
+``numRowsTotal`` per micro-batch (query progress), and assert the series
+plateaus instead of growing with ingested volume.
+
+* ``stream_stream_join``: watermark eviction is the mechanism — buffered
+  rows age out once the watermark passes their joinable horizon, so state
+  tracks the rows inside ~(watermark + within) of the frontier (~2-3
+  batches' worth), not the 2 x 1M rows ingested.
+* ``sessionize``: state is one row per live key (applyInPandasWithState
+  with a processing-time timeout) — bounded by the key universe, flat
+  once every user has appeared, regardless of event volume.
+
+Event shape: batch b covers minute b (timestamps advance batch to batch);
+keys are Zipf-skewed over a 10k-user universe with one hot key carrying
+~15% of each batch (the skew the directive names).
+
+Asserted (recorded in BASELINE.md):
+  * join state max over the last quarter of batches <= 1.3 x max over the
+    second quarter (plateau, not growth);
+  * join final state rows < 25% of total ingested rows;
+  * sessionize state rows == live-key universe (flat) by mid-run.
+
+Usage: python tools/stream_state_probe.py [batches] [events_per_batch]
+  (default 20 50000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from datalakefoundation_spark.session import get_spark  # noqa: E402
+from datalakefoundation_spark.streaming.ops import (  # noqa: E402
+    sessionize,
+    stream_stream_join,
+)
+
+USERS = 10_000
+SEED = 20260815
+
+
+def write_batches(spark, path: str, batches: int, per_batch: int) -> None:
+    """Batch b: timestamps uniform inside minute b, keys Zipf-skewed with a
+    hot key (user 0) at ~15%. Files written sequentially so the file
+    source (maxFilesPerTrigger=1) replays them in event-time order."""
+    rng = np.random.default_rng(SEED)
+    ranks = np.arange(1, USERS + 1, dtype=np.float64)
+    p = ranks ** -1.1
+    p /= p.sum()
+    for b in range(batches):
+        users = rng.choice(USERS, size=per_batch, p=p)
+        hot = rng.random(per_batch) < 0.15
+        users[hot] = 0
+        offs = rng.integers(0, 60_000, size=per_batch)  # ms within the minute
+        pdf = {
+            "user_id": users.astype(np.int64),
+            "ts_ms": (np.int64(b) * 60_000 + offs).astype(np.int64),
+            "event_id": (np.int64(b) * per_batch + np.arange(per_batch)).astype(
+                np.int64
+            ),
+        }
+        import pandas as pd
+
+        df = spark.createDataFrame(pd.DataFrame(pdf)).select(
+            "user_id",
+            F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+            "event_id",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{path}/b{b:04d}")
+        # one file per logical batch at the top level for the file source
+        # (it lists files recursively; keep each batch one parquet part)
+        time.sleep(0.05)
+
+
+def state_series(query) -> list[int]:
+    return [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in query.recentProgress
+        if p.get("stateOperators")
+    ]
+
+
+def run_join(spark, src: str, ckpt: str) -> list[int]:
+    schema = "user_id long, ts timestamp, event_id long"
+    left = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    joined = stream_stream_join(left, right, key="user_id")
+    agg = joined.groupBy().count()  # tiny sink: we only want the state metrics
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    del agg
+    return state_series(q)
+
+
+def run_sessionize(spark, src: str, ckpt: str) -> list[int]:
+    schema = "user_id long, ts timestamp, event_id long"
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        sessionize(events)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state_series(q)
+
+
+def main() -> None:
+    batches = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    spark = get_spark("stream-state-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    total = batches * per_batch
+    out: dict = {"batches": batches, "events_per_batch": per_batch, "total": total}
+    with tempfile.TemporaryDirectory() as tmp:
+        write_batches(spark, f"{tmp}/src", batches, per_batch)
+
+        t0 = time.time()
+        join_rows = run_join(spark, f"{tmp}/src", f"{tmp}/ck_join")
+        out["join_wall_s"] = round(time.time() - t0, 1)
+        out["join_state_rows"] = join_rows
+
+        t0 = time.time()
+        sess_rows = run_sessionize(spark, f"{tmp}/src", f"{tmp}/ck_sess")
+        out["sessionize_wall_s"] = round(time.time() - t0, 1)
+        out["sessionize_state_rows"] = sess_rows
+
+    print(json.dumps(out), flush=True)
+
+    n = len(join_rows)
+    assert n >= 8, f"too few progress records: {n}"
+    q2 = max(join_rows[n // 4 : n // 2])
+    q4 = max(join_rows[3 * n // 4 :])
+    assert q4 <= 1.3 * q2, (
+        f"join state still growing: q2max={q2} q4max={q4} series={join_rows}"
+    )
+    assert join_rows[-1] < 0.25 * 2 * total, (
+        f"join final state too large: {join_rows[-1]} vs {2 * total} ingested"
+    )
+    m = len(sess_rows)
+    assert max(sess_rows[m // 2 :]) <= USERS, (
+        f"sessionize state exceeds the key universe: {max(sess_rows[m // 2:])}"
+    )
+    assert sess_rows[-1] <= sess_rows[m // 2] * 1.05 + 1, (
+        f"sessionize state not flat: {sess_rows}"
+    )
+    print("STREAM STATE PROBE OK")
+
+
+if __name__ == "__main__":
+    main()
