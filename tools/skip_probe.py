@@ -67,6 +67,10 @@ def scrambled(spark, n: int, files: int):
 
 def measure(t: LakeTable, col: str, lo: int, hi: int) -> dict:
     seg_files = sum(len(s.files or {}) for s in t.latest_manifest().segments)
+    assert seg_files > 0, (
+        "no per-file stats in the manifest — check file_stats_max_files "
+        "covers the probe's file count"
+    )
     spec = [[("and", col, str(lo), str(hi))]]
     pruned = t.read(prune_spec=spec)
     files_read = pruned.select(F.input_file_name()).distinct().count()
@@ -96,6 +100,10 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as tmp:
         for layout in ("unclustered", "lex", "zorder"):
             t = LakeTable(spark, f"{tmp}/{layout}", stats_columns=("ts", "key"))
+            # the default 256-file cap keeps manifests control-plane-sized
+            # on real tables; the probe needs per-file stats on all of its
+            # files to measure skipping, so raise the instance knob
+            t.file_stats_max_files = files * 2
             t0 = time.time()
             t.overwrite(scrambled(spark, n, files))
             if layout != "unclustered":
