@@ -54,6 +54,7 @@ def clean_corpus(
     span_dedup_size: int | None = None,
     gopher: bool = False,
     gopher_min_words: int = 50,
+    gopher_kwargs: dict | None = None,
     perplexity: tuple[DataFrame, DataFrame, float] | None = None,
 ) -> CleanResult:
     """The standard pre-training cleanup pipeline:
@@ -75,7 +76,11 @@ def clean_corpus(
     8. deterministic mixture sampling (``mixture=(strata_col, weights)``)
 
     The optional Gopher battery (``gopher=True``) runs right after the
-    basic quality gate — same scan, stricter rules. Optional stages are
+    basic quality gate — same scan, stricter rules; ``gopher_kwargs``
+    passes per-corpus threshold overrides straight to
+    ``text.gopher_quality`` (the Gopher paper itself tunes the battery
+    per source — e.g. ``min_required_words=0`` for non-English or
+    non-prose corpora). Optional stages are
     skipped when their inputs say so (``redact_pii``, ``near_dedup``,
     ``span_dedup_size``, ``benchmark``, ``perplexity``, ``mixture``).
     Returns the cleaned DataFrame plus each stage's output for auditing."""
@@ -102,6 +107,7 @@ def clean_corpus(
             TX.gopher_quality(
                 cur, text_col, id_col,
                 min_words=gopher_min_words, keep_input=True,
+                **(gopher_kwargs or {}),
             )
             .where(F.col("keep"))
             .select(*original_cols)
@@ -191,6 +197,7 @@ def clean_corpus_config(
       quality.min_distinct_ratio  — float
       quality.gopher              — bool (the full Rae-et-al battery)
       quality.gopher_min_words    — int
+      quality.gopher_kwargs       — {threshold: value} passed to gopher_quality
       pii.redact                  — bool
       dedup.near                  — bool
       dedup.shingle_size          — int
@@ -211,7 +218,10 @@ def clean_corpus_config(
     if unknown:
         raise ValueError(f"clean_corpus_config: unknown keys {sorted(unknown)}")
     sub_known = {
-        "quality": {"min_tokens", "min_distinct_ratio", "gopher", "gopher_min_words"},
+        "quality": {
+            "min_tokens", "min_distinct_ratio", "gopher", "gopher_min_words",
+            "gopher_kwargs",
+        },
         "pii": {"redact"},
         "dedup": {"near", "shingle_size", "span_size"},
         "decontaminate": {"shingle_size", "max_frac"},
@@ -253,4 +263,5 @@ def clean_corpus_config(
         ),
         gopher=bool(quality.get("gopher", False)),
         gopher_min_words=int(quality.get("gopher_min_words", 50)),
+        gopher_kwargs=dict(quality.get("gopher_kwargs", {})) or None,
     )

@@ -1780,6 +1780,39 @@ def test_clean_corpus_gopher_and_perplexity_stages(spark, docs):
     assert scores.where(F.col("ppl") > 1e6).count() == 0
 
 
+def test_clean_corpus_gopher_kwargs_passthrough(spark):
+    """Per-corpus Gopher tuning reaches the battery: a synthetic corpus
+    with zero English required-words is wiped by the default battery but
+    survives with ``min_required_words=0`` — through both the direct
+    kwarg and the JSON-config path."""
+    from datalakefoundation_spark.ext.recipes import clean_corpus, clean_corpus_config
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}x{j}" for j in range(30))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    base = dict(min_tokens=5, gopher=True, gopher_min_words=5,
+                redact_pii=False, near_dedup=False)
+    wiped = clean_corpus(docs, **base)
+    assert wiped.df.count() == 0
+    tuned = clean_corpus(docs, **base, gopher_kwargs={"min_required_words": 0})
+    assert tuned.df.count() == 8
+    via_config = clean_corpus_config(
+        docs,
+        {
+            "quality": {
+                "min_tokens": 5, "gopher": True, "gopher_min_words": 5,
+                "gopher_kwargs": {"min_required_words": 0},
+            },
+            "pii": {"redact": False},
+            "dedup": {"near": False},
+        },
+    )
+    assert via_config.df.count() == 8
+    with pytest.raises(ValueError):
+        clean_corpus_config(docs, {"quality": {"gopher_typo": 1}})
+
+
 def test_hashed_features_feed_ann(spark, docs):
     """Text→vector bridge: hashed_features vectors drive the existing ANN
     ops — an exact duplicate document is its twin's rank-1 neighbor at
