@@ -126,6 +126,15 @@ def clean_corpus(
     stages.append(("exact_dedup", cur))
 
     if near_dedup:
+        # persist the survivors feeding the iterative clustering stage:
+        # dedup_clusters' connected-components loop takes several actions
+        # over its input, and without a persist each one re-runs the
+        # whole quality/PII/exact-dedup prefix from the raw corpus
+        # (18% end-to-end at 1M docs in tools/corpus_cert.py; at cluster
+        # scale the prefix re-scan is O(corpus) per CC round vs
+        # O(survivors) with the persist). Standard persist-before-iterate;
+        # storage is the post-filter survivor set, not the raw corpus.
+        cur = cur.persist()
         clusters = dedup_clusters(
             cur, text_col=text_col, id_col=id_col, shingle_size=shingle_size
         )
