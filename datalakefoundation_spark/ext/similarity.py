@@ -52,7 +52,12 @@ def hyperplane_signs(num_planes: int = 8, dim: int = 64) -> list[list[float]]:
     return planes
 
 
-def _signature_column(vec: Column, num_planes: int = 32, dim: int = 64) -> Column:
+def _signature_column(
+    vec: Column,
+    num_planes: int = 32,
+    dim: int = 64,
+    center_means: "np.ndarray | None" = None,
+) -> Column:
     """num_planes-char sign-signature Column for a vector column.
 
     Arrow-batched pandas UDF: the whole batch's ``num_planes`` dots are
@@ -65,10 +70,29 @@ def _signature_column(vec: Column, num_planes: int = 32, dim: int = 64) -> Colum
     engines. A UDF is the right tool here, not a concession: Spark's
     higher-order array functions are CodegenFallback (interpreted, ~1 ms
     per vector at 32x64), while the numpy path is ~1 µs per vector and
-    scales to billions of rows as an embarrassingly-parallel map."""
+    scales to billions of rows as an embarrassingly-parallel map.
+
+    ``center_means`` (per-dimension corpus means) switches the hash to
+    MEAN-CENTERED projections: ``sign(w·(v-μ)) = sign(w·v - w·μ)``, one
+    extra subtract of a per-plane constant after the fold. Random
+    hyperplanes through the origin are useless on all-nonnegative data
+    (hashed text counts: every vector sits in the positive orthant and
+    the Zipf head carries the mass, so most docs share one sign pattern
+    and buckets go quadratic — measured in tools/text_near_dup_cert.py);
+    centering moves the planes through the data centroid, restoring
+    balanced buckets. The cosine scored downstream stays the RAW cosine —
+    centering only steers candidate generation."""
     from pyspark.sql.functions import pandas_udf
 
     W = np.array(hyperplane_signs(num_planes, dim), dtype=np.float64)  # (P, dim)
+    if center_means is not None:
+        mu = np.asarray(center_means, dtype=np.float64)
+        offsets = np.zeros(W.shape[0], dtype=np.float64)
+        for i in range(W.shape[1]):
+            # same accumulate order as the vector fold below
+            offsets += mu[i] * W[:, i]
+    else:
+        offsets = None
 
     @pandas_udf("string")
     def _sig(v: pd.Series) -> pd.Series:
@@ -84,6 +108,8 @@ def _signature_column(vec: Column, num_planes: int = 32, dim: int = 64) -> Colum
             # separate multiply then add (numpy emits no FMA here): per
             # (row, plane) the exact op order of the sequential fold
             acc += M[:, i : i + 1] * W[:, i]
+        if offsets is not None:
+            acc = acc - offsets
         bits = np.where(acc >= 0, "1", "0")
         out[valid.to_numpy()] = ["".join(r) for r in bits]
         return out
@@ -135,6 +161,7 @@ def _banded_pairs(
     ordered: bool,
     with_vectors: bool,
     max_bucket_width: int | None = None,
+    center: bool = False,
 ) -> DataFrame:
     """Shared candidate-pair expansion for the banded-LSH paths: explode the
     band keys, groupBy(bucket) + in-bucket pair expansion (NOT a band
@@ -169,7 +196,18 @@ def _banded_pairs(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    sig = _signature_column(F.col("__v"), num_planes, dim)
+    mu = None
+    if center:
+        # one bounded aggregate (dim doubles to the driver): the corpus
+        # centroid, folded into the projections as per-plane constants
+        row = base.agg(
+            *[F.avg(F.col("__v")[i]).alias(f"m{i}") for i in range(dim)]
+        ).first()
+        mu = np.array(
+            [row[f"m{i}"] if row[f"m{i}"] is not None else 0.0 for i in range(dim)],
+            dtype=np.float64,
+        )
+    sig = _signature_column(F.col("__v"), num_planes, dim, center_means=mu)
     keyed = base.select(
         "__id", *(["__v"] if with_vectors else []), sig.alias("__sig")
     )
@@ -220,16 +258,23 @@ def lsh_near_dup_candidates(
     bands: int = 4,
     planes_per_band: int = 8,
     dim: int = 64,
+    center: bool = False,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Bounded candidate pairs ``(id_a, id_b)`` (id_a < id_b) from banded-LSH
     bucket collisions — the scale path feeding
     ``dedup.embedding_near_dup_pairs(candidates=...)``: one shuffle on the
     band key and in-bucket pair expansion, never an all-pairs join. Recall
     tunes with ``bands`` (more bands = more chances to collide); precision
-    is restored by the exact cosine filter downstream."""
+    is restored by the exact cosine filter downstream. ``center=True``
+    switches to mean-centered projections — REQUIRED for all-nonnegative
+    vectors (hashed text counts), where origin-through hyperplanes leave
+    most of the corpus in one bucket (see _signature_column);
+    ``max_bucket_width`` caps degenerate buckets (recall trade)."""
     pairs = _banded_pairs(
         df, id_col, vec_col, bands, planes_per_band, dim,
         ordered=True, with_vectors=False,
+        max_bucket_width=max_bucket_width, center=center,
     )
     return pairs.select(
         F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
@@ -1044,6 +1089,8 @@ def text_near_dup_scaled(
     threshold: float = 0.9,
     bands: int = 8,
     planes_per_band: int = 8,
+    center: bool = True,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """The SCALE path for text near-duplicates over hashed features — a
     pure COMPOSITION: banded-LSH candidate generation (one band-key
@@ -1052,13 +1099,23 @@ def text_near_dup_scaled(
     construction. Recall < 1 by LSH design (tune ``bands`` up); precision
     exact (every emitted pair carries its true cosine). Fixture-level
     recall and exact-cosine agreement vs the all-pairs baseline are
-    asserted in tests/test_ext_operators.py."""
+    asserted in tests/test_ext_operators.py.
+
+    ``center=True`` (default) uses mean-centered projections for the
+    candidate stage: hashed text-count vectors are all-nonnegative, and
+    on a realistic Zipfian vocabulary origin-through sign-LSH collapses
+    the corpus into a handful of buckets (quadratic expansion, recall
+    via luck). Certified on a 50k-vocab Zipf corpus with planted
+    near-dup clusters in tools/text_near_dup_cert.py / BASELINE.md.
+    Scored cosines are raw either way — centering never changes a
+    result value, only which candidate pairs are surfaced."""
     entries = hashed_feature_entries(docs, text_col, id_col, dim).persist()
     try:
         dense = _dense_from_entries(entries, id_col, dim)
         cand = lsh_near_dup_candidates(
             dense, id_col=id_col, vec_col="features",
             bands=bands, planes_per_band=planes_per_band, dim=dim,
+            center=center, max_bucket_width=max_bucket_width,
         )
         out = sparse_cosine_pairs(entries, id_col, threshold, candidates=cand)
         # materialization boundary: entries is persisted only inside this

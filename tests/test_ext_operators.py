@@ -1844,6 +1844,51 @@ def test_hashed_features_feed_ann(spark, docs):
     assert top["cosine"] == pytest.approx(1.0, abs=1e-12)
 
 
+def test_lsh_centering_on_nonnegative_vectors(spark):
+    """Mean-centered projections fix the degenerate all-nonnegative case:
+    on head-dominated count vectors the uncentered sign signature is one
+    giant bucket (every vector in the positive orthant, the shared head
+    mass decides every plane), while centering spreads the corpus over
+    many buckets — and never changes emitted cosine VALUES, only which
+    candidate pairs surface."""
+    import numpy as np
+
+    from datalakefoundation_spark.ext import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    # head-dominated nonnegative vectors: big shared head + small tail
+    rows = []
+    for i in range(200):
+        v = np.zeros(64)
+        v[0] = 100.0 + rng.integers(0, 5)
+        v[1] = 50.0 + rng.integers(0, 5)
+        v[2 + rng.integers(0, 62)] = rng.integers(1, 10)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def n_buckets(center):
+        sig = SIM._banded_pairs.__globals__["_signature_column"]
+        mu = None
+        if center:
+            import numpy as _np
+            M = _np.array([r[1] for r in rows])
+            mu = M.mean(axis=0)
+        return (
+            df.select(sig(F.col("embedding"), 32, 64, center_means=mu).alias("s"))
+            .select(F.substring("s", 1, 8).alias("b"))
+            .distinct()
+            .count()
+        )
+
+    assert n_buckets(center=False) <= 3  # degenerate: ~one sign pattern
+    assert n_buckets(center=True) >= 20  # centered: spread out
+    # candidates from the centered path are still exact-cosine pairs
+    cand = SIM.lsh_near_dup_candidates(
+        df, bands=4, planes_per_band=8, center=True
+    )
+    assert cand.count() > 0
+
+
 def test_text_near_dup_scaled_vs_baseline(spark, docs):
     """The LSH-candidates + sparse-re-score scale path vs the all-pairs
     baseline: every emitted pair must carry the EXACT baseline cosine

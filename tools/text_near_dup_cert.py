@@ -13,8 +13,14 @@ this probe measures the bands-vs-recall contract on a REALISTIC corpus:
     measured exactly (``sparse_cosine_pairs(candidates=planted)``) and
     pairs are bucketed at 0.85/0.90/0.95;
   * for bands in {4, 8, 16} (planes_per_band=8), run the full scale path
-    ``text_near_dup_scaled(threshold=0.85)`` and report per-bucket recall
-    (found planted pairs / planted pairs in bucket) + wall time.
+    ``text_near_dup_scaled(threshold=0.85)`` (mean-centered projections,
+    the default) and report per-bucket recall (found planted pairs /
+    planted pairs in bucket) + wall time;
+  * one UNCENTERED contrast leg at bands=8 with a 4096 bucket cap: on
+    all-nonnegative Zipf-head-dominated vectors, origin-through sign-LSH
+    collapses the corpus into a handful of buckets — uncapped it goes
+    quadratic (the first run of this probe never finished the bands=4
+    leg), capped it trades recall; the leg records what the cap costs.
 
 Precision is exact by construction (every emitted pair carries its true
 cosine and the threshold filter is exact), so recall over planted pairs is
@@ -133,6 +139,21 @@ def main() -> None:
             if members:
                 r = len(members & found) / len(members)
                 rec[f"bands{bands}_recall_{lo:.2f}"] = round(r, 4)
+
+    # uncentered contrast: the degenerate regime, bounded by a bucket cap
+    t0 = time.time()
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in text_near_dup_scaled(
+            docs, threshold=THRESHOLD, bands=8,
+            center=False, max_bucket_width=4096,
+        ).collect()
+    }
+    rec["uncentered_b8_cap4096_s"] = round(time.time() - t0, 1)
+    for (lo, hi), members in by_bucket.items():
+        if members:
+            r = len(members & found) / len(members)
+            rec[f"uncentered_b8_cap4096_recall_{lo:.2f}"] = round(r, 4)
     print(json.dumps(rec), flush=True)
 
     assert rec.get("bands8_recall_0.95", 0.0) >= 0.9, (
