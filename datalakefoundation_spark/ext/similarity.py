@@ -929,6 +929,7 @@ def hashed_feature_entries(
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int = 64,
+    ngram: int = 1,
 ) -> DataFrame:
     """Feature hashing (the "hashing trick", Weinberger et al. 2009) in
     LONG FORM: each token maps to ``bucket = sha256(token)[:6 hex] % dim``
@@ -938,12 +939,25 @@ def hashed_feature_entries(
     the text→vector bridge: raw documents become ANN-ready vectors with
     no external embedding model.
 
+    ``ngram > 1`` hashes word n-gram SHINGLES instead of unigrams (same
+    ``dedup.shingles`` windows MinHash uses). For near-duplicate work
+    this is the standard move: unigram counts on a Zipfian vocabulary
+    are dominated by the shared head tokens, so unrelated documents
+    already sit at cosine ~0.85+ and similarity carries no signal —
+    measured in tools/text_near_dup_cert.py, where unigram features made
+    candidate generation quadratic while bigram features separate
+    planted near-dups (cosine graded by edit rate) from a ~0 background.
+
     Plan: explode tokens -> (doc, token) tf (one shuffle) -> hash is a
     pure projection -> (doc, bucket) sum (map-side combined re-agg).
     Output: (id_col, bucket, weight)."""
+    from .dedup import shingles
     from .text import tokens
 
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    unit = (
+        tokens(text_col) if ngram <= 1 else shingles(text_col, ngram)
+    )
+    tok = df.select(F.col(id_col), F.explode(unit).alias("token"))
     tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     h = F.sha2(F.col("token"), 256)
     bucket = (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % dim).alias(
@@ -964,15 +978,16 @@ def hashed_features(
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int = 64,
+    ngram: int = 1,
 ) -> DataFrame:
     """Dense ``array<double>`` form of ``hashed_feature_entries`` — drop-in
     input for the similarity family (brute_force_topk / LSH / IVF /
     quantize_embeddings / random_projection all take an array column).
     Values are exact integer counts widened to double (lossless up to
     2^53), so two engines — and two partitionings — produce identical
-    vectors."""
+    vectors. ``ngram`` as in ``hashed_feature_entries``."""
     return _dense_from_entries(
-        hashed_feature_entries(df, text_col, id_col, dim), id_col, dim
+        hashed_feature_entries(df, text_col, id_col, dim, ngram), id_col, dim
     )
 
 
@@ -1091,6 +1106,7 @@ def text_near_dup_scaled(
     planes_per_band: int = 8,
     center: bool = True,
     max_bucket_width: int | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """The SCALE path for text near-duplicates over hashed features — a
     pure COMPOSITION: banded-LSH candidate generation (one band-key
@@ -1109,7 +1125,7 @@ def text_near_dup_scaled(
     near-dup clusters in tools/text_near_dup_cert.py / BASELINE.md.
     Scored cosines are raw either way — centering never changes a
     result value, only which candidate pairs are surfaced."""
-    entries = hashed_feature_entries(docs, text_col, id_col, dim).persist()
+    entries = hashed_feature_entries(docs, text_col, id_col, dim, ngram).persist()
     try:
         dense = _dense_from_entries(entries, id_col, dim)
         cand = lsh_near_dup_candidates(

@@ -546,6 +546,34 @@ FROM h GROUP BY doc_id, bucket
 """
 
 
+def q_hashed_features_ngram(spark, sf_dir):
+    """Bigram-shingle feature hashing (ngram=2) — the near-dup-grade text
+    bridge: unigram counts on a Zipfian vocabulary are dominated by the
+    shared head tokens (unrelated docs sit at cosine ~0.85+); n-gram
+    shingles flatten the distribution so cosine carries similarity
+    signal (ext/similarity.hashed_feature_entries ngram knob, shingle
+    windows shared with the MinHash path)."""
+    from datalakefoundation_spark.ext import similarity as SIM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return SIM.hashed_feature_entries(docs, dim=64, ngram=2)
+
+
+SQL_HASHED_FEATURES_NGRAM = """
+WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+iw AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i FROM w0),
+tok AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS token FROM iw),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+h AS (
+  SELECT doc_id,
+    ('0x' || substr(sha256(token), 1, 6))::BIGINT % 64 AS bucket,
+    (1 - 2 * (('0x' || substr(sha256(token), 7, 1))::BIGINT % 2)) * tf AS w
+  FROM tf)
+SELECT doc_id, bucket, CAST(sum(w) AS BIGINT) AS weight
+FROM h GROUP BY doc_id, bucket
+"""
+
+
 def q_text_near_dup(spark, sf_dir):
     """Text near-duplicate pairs straight from raw documents: feature-hash
     to sparse integer vectors, then the relational sparse-cosine join
@@ -1676,6 +1704,7 @@ def q_bpe_token_count(spark, sf_dir):
 
 
 EXTRA = {
+    "q_hashed_features_ngram": (q_hashed_features_ngram, SQL_HASHED_FEATURES_NGRAM),
     "q_bpe_token_count": (q_bpe_token_count, None),
     "q_importance_resample": (q_importance_resample, SQL_IMPORTANCE_RESAMPLE),
     "q_source_cap": (q_source_cap, SQL_SOURCE_CAP),
