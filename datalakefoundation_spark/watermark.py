@@ -109,11 +109,19 @@ class WatermarkStore:
             return
         fs = self.table.fs
         tables = []
-        for seg in mf.segments:  # manifest order == commit order (tie-break)
-            seg_dir = f"{self.path}/{seg.dir}"
-            for fname in fs.listdir(seg_dir):
-                if fname.endswith(".parquet"):
-                    tables.append(pq.read_table(io.BytesIO(fs.read_bytes(f"{seg_dir}/{fname}"))))
+        try:
+            for seg in mf.segments:  # manifest order == commit order (tie-break)
+                seg_dir = f"{self.path}/{seg.dir}"
+                for fname in fs.listdir(seg_dir):
+                    if fname.endswith(".parquet"):
+                        tables.append(pq.read_table(io.BytesIO(fs.read_bytes(f"{seg_dir}/{fname}"))))
+        except FileNotFoundError:
+            # a concurrent compactor already folded (and reclaimed) these
+            # segments — our fold is moot, theirs carries every row
+            return
+        if not tables:
+            # same race, seen as empty listings instead of a read error
+            return
         import uuid as _uuid
 
         merged = pa.concat_tables(tables)
@@ -153,17 +161,40 @@ class WatermarkStore:
 
     def latest(self, entity_id: int) -> dict[str, str | None]:
         """Latest stored value per column for an entity. Driver-side pyarrow
-        scan of the (tiny) segment files; later segments win ties."""
+        scan of the (tiny) segment files; later segments win ties.
+
+        Retries on FileNotFoundError: a concurrent ``_compact`` deletes
+        folded segment dirs right after committing the compacted manifest,
+        so a reader holding the pre-compaction manifest across that delete
+        must RE-READ the manifest (the contract _compact's docstring
+        states; first hit for real by the 50-entity concurrent fleet in
+        tools/fleet_probe.py). The rows live on in the compacted segment,
+        so the retry always converges."""
+        for attempt in range(5):
+            mf = self.table.latest_manifest()
+            if mf is None:
+                return {}
+            try:
+                return self._scan_latest(mf, entity_id)
+            except FileNotFoundError:
+                time.sleep(0.02 * (attempt + 1))
+        mf = self.table.latest_manifest()
+        return self._scan_latest(mf, entity_id) if mf is not None else {}
+
+    def _scan_latest(self, mf, entity_id: int) -> dict[str, str | None]:
         import pyarrow.parquet as pq
 
-        mf = self.table.latest_manifest()
-        if mf is None:
-            return {}
         fs = self.table.fs
         best: dict[str, tuple[_dt.datetime, str | None]] = {}
         for seg in mf.segments:  # manifest order == commit order
             seg_dir = f"{self.path}/{seg.dir}"
-            for fname in fs.listdir(seg_dir):
+            names = fs.listdir(seg_dir)
+            if not names and not fs.isdir(seg_dir):
+                # segment reclaimed by a concurrent compaction; silently
+                # skipping it would DROP its bookmarks from the answer —
+                # surface the staleness so latest() re-reads the manifest
+                raise FileNotFoundError(seg_dir)
+            for fname in names:
                 if not fname.endswith(".parquet"):
                     continue
                 t = pq.read_table(io.BytesIO(fs.read_bytes(f"{seg_dir}/{fname}")))

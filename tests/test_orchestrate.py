@@ -114,3 +114,44 @@ def test_same_entity_work_items_serialize_in_order(spark, tmp_path):
     by_item = {(r.entity_id, r.slice_file): r.summary for r in runs}
     assert by_item[(1, "s2.parquet")].strategy == "merge"
     assert by_item[(1, "s2.parquet")].inserted == 5  # 10-14 new
+
+
+def test_latest_survives_concurrent_compaction(spark, tmp_path):
+    """The read-vs-compaction race the 50-entity fleet probe exposed: a
+    reader that fetched the manifest BEFORE a compaction must re-read
+    after the compactor deletes the folded segment dirs, not die with
+    FileNotFoundError. Simulated deterministically: hand latest() a
+    stale pre-compaction manifest on its first attempt."""
+    root = str(tmp_path / "race_root")
+    store = WatermarkStore(spark, root)
+    for i in range(4):  # 4 CAS appends -> 4 segments
+        store.write(7, {"SeqNr": ("int", str(i))})
+    stale = store.table.latest_manifest()
+    assert len(stale.segments) == 4
+    store._compact()  # folds to 1 segment and DELETES the 4 dirs
+    live = store.table.latest_manifest()
+    assert len(live.segments) == 1
+
+    calls = {"n": 0}
+    real = store.table.latest_manifest
+
+    def stale_first():
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real()
+
+    store.table.latest_manifest = stale_first
+    try:
+        assert store.latest(7) == {"SeqNr": "3"}  # retried past the race
+    finally:
+        store.table.latest_manifest = real
+    assert calls["n"] >= 2
+
+    # and a compactor racing an already-finished compactor is a no-op,
+    # not a crash: feed _compact the stale manifest the same way
+    calls["n"] = 0
+    store.table.latest_manifest = stale_first
+    try:
+        store._compact()  # reads stale -> segment dirs gone -> returns
+    finally:
+        store.table.latest_manifest = real
+    assert store.latest(7) == {"SeqNr": "3"}
