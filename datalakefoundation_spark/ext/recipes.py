@@ -29,13 +29,26 @@ from datalakefoundation_spark.ext.sampling import mixture_sample
 @dataclass
 class CleanResult:
     """Cleaned corpus + the per-stage survivor counts (computed lazily —
-    ``counts()`` triggers one action per recorded stage)."""
+    ``counts()`` triggers one action per recorded stage).
+
+    ``persisted`` lists every frame the recipe cached (currently the
+    exact-dedup survivors feeding the clustering loop when
+    ``near_dedup=True``). Their storage lives for the SparkSession unless
+    released: call ``unpersist()`` after materializing ``df`` (the lazy
+    stages reference the cached frame, so release it only once you no
+    longer need to act on them)."""
 
     df: DataFrame
     stages: list[tuple[str, DataFrame]] = field(default_factory=list)
+    persisted: list[DataFrame] = field(default_factory=list)
 
     def counts(self) -> dict[str, int]:
         return {name: frame.count() for name, frame in self.stages}
+
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release every frame the recipe persisted (idempotent)."""
+        for frame in self.persisted:
+            frame.unpersist(blocking)
 
 
 def clean_corpus(
@@ -85,7 +98,29 @@ def clean_corpus(
     ``span_dedup_size``, ``benchmark``, ``perplexity``, ``mixture``).
     Returns the cleaned DataFrame plus each stage's output for auditing."""
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
+    persisted: list[DataFrame] = []
     cur = docs
+
+    if gopher_kwargs:
+        # fail fast with a CLEAR error: gopher_kwargs is splatted after the
+        # explicit arguments below, so an overlapping or typo'd key would
+        # otherwise surface as an opaque TypeError from deep inside the call
+        import inspect
+
+        tunable = set(inspect.signature(TX.gopher_quality).parameters) - {
+            "df", "text_col", "id_col", "keep_input", "min_words"
+        }
+        bad = set(gopher_kwargs) - tunable
+        if bad:
+            hint = (
+                " (use the gopher_min_words argument instead of "
+                "gopher_kwargs['min_words'])" if "min_words" in bad else ""
+            )
+            raise ValueError(
+                f"clean_corpus: gopher_kwargs keys {sorted(bad)} are not "
+                f"tunable gopher_quality thresholds{hint}; valid: "
+                f"{sorted(tunable)}"
+            )
 
     cur = (
         TX.quality_filter(
@@ -133,8 +168,11 @@ def clean_corpus(
         # (18% end-to-end at 1M docs in tools/corpus_cert.py; at cluster
         # scale the prefix re-scan is O(corpus) per CC round vs
         # O(survivors) with the persist). Standard persist-before-iterate;
-        # storage is the post-filter survivor set, not the raw corpus.
+        # storage is the post-filter survivor set, not the raw corpus, and
+        # it is surfaced on CleanResult.persisted so callers can release it
+        # (CleanResult.unpersist()) after materializing.
         cur = cur.persist()
+        persisted.append(cur)
         clusters = dedup_clusters(
             cur, text_col=text_col, id_col=id_col, shingle_size=shingle_size
         )
@@ -188,7 +226,7 @@ def clean_corpus(
         cur = mixture_sample(cur, key_col=id_col, strata_col=strata_col, weights=weights)
         stages.append(("mixture", cur))
 
-    return CleanResult(df=cur, stages=stages)
+    return CleanResult(df=cur, stages=stages, persisted=persisted)
 
 
 def clean_corpus_config(

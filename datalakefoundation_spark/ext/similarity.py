@@ -198,13 +198,30 @@ def _banded_pairs(
     )
     mu = None
     if center:
-        # one bounded aggregate (dim doubles to the driver): the corpus
-        # centroid, folded into the projections as per-plane constants
+        # one bounded EAGER aggregate (dim values + a count to the driver,
+        # the only action inside this otherwise-lazy builder): the corpus
+        # centroid, folded into the projections as per-plane constants.
+        # Summed as decimal, not double — decimal addition is exact and
+        # associative, so the centroid (and therefore the emitted candidate
+        # set) is identical run-to-run regardless of partition order,
+        # matching _signature_column's bitwise-reproducible fold. The
+        # 12-digit input truncation is immaterial for a bucketing centroid;
+        # hashed-feature weights (the text_near_dup default) are integers
+        # and lose nothing.
         row = base.agg(
-            *[F.avg(F.col("__v")[i]).alias(f"m{i}") for i in range(dim)]
+            *[
+                F.sum(F.col("__v")[i].cast("decimal(38,12)")).alias(f"m{i}")
+                for i in range(dim)
+            ],
+            *[F.count(F.col("__v")[i]).alias(f"n{i}") for i in range(dim)],
         ).first()
         mu = np.array(
-            [row[f"m{i}"] if row[f"m{i}"] is not None else 0.0 for i in range(dim)],
+            [
+                float(row[f"m{i}"]) / row[f"n{i}"]
+                if row[f"m{i}"] is not None and row[f"n{i}"]
+                else 0.0
+                for i in range(dim)
+            ],
             dtype=np.float64,
         )
     sig = _signature_column(F.col("__v"), num_planes, dim, center_means=mu)
@@ -706,21 +723,26 @@ def pq_encode(
     return df.select(F.col(id_col).alias("vec_id"), _enc(F.col(vec_col).cast("array<double>")).alias("codes"))
 
 
-def _adc_cosine(codebooks) -> "callable":
+def _adc_cosine(codebooks, residual: bool = False) -> "callable":
     """Asymmetric-distance scoring: cosine(query, RECONSTRUCTED candidate)
     — the query stays exact, the candidate is its codebook reconstruction
     (equivalent to the classic per-query LUT sum for dot products, but
     batch-vectorized: gather the m centroid rows per candidate, flatten,
-    one fused cosine). Arrow-batched; no join back to the raw vectors."""
+    one fused cosine). Arrow-batched; no join back to the raw vectors.
+
+    ``residual=True`` returns a 3-arg scorer (query, codes, cell_centroid):
+    the reconstruction is cell_centroid + decoded residual — the FAISS
+    IVFPQ form, where codes quantize (vector − assigned centroid)."""
     from pyspark.sql.functions import pandas_udf
 
     B = np.asarray(codebooks, dtype=np.float64)
     m, _k, sub = B.shape
 
-    @pandas_udf("double")
-    def _adc(q: pd.Series, codes: pd.Series) -> pd.Series:
+    def _score(q: pd.Series, codes: pd.Series, cc: pd.Series | None) -> pd.Series:
         out = pd.Series([None] * len(q), dtype="float64")
         valid = q.notna() & codes.notna()
+        if cc is not None:
+            valid &= cc.notna()
         if not valid.any():
             return out
         Q = np.vstack(q[valid].to_numpy()).astype(np.float64)  # (n, dim)
@@ -728,11 +750,25 @@ def _adc_cosine(codebooks) -> "callable":
         R = np.empty_like(Q)
         for j in range(m):
             R[:, j * sub : (j + 1) * sub] = B[j][C[:, j]]
+        if cc is not None:
+            R += np.vstack(cc[valid].to_numpy()).astype(np.float64)
         dot = (Q * R).sum(axis=1)
         den = np.sqrt((Q * Q).sum(axis=1)) * np.sqrt((R * R).sum(axis=1))
         with np.errstate(divide="ignore", invalid="ignore"):
             out[valid.to_numpy()] = dot / den
         return out
+
+    if residual:
+
+        @pandas_udf("double")
+        def _adc_res(q: pd.Series, codes: pd.Series, cc: pd.Series) -> pd.Series:
+            return _score(q, codes, cc)
+
+        return _adc_res
+
+    @pandas_udf("double")
+    def _adc(q: pd.Series, codes: pd.Series) -> pd.Series:
+        return _score(q, codes, None)
 
     return _adc
 
@@ -752,6 +788,7 @@ def ivf_pq_topk(
     centroids: DataFrame | None = None,
     codebooks=None,
     blocked: bool = False,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate nearest neighbors — the memory-bounded scale
     path for billion-vector search (Jégou et al., "Product Quantization
@@ -772,16 +809,51 @@ def ivf_pq_topk(
     in parallel after one shuffle on cluster_id, ADC is an
     embarrassingly-parallel Arrow map, and the exact re-rank joins
     queries x rerank rows — tiny. Recall tunes with (nprobe, rerank);
-    memory with (m, nbits)."""
-    if codebooks is None:
-        codebooks = pq_codebooks(df, id_col, vec_col, m=m, nbits=nbits, dim=dim)
-    assigned = ivf_assign(
-        df, id_col, vec_col, centroid_stride, centroids=centroids, blocked=blocked
+    memory with (m, nbits).
+
+    ``residual=True`` quantizes (vector − assigned-cell centroid) instead
+    of the raw vector — the standard FAISS IVFPQ form. On head-dominated
+    vectors (e.g. hashed term counts) the shared head mass lands in the
+    centroid and the PQ codes spend their bits on what DIFFERS between
+    cell members, breaking the code ties that collapse raw-vector ADC
+    (measured: recall@10 0.86 -> ~0.99 at 1M on hashed-count vectors,
+    tools/ann_cert.py). Costs one extra broadcast join against the (tiny)
+    centroid table on the encode and scoring paths; candidate
+    reconstruction adds the centroid back before the cosine."""
+    v_all = ensure_compute_parallelism(df).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    codes = pq_encode(df, codebooks, id_col, vec_col)
+    cent = (
+        centroids
+        if centroids is not None
+        else _stride_centroids(v_all, centroid_stride)
+    )
+    assigned = ivf_assign(
+        df, id_col, vec_col, centroid_stride, centroids=cent, blocked=blocked
+    )
+    if residual:
+        res = assigned.join(
+            F.broadcast(cent.withColumnRenamed("cv", "__cc")), "cluster_id"
+        ).select(
+            "vec_id",
+            F.zip_with("v", "__cc", lambda x, y: x - y).alias("rv"),
+            "cluster_id",
+        )
+        if codebooks is None:
+            codebooks = pq_codebooks(res, "vec_id", "rv", m=m, nbits=nbits, dim=dim)
+        codes = pq_encode(res, codebooks, "vec_id", "rv")
+    else:
+        if codebooks is None:
+            codebooks = pq_codebooks(df, id_col, vec_col, m=m, nbits=nbits, dim=dim)
+        codes = pq_encode(df, codebooks, id_col, vec_col)
     stored = assigned.select("vec_id", "cluster_id").join(codes, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"), "cluster_id", "codes"
     )
+    if residual:
+        # each candidate's cell centroid rides along for the reconstruction
+        stored = stored.join(
+            F.broadcast(cent.withColumnRenamed("cv", "__cc")), "cluster_id"
+        )
     q = ivf_probes(
         df,
         F.col("vec_id") % query_stride == 0,
@@ -789,14 +861,19 @@ def ivf_pq_topk(
         vec_col,
         centroid_stride,
         nprobe,
-        centroids=centroids,
+        centroids=cent,
         blocked=blocked,
     ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cluster_id")
-    adc = _adc_cosine(codebooks)
+    adc = _adc_cosine(codebooks, residual=residual)
+    score = (
+        adc(F.col("qv"), F.col("codes"), F.col("__cc"))
+        if residual
+        else adc(F.col("qv"), F.col("codes"))
+    )
     cand = (
         stored.join(q, "cluster_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "neighbor_id", adc(F.col("qv"), F.col("codes")).alias("adc"))
+        .select("query_id", "qv", "neighbor_id", score.alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     shortlist = cand.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= rerank)

@@ -93,10 +93,31 @@ class LocalFS:
             pass
 
 
+def _is_java_fnf(exc) -> bool:
+    """True if a Py4JJavaError wraps java.io.FileNotFoundException anywhere
+    in its cause chain (HDFS surfaces it directly; S3A/ABFS sometimes nest
+    it under a RemoteException / wrapped IOException)."""
+    je = getattr(exc, "java_exception", None)
+    for _ in range(8):  # cause chains are short; bound against cycles
+        if je is None:
+            return False
+        if "FileNotFoundException" in je.getClass().getName():
+            return True
+        je = je.getCause()
+    return False
+
+
 class HadoopFS:
     """Hadoop FileSystem API via the active SparkSession's JVM — one
     implementation for every scheme Spark itself supports. Control-plane
-    calls are a handful per run, so py4j round-trip cost is irrelevant."""
+    calls are a handful per run, so py4j round-trip cost is irrelevant.
+
+    Missing-path errors are translated to the same Python semantics LocalFS
+    has (FileNotFoundError from read_bytes, [] from listdir, False from
+    isdir): WatermarkStore.latest()'s re-read retry and _compact's
+    concurrent-fold guard key on FileNotFoundError, so an untranslated
+    Py4JJavaError from a concurrently-compacted segment would resurrect the
+    read-vs-compaction race on scheme-qualified roots."""
 
     def __init__(self, spark, base_uri: str) -> None:
         self._jvm = spark._jvm
@@ -107,17 +128,38 @@ class HadoopFS:
         return self._jvm.org.apache.hadoop.fs.Path(path)
 
     def listdir(self, path: str) -> list[str]:
+        from py4j.protocol import Py4JJavaError
+
         p = self._path(path)
-        if not self._fs.exists(p):
-            return []
-        return sorted(st.getPath().getName() for st in self._fs.listStatus(p))
+        try:
+            if not self._fs.exists(p):
+                return []
+            return sorted(st.getPath().getName() for st in self._fs.listStatus(p))
+        except Py4JJavaError as e:
+            if _is_java_fnf(e):  # deleted between exists() and listStatus()
+                return []
+            raise
 
     def isdir(self, path: str) -> bool:
+        from py4j.protocol import Py4JJavaError
+
         p = self._path(path)
-        return bool(self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory())
+        try:
+            return bool(self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory())
+        except Py4JJavaError as e:
+            if _is_java_fnf(e):  # deleted between exists() and getFileStatus()
+                return False
+            raise
 
     def read_bytes(self, path: str) -> bytes:
-        stream = self._fs.open(self._path(path))
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            stream = self._fs.open(self._path(path))
+        except Py4JJavaError as e:
+            if _is_java_fnf(e):
+                raise FileNotFoundError(path) from None
+            raise
         out = self._jvm.java.io.ByteArrayOutputStream()
         self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, True)
         return bytes(out.toByteArray())

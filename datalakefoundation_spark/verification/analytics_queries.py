@@ -251,6 +251,14 @@ FROM p
 
 
 EXTRA = {
+}
+
+
+# q_event_funnel rotated IN for r6 (first driver exposure, green); the four
+# subquery-shape rows rotated IN for r7 to finish the first-time-verification
+# ledger (VERDICT r6 directive #1).
+QUERIES = {
+    "q_event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "q_small_quantity_lineitems": (
         q_small_quantity_lineitems, SQL_SMALL_QUANTITY_LINEITEMS
     ),
@@ -261,12 +269,4 @@ EXTRA = {
         q_never_urgent_customers, SQL_NEVER_URGENT_CUSTOMERS
     ),
     "q_high_volume_suppliers": (q_high_volume_suppliers, SQL_HIGH_VOLUME_SUPPLIERS),
-}
-
-
-# rotated IN for r6 — first driver CORRECTNESS exposure for the sequential
-# event-funnel shape (the other four analytics shapes share their subquery
-# forms with driver-verified strategy/core rows).
-QUERIES = {
-    "q_event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
 }

@@ -851,10 +851,7 @@ FROM orders
 # just outside the driver's 50-row window.
 QUERIES = {
     "q_pk_pipeline": (q_pk_pipeline, SQL_PK_PIPELINE),
-    "q_bookkeeping_aggs": (q_bookkeeping_aggs, SQL_BOOKKEEPING_AGGS),
-    "q_latest_per_key": (q_latest_per_key, SQL_LATEST_PER_KEY),
     "q_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "q_sessionize_batch": (q_sessionize_batch, SQL_SESSIONIZE_BATCH),
 }
 
 # Oracle-paired queries kept OUT of the driver registry (window is 50 rows).
@@ -867,6 +864,12 @@ QUERIES = {
 # q_top_customers' join+agg+top-k shape ⊂ q_shipping_priority;
 # q_running_total's running-sum frame ⊂ q_sessionize_batch.
 EXTRA = {
+    # rotated OUT of the driver window in r7 (driver-green r3–r6; fused
+    # bookkeeping/agg + window shapes covered by surviving strategy rows) to
+    # finish the first-time-verification ledger (VERDICT r6 directive #1):
+    "q_bookkeeping_aggs": (q_bookkeeping_aggs, SQL_BOOKKEEPING_AGGS),
+    "q_latest_per_key": (q_latest_per_key, SQL_LATEST_PER_KEY),
+    "q_sessionize_batch": (q_sessionize_batch, SQL_SESSIONIZE_BATCH),
     # rotated OUT of the driver window in r6 (each driver-green r3+r4+r5;
     # shapes covered by surviving registry rows: scan+filter+project ⊂
     # q_pk_pipeline / q_pricing_summary, join+agg ⊂ the merge/strategy rows,

@@ -1704,17 +1704,22 @@ def q_bpe_token_count(spark, sf_dir):
 
 
 EXTRA = {
-    "q_hashed_features_ngram": (q_hashed_features_ngram, SQL_HASHED_FEATURES_NGRAM),
-    "q_bpe_token_count": (q_bpe_token_count, None),
-    "q_importance_resample": (q_importance_resample, SQL_IMPORTANCE_RESAMPLE),
-    "q_source_cap": (q_source_cap, SQL_SOURCE_CAP),
+    # rotated OUT of the driver window in r7 (q_dedup_minhash/q_dedup_simhash
+    # driver-green r1–r6, q_ann_lsh r3–r6, q_dedup_clusters/q_decontaminate
+    # r3–r6, q_dedup_minhash_incr r5+r6; the banded/cluster/bloom shapes stay
+    # driver-covered via the _vocab variants + q_decontaminate_bloom/_frac +
+    # q_text_near_dup) to finish the first-time-verification ledger
+    # (VERDICT r6 directive #1):
+    "q_dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "q_dedup_simhash": (q_dedup_simhash, _simhash_oracle_sql()),
+    "q_ann_lsh": (q_ann_lsh, _ann_lsh_oracle_sql()),
+    "q_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "q_dedup_minhash_incr": (q_dedup_minhash_incr, SQL_DEDUP_MINHASH),
     "q_token_count": (q_token_count, SQL_TOKEN_COUNT),
     "q_lang_id": (q_lang_id, SQL_LANG_ID),
     "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "q_embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
-    "q_chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
-    "q_embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
-    "q_random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     # rotated OUT of the driver window in r6 (driver-green r4+r5; exact-hash
     # groupBy ⊂ q_dedup_minhash's banded groupBy, scalar-expr quality gates ⊂
     # q_gopher_quality, salted-agg/pack shapes window-tested) to make room
@@ -1739,22 +1744,27 @@ EXTRA = {
 
 
 QUERIES = {
-    "q_dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
-    "q_dedup_simhash": (q_dedup_simhash, _simhash_oracle_sql()),
-    "q_ann_lsh": (q_ann_lsh, _ann_lsh_oracle_sql()),
-    "q_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "q_grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
     "q_tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
     "q_pii_scrub": (q_pii_scrub, _pii_oracle_sql()),
     "q_span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
-    "q_dedup_minhash_incr": (q_dedup_minhash_incr, SQL_DEDUP_MINHASH),
     "q_profile_columns": (q_profile_columns, _profile_oracle_sql()),
     "q_reshard_shuffle": (q_reshard_shuffle, SQL_RESHARD_SHUFFLE),
     "q_semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "q_mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    # rotated IN for r7 — the last oracle-paired ext queries that had never
+    # had a driver CORRECTNESS row (VERDICT r6 directive #1); after this
+    # rotation every oracle-paired query in the codebase has been
+    # driver-verified at least once:
+    "q_hashed_features_ngram": (q_hashed_features_ngram, SQL_HASHED_FEATURES_NGRAM),
+    "q_bpe_token_count": (q_bpe_token_count, None),
+    "q_importance_resample": (q_importance_resample, SQL_IMPORTANCE_RESAMPLE),
+    "q_source_cap": (q_source_cap, SQL_SOURCE_CAP),
+    "q_chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "q_embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "q_random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     # rotated IN late r5 for first-time driver verification:
     "q_event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
     "q_rollup_gapfill": (q_rollup_gapfill, SQL_ROLLUP_GAPFILL),

@@ -426,17 +426,21 @@ FROM t b JOIN after a ON b.PK_orders = a.PK_orders WHERE {differs}
 # verification.extra_queries) — covered locally by tests/test_oracle_parity
 # and tools/check_oracle.
 EXTRA = {
+    # rotated OUT of the driver window in r7 (q_merge_soft_delete driver-green
+    # r1–r6, q_watermark_window r1–r6; their merge-clause / watermark-pair
+    # shapes stay driver-covered via q_merge_upsert / q_delete_inference) to
+    # finish the first-time-verification ledger (VERDICT r6 directive #1):
+    "q_merge_soft_delete": (q_merge_soft_delete, _merge_oracle_sql(True, False)),
+    "q_watermark_window": (q_watermark_window, SQL_WATERMARK_WINDOW),
 }
 
 
 QUERIES = {
     "q_merge_upsert": (q_merge_upsert, _merge_oracle_sql(False, False)),
-    "q_merge_soft_delete": (q_merge_soft_delete, _merge_oracle_sql(True, False)),
     "q_delete_inference": (q_delete_inference, _merge_oracle_sql(False, True)),
     "q_scd2_versions": (q_scd2_versions, _fmt_ts_sql(_scd2_oracle_sql(False))),
     "q_scd2_delete_inference": (q_scd2_delete_inference, _fmt_ts_sql(_scd2_oracle_sql(True))),
     "q_merge_metrics": (q_merge_metrics, SQL_MERGE_METRICS),
     "q_scd2_metrics": (q_scd2_metrics, SQL_SCD2_METRICS),
-    "q_watermark_window": (q_watermark_window, SQL_WATERMARK_WINDOW),
     "q_change_feed": (q_change_feed, _change_feed_oracle_sql()),
 }

@@ -162,6 +162,25 @@ def test_watermark_store_over_file_uri(spark, tmp_path):
     assert ws.latest(1) == {"SeqNr": None}
 
 
+def test_hadoop_fs_translates_missing_paths(spark, tmp_path):
+    """A concurrently-deleted segment must surface as Python
+    FileNotFoundError (read_bytes) / [] (listdir) / False (isdir) on
+    HadoopFS too — WatermarkStore.latest()'s re-read retry and _compact's
+    concurrent-fold guard key on FileNotFoundError, so an untranslated
+    Py4JJavaError (java.io.FileNotFoundException) on hdfs://-style roots
+    would resurrect the read-vs-compaction race the fleet probe exposed."""
+    import pytest
+
+    from datalakefoundation_spark.tables.fs import HadoopFS
+
+    fs = HadoopFS(spark, f"file://{tmp_path}")
+    gone = f"file://{tmp_path}/no/such/segment"
+    with pytest.raises(FileNotFoundError):
+        fs.read_bytes(f"{gone}/part-00000.parquet")
+    assert fs.listdir(gone) == []
+    assert fs.isdir(gone) is False
+
+
 def test_time_travel_by_timestamp(spark, tmp_path):
     """timestampAsOf analog: read the newest version committed at or before
     a given unix time."""

@@ -166,6 +166,25 @@ def main() -> None:
                 rec[f"ivfpq_np8_rr{rerank}_s"] = round(time.time() - t0, 1)
                 rec[f"ivfpq_np8_rr{rerank}_recall"] = recall_at_k(truth, got)
 
+            # --- residual IVF-PQ (FAISS IVFPQ form, r7): codes quantize
+            # (vector − assigned centroid), so the shared head-bucket mass
+            # lands in the centroid and the code bits resolve what differs
+            # between cell members — the fix for the raw-vector code ties
+            # above. Same trained index, same bounded re-rank. nbits=4 is
+            # recorded too: the point where raw PQ collapsed outright.
+            for nbits, rerank in ((4, 128), (8, 512), (8, 1024)):
+                t0 = time.time()
+                got = _topk_sets(
+                    ivf_pq_topk(
+                        vdf, k=K, m=8, nbits=nbits, centroid_stride=cstride,
+                        query_stride=qstride, nprobe=8, rerank=rerank,
+                        centroids=cent, blocked=True, residual=True,
+                    ).collect()
+                )
+                key = f"ivfpq_res_nb{nbits}_np8_rr{rerank}"
+                rec[f"{key}_s"] = round(time.time() - t0, 1)
+                rec[f"{key}_recall"] = recall_at_k(truth, got)
+
         records.append(rec)
         print(json.dumps(rec), flush=True)
 
@@ -180,6 +199,14 @@ def main() -> None:
         f"IVF-PQ np8 nbits=8 rerank=1024 recall floor broken: "
         f"{final['ivfpq_np8_rr1024_recall']} < 0.75"
     )
+    assert final["ivfpq_res_nb8_np8_rr1024_recall"] >= 0.9, (
+        f"residual IVF-PQ np8 nbits=8 rerank=1024 recall floor broken: "
+        f"{final['ivfpq_res_nb8_np8_rr1024_recall']} < 0.9"
+    )
+    assert (
+        final["ivfpq_res_nb8_np8_rr1024_recall"]
+        >= final["ivfpq_np8_rr1024_recall"]
+    ), "residual encoding must not lose to raw-vector PQ at the same knobs"
     assert final["ivf_np8_recall"] >= final["ivf_np1_recall"], "multiprobe must not hurt"
     print("ANN CERT OK")
 
