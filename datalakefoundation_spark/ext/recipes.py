@@ -41,6 +41,11 @@ class CleanResult:
     df: DataFrame
     stages: list[tuple[str, DataFrame]] = field(default_factory=list)
     persisted: list[DataFrame] = field(default_factory=list)
+    #: set whenever near-dedup ran: minhash signatures of THIS call's
+    #: post-exact-dedup documents (losers included — see clean_corpus).
+    #: Append them to the index table after materializing ``df`` so the
+    #: next ``near_dedup_index=`` ingest sees them.
+    index_updates: DataFrame | None = None
 
     def counts(self) -> dict[str, int]:
         return {name: frame.count() for name, frame in self.stages}
@@ -62,6 +67,7 @@ def clean_corpus(
     redact_pii: bool = True,
     mixture: tuple[str, dict[str, float]] | None = None,
     near_dedup: bool = True,
+    near_dedup_index: DataFrame | None = None,
     shingle_size: int = 3,
     decon_shingle_size: int = 5,
     span_dedup_size: int | None = None,
@@ -96,7 +102,14 @@ def clean_corpus(
     non-prose corpora). Optional stages are
     skipped when their inputs say so (``redact_pii``, ``near_dedup``,
     ``span_dedup_size``, ``benchmark``, ``perplexity``, ``mixture``).
-    Returns the cleaned DataFrame plus each stage's output for auditing."""
+    Returns the cleaned DataFrame plus each stage's output for auditing.
+
+    ``near_dedup_index`` switches stage 4 to the INCREMENTAL shape: pass
+    the accumulated ``CleanResult.index_updates`` of every earlier ingest
+    (minhash signatures of ALL previously seen post-exact-dedup docs) and
+    the stage dedups the batch against it in O(batch) — standing docs
+    always win, new-only clusters keep their min id. Append this call's
+    ``index_updates`` to the index after materializing."""
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     persisted: list[DataFrame] = []
     cur = docs
@@ -160,6 +173,7 @@ def clean_corpus(
     cur = D.exact_dedup(cur, text_col=text_col, id_col=id_col)
     stages.append(("exact_dedup", cur))
 
+    index_updates: DataFrame | None = None
     if near_dedup:
         # persist the survivors feeding the iterative clustering stage:
         # dedup_clusters' connected-components loop takes several actions
@@ -173,12 +187,65 @@ def clean_corpus(
         # (CleanResult.unpersist()) after materializing.
         cur = cur.persist()
         persisted.append(cur)
-        clusters = dedup_clusters(
-            cur, text_col=text_col, id_col=id_col, shingle_size=shingle_size
-        )
-        # drop every clustered doc except its cluster's survivor
-        losers = clusters.where(~F.col("is_survivor")).select(id_col)
-        cur = cur.join(losers, id_col, "left_anti")
+        exact_survivors = cur
+        from datalakefoundation_spark.ext.dedup import minhash_signature
+
+        if near_dedup_index is not None:
+            # INCREMENTAL ingest shape (the 100 TB steady state): the
+            # candidate stage pays O(batch) signatures + one equi-join of
+            # the batch's band keys against the standing index — never a
+            # full-corpus re-bucketing. The index holds ALL previously
+            # ingested signatures (survivors AND their dropped near-dups:
+            # a batch doc whose nearest match lost an earlier round must
+            # still lose — its cluster's standing survivor is transitively
+            # reachable only through that loser). A new doc joining a
+            # component that touches ANY indexed doc loses; new-only
+            # components keep their min-id member — the same survivor
+            # rule the from-scratch path applies, so on ingest-ordered
+            # ids (batch ids > index ids) batch-by-batch cleaning lands
+            # the from-scratch survivor set (asserted in
+            # tools/corpus_cert.py and tests/test_ext_operators.py).
+            from datalakefoundation_spark.ext.cluster import connected_components
+            from datalakefoundation_spark.ext.dedup import incremental_lsh_candidates
+
+            new_sigs = minhash_signature(
+                cur, text_col, id_col, shingle_size=shingle_size
+            ).persist()
+            persisted.append(new_sigs)
+            index_updates = new_sigs
+            pairs = incremental_lsh_candidates(
+                near_dedup_index, new_sigs, id_col=id_col
+            )
+            comp = connected_components(pairs)
+            idx_ids = near_dedup_index.select(
+                F.col(id_col).alias("node"), F.lit(True).alias("__idx")
+            )
+            comp = comp.join(idx_ids, "node", "left")
+            flags = comp.groupBy("cluster_id").agg(
+                F.max(F.coalesce("__idx", F.lit(False))).alias("__has_idx")
+            )
+            losers = (
+                comp.join(flags, "cluster_id")
+                .where(
+                    F.col("__idx").isNull()
+                    & (F.col("__has_idx") | (F.col("node") != F.col("cluster_id")))
+                )
+                .select(F.col("node").alias(id_col))
+            )
+            cur = cur.join(losers, id_col, "left_anti")
+        else:
+            clusters = dedup_clusters(
+                cur, text_col=text_col, id_col=id_col, shingle_size=shingle_size
+            )
+            # drop every clustered doc except its cluster's survivor
+            losers = clusters.where(~F.col("is_survivor")).select(id_col)
+            cur = cur.join(losers, id_col, "left_anti")
+            # first-ingest index seed: the SAME signature set an
+            # incremental continuation needs (everything post exact-dedup,
+            # losers included — see the incremental branch's note)
+            index_updates = minhash_signature(
+                exact_survivors, text_col, id_col, shingle_size=shingle_size
+            )
         stages.append(("near_dedup", cur))
 
     if span_dedup_size is not None:
@@ -226,7 +293,9 @@ def clean_corpus(
         cur = mixture_sample(cur, key_col=id_col, strata_col=strata_col, weights=weights)
         stages.append(("mixture", cur))
 
-    return CleanResult(df=cur, stages=stages, persisted=persisted)
+    return CleanResult(
+        df=cur, stages=stages, persisted=persisted, index_updates=index_updates
+    )
 
 
 def clean_corpus_config(

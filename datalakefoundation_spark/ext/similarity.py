@@ -28,6 +28,7 @@
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -151,6 +152,149 @@ def lsh_band_keys(
     return sig.selectExpr(id_col, f"array({keys}) AS bks")
 
 
+def _corpus_centroid(base: DataFrame, dim: int) -> "np.ndarray":
+    """Per-dimension corpus mean of a (__id, __v) frame — one bounded EAGER
+    aggregate (dim sums + dim counts to the driver; the only action inside
+    the otherwise-lazy banded builders). Summed as decimal, not double —
+    decimal addition is exact and associative, so the centroid (and
+    therefore any centered candidate set built from it) is identical
+    run-to-run regardless of partition order, matching _signature_column's
+    bitwise-reproducible fold. The 12-digit input truncation is immaterial
+    for a bucketing centroid; hashed-feature weights (the text_near_dup
+    default) are integers and lose nothing."""
+    row = base.agg(
+        *[
+            F.sum(F.col("__v")[i].cast("decimal(38,12)")).alias(f"m{i}")
+            for i in range(dim)
+        ],
+        *[F.count(F.col("__v")[i]).alias(f"n{i}") for i in range(dim)],
+    ).first()
+    return np.array(
+        [
+            float(row[f"m{i}"]) / row[f"n{i}"]
+            if row[f"m{i}"] is not None and row[f"n{i}"]
+            else 0.0
+            for i in range(dim)
+        ],
+        dtype=np.float64,
+    )
+
+
+def lsh_plan(
+    threshold: float,
+    target_recall: float = 0.9,
+    max_bands: int = 32,
+    background_cos: float = 0.0,
+    min_planes: int = 6,
+    max_planes: int = 16,
+) -> tuple[int, int]:
+    """Closed-form (bands, planes_per_band) picker for the banded sign-LSH
+    paths. Sign-LSH collision probability per plane for a pair at cosine c
+    is ``p = 1 − arccos(c)/π`` (Charikar 2002), so a pair survives a band
+    of ``ppb`` planes with ``p^ppb`` and is emitted by ``bands`` bands with
+    ``1 − (1 − p^ppb)^bands``.
+
+    Picks the FEWEST bands (shuffle volume is linear in bands) such that a
+    pair AT the threshold reaches ``target_recall``, subject to the
+    expected background collision rate ``bands · p_bg^ppb`` (p_bg from
+    ``background_cos``; 0.5 for centered/orthogonal background) staying at
+    or below the default operating point's (bands=8, ppb=8) — i.e. recall
+    is bought with MORE, NARROWER bands, never with wider buckets. Raising
+    planes_per_band is the lever: each extra plane halves background
+    collisions per band while costing true pairs only ``p``.
+
+    The bound treats ``threshold`` as the pair's cosine under the hashed
+    geometry; mean-centering (the text path default) shifts planted pairs
+    somewhat below their raw cosine, so plan with a recall target ABOVE
+    the floor you need and certify empirically
+    (tools/text_near_dup_cert.py)."""
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0,1): {target_recall}")
+    p_true = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_bg = 1.0 - math.acos(max(-1.0, min(1.0, background_cos))) / math.pi
+    bg_budget = 8 * p_bg**8  # the default operating point's background rate
+    best: tuple[int, int] | None = None
+    for ppb in range(min_planes, max_planes + 1):
+        per_band = p_true**ppb
+        if per_band >= 1.0:
+            continue
+        bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_band))
+        if bands < 1 or bands > max_bands:
+            continue
+        if bands * p_bg**ppb > bg_budget:
+            continue
+        if best is None or bands < best[0]:
+            best = (bands, ppb)
+    if best is None:
+        raise ValueError(
+            f"no (bands<= {max_bands}, planes in [{min_planes},{max_planes}]) "
+            f"reaches recall {target_recall} at threshold {threshold} within "
+            "the background-collision budget — lower target_recall or raise "
+            "max_bands"
+        )
+    return best
+
+
+def _band_key_array(bands: int, planes_per_band: int) -> Column:
+    """array<string> of "<band>|<bits>" keys over a ``__sig`` column."""
+    return F.array(
+        *[
+            F.concat(
+                F.lit(str(b)), F.lit("|"),
+                F.substring("__sig", b * planes_per_band + 1, planes_per_band),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    planes_per_band: int = 8,
+    dim: int = 64,
+    center: bool = False,
+) -> DataFrame:
+    """Per-band bucket-width diagnostics for the banded-LSH paths: one row
+    per band with ``(band, n_buckets, max_width, p99_width,
+    expanded_pairs)`` where expanded_pairs = Σ w·(w−1)/2 over the band's
+    buckets — the exact number of in-bucket pairs the expansion stage
+    would score for that band.
+
+    Run this BEFORE an expensive pair expansion to size bands /
+    planes_per_band / max_bucket_width: it costs one signature scan plus
+    one (band, key) shuffle of (id)-sized rows — orders of magnitude
+    cheaper than the expansion it predicts. A band whose expanded_pairs
+    approaches n²/2 means the keyspace is too narrow (raise
+    planes_per_band) or the data is degenerate for the current projection
+    (for all-nonnegative vectors, set ``center=True``)."""
+    base = ensure_compute_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    mu = _corpus_centroid(base, dim) if center else None
+    sig = _signature_column(F.col("__v"), bands * planes_per_band, dim, center_means=mu)
+    e = base.select(sig.alias("__sig")).select(
+        F.explode(_band_key_array(bands, planes_per_band)).alias("__bk")
+    )
+    widths = e.groupBy("__bk").agg(F.count(F.lit(1)).alias("w"))
+    return (
+        widths.select(
+            F.split("__bk", "\\|").getItem(0).cast("int").alias("band"), "w"
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("w").alias("max_width"),
+            F.expr("percentile_approx(w, 0.99)").alias("p99_width"),
+            F.sum(F.expr("w * (w - 1) / 2")).cast("long").alias("expanded_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
 def _banded_pairs(
     df: DataFrame,
     id_col: str,
@@ -196,48 +340,14 @@ def _banded_pairs(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    mu = None
-    if center:
-        # one bounded EAGER aggregate (dim values + a count to the driver,
-        # the only action inside this otherwise-lazy builder): the corpus
-        # centroid, folded into the projections as per-plane constants.
-        # Summed as decimal, not double — decimal addition is exact and
-        # associative, so the centroid (and therefore the emitted candidate
-        # set) is identical run-to-run regardless of partition order,
-        # matching _signature_column's bitwise-reproducible fold. The
-        # 12-digit input truncation is immaterial for a bucketing centroid;
-        # hashed-feature weights (the text_near_dup default) are integers
-        # and lose nothing.
-        row = base.agg(
-            *[
-                F.sum(F.col("__v")[i].cast("decimal(38,12)")).alias(f"m{i}")
-                for i in range(dim)
-            ],
-            *[F.count(F.col("__v")[i]).alias(f"n{i}") for i in range(dim)],
-        ).first()
-        mu = np.array(
-            [
-                float(row[f"m{i}"]) / row[f"n{i}"]
-                if row[f"m{i}"] is not None and row[f"n{i}"]
-                else 0.0
-                for i in range(dim)
-            ],
-            dtype=np.float64,
-        )
+    mu = _corpus_centroid(base, dim) if center else None
     sig = _signature_column(F.col("__v"), num_planes, dim, center_means=mu)
     keyed = base.select(
         "__id", *(["__v"] if with_vectors else []), sig.alias("__sig")
     )
-    band_keys = F.array(
-        *[
-            F.concat(
-                F.lit(str(b)), F.lit("|"),
-                F.substring("__sig", b * planes_per_band + 1, planes_per_band),
-            )
-            for b in range(bands)
-        ]
+    e = keyed.select(
+        "*", F.explode(_band_key_array(bands, planes_per_band)).alias("__bk")
     )
-    e = keyed.select("*", F.explode(band_keys).alias("__bk"))
     member = F.struct(
         F.col("__id"), F.col("__sig"), *([F.col("__v")] if with_vectors else [])
     )
@@ -1179,11 +1289,12 @@ def text_near_dup_scaled(
     id_col: str = "doc_id",
     dim: int = 64,
     threshold: float = 0.9,
-    bands: int = 8,
+    bands: int | str = 8,
     planes_per_band: int = 8,
     center: bool = True,
     max_bucket_width: int | None = None,
     ngram: int = 1,
+    recall_target: float = 0.95,
 ) -> DataFrame:
     """The SCALE path for text near-duplicates over hashed features — a
     pure COMPOSITION: banded-LSH candidate generation (one band-key
@@ -1201,7 +1312,17 @@ def text_near_dup_scaled(
     via luck). Certified on a 50k-vocab Zipf corpus with planted
     near-dup clusters in tools/text_near_dup_cert.py / BASELINE.md.
     Scored cosines are raw either way — centering never changes a
-    result value, only which candidate pairs are surfaced."""
+    result value, only which candidate pairs are surfaced.
+
+    ``bands="auto"`` sizes (bands, planes_per_band) from the closed-form
+    sign-LSH bound (``lsh_plan(threshold, recall_target)``): recall at the
+    threshold is bought with more, NARROWER bands, keeping the expected
+    background-collision rate at or below the bands=8/ppb=8 default — the
+    fix for the low-similarity band (0.85–0.90) where widening via
+    bands=16/ppb=8 went quadratic. Diagnose a corpus's bucket layout
+    first with ``lsh_bucket_stats``."""
+    if bands == "auto":
+        bands, planes_per_band = lsh_plan(threshold, recall_target)
     entries = hashed_feature_entries(docs, text_col, id_col, dim, ngram).persist()
     try:
         dense = _dense_from_entries(entries, id_col, dim)

@@ -1,0 +1,152 @@
+"""Certification floors, CI-sized (VERDICT r6 directive #7).
+
+The full-scale evidence lives in tools/ (skip_probe at 5M rows/1024
+files, ann_cert at 1M vectors, text_near_dup_cert at 60k docs) and is
+recorded in BASELINE.md — but a tool that is only run by hand can rot
+silently. These tests run SCALED-DOWN versions of the same probes with
+the SAME assertions, so a regression in stats pruning, IVF recall, or
+banded-LSH recall fails the suite instead of waiting for the next manual
+certification run. Sizes are picked for CI wall time, floors for the
+small-geometry regime (see each test's note); the tools remain the
+authoritative at-scale numbers.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datalakefoundation_spark.tables.lake_table import LakeTable  # noqa: E402
+
+
+def test_zorder_file_skipping_floor(spark, tmp_path):
+    """Scaled skip_probe: 640k rows / 512 files (the smallest geometry the
+    tool gates at — a 2-dim Morton grid needs ~sqrt(F) tiles per side, so
+    the 90% per-dimension floor only holds from F >= ~512). Same floors as
+    tools/skip_probe.py at 5M/1024: >= 90% of files skipped for a 1% range
+    on BOTH dimensions after Z-ORDER, including the one lexicographic
+    clustering cannot skip on."""
+    from tools.skip_probe import measure, scrambled
+
+    n, files = 640_000, 512
+    one_pct = n // 100
+    t = LakeTable(spark, str(tmp_path / "z"), stats_columns=("ts", "key"))
+    t.file_stats_max_files = files * 2
+    t.overwrite(scrambled(spark, n, files))
+    t.optimize(cluster_by=["ts", "key"], zorder=True, target_partitions=files)
+    ts = measure(t, "ts", n // 2, n // 2 + one_pct - 1)
+    key = measure(t, "key", n // 4, n // 4 + one_pct - 1)
+    assert ts["files_skipped_pct"] >= 90, ts
+    assert key["files_skipped_pct"] >= 90, key
+    # soundness: pruning must not change the answer
+    assert ts["matching_rows"] == one_pct
+    assert key["matching_rows"] == one_pct
+
+
+@pytest.fixture(scope="module")
+def cert_vectors(spark):
+    """20k-doc slice of the certification corpus (tools/dedup_cert
+    build_corpus: clusters of 5 near-duplicate docs) through the
+    hashed-features bridge — the same vectors ann_cert measures at 1M."""
+    from datalakefoundation_spark.ext.similarity import hashed_features
+    from tools.dedup_cert import build_corpus
+
+    corpus, n_base = build_corpus(spark, 4)  # 4 replicas = 20k docs
+    vdf = (
+        hashed_features(corpus)
+        .selectExpr("doc_id as vec_id", "features as embedding")
+        .persist()
+    )
+    vdf.count()
+    yield vdf, n_base * 4
+    vdf.unpersist()
+
+
+def test_trained_ivf_recall_floor(spark, cert_vectors):
+    """Scaled ann_cert: trained-IVF np8 recall@10 >= 0.8 against exact
+    ground truth — the same floor tools/ann_cert.py asserts at 1M
+    (measured there: 0.9985)."""
+    from datalakefoundation_spark.ext.similarity import (
+        brute_force_topk_blocked,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from tools.ann_cert import _topk_sets, recall_at_k
+
+    vdf, n_docs = cert_vectors
+    qstride = n_docs // 100
+    cstride = max(37, int(n_docs**0.5))
+    truth = _topk_sets(
+        brute_force_topk_blocked(vdf, k=10, query_stride=qstride).collect()
+    )
+    assert len(truth) >= 50
+    cent = kmeans_centroids(
+        vdf, centroid_stride=cstride, iterations=3, blocked=True
+    ).localCheckpoint(eager=True)
+    got = _topk_sets(
+        ivf_topk(
+            vdf, k=10, centroid_stride=cstride, query_stride=qstride,
+            nprobe=8, centroids=cent, blocked=True,
+        ).collect()
+    )
+    assert recall_at_k(truth, got) >= 0.8
+
+
+def test_text_near_dup_recall_floor(spark):
+    """Scaled text_near_dup_cert: 5k base docs (20k with variants), same
+    floor as the tool at 60k — bands=8 default keeps recall >= 0.9 for
+    planted pairs with true hashed-cosine >= 0.95."""
+    from datalakefoundation_spark.ext.similarity import (
+        hashed_feature_entries,
+        sparse_cosine_pairs,
+        text_near_dup_scaled,
+    )
+    from tools.text_near_dup_cert import NGRAM, THRESHOLD, build_corpus
+
+    rows, pairs = build_corpus(5_000)
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    planted = spark.createDataFrame(pairs, "id_a long, id_b long")
+    docs.persist().count()
+    entries = hashed_feature_entries(docs, ngram=NGRAM).persist()
+    try:
+        truth95 = {
+            (r["id_a"], r["id_b"])
+            for r in sparse_cosine_pairs(
+                entries, threshold=0.95, candidates=planted
+            ).collect()
+        }
+        assert len(truth95) >= 1000  # the 2%-substitution variants land here
+        found = {
+            (r["id_a"], r["id_b"])
+            for r in text_near_dup_scaled(
+                docs, threshold=THRESHOLD, ngram=NGRAM
+            ).collect()
+        }
+        recall = len(truth95 & found) / len(truth95)
+        assert recall >= 0.9, f"bands=8 recall at cosine>=0.95: {recall}"
+    finally:
+        entries.unpersist()
+        docs.unpersist()
+
+
+def test_lsh_plan_closed_form():
+    """The auto-banding planner: more bands at fixed-or-narrower buckets,
+    never wider ones — background rate stays at or below the default
+    operating point, and the closed-form recall bound is met."""
+    import math
+
+    from datalakefoundation_spark.ext.similarity import lsh_plan
+
+    default_bg = 8 * 0.5**8
+    for threshold, target in ((0.85, 0.9), (0.85, 0.95), (0.9, 0.95), (0.95, 0.95)):
+        bands, ppb = lsh_plan(threshold, target)
+        p = 1.0 - math.acos(threshold) / math.pi
+        assert 1.0 - (1.0 - p**ppb) ** bands >= target
+        assert bands * 0.5**ppb <= default_bg + 1e-12
+    with pytest.raises(ValueError):
+        lsh_plan(0.5, 0.999, max_bands=4)

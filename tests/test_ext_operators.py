@@ -1131,6 +1131,59 @@ def test_ivf_pq_shortlist_recall(spark, embs):
     assert hits / total >= 0.6, f"recall {hits}/{total}"
 
 
+def test_clean_corpus_incremental_index_matches_from_scratch(spark):
+    """near_dedup_index: cleaning base then batch-against-index must land
+    the same survivor set as one from-scratch run over the union (ids are
+    ingest-ordered: batch ids > base ids). The index is ALL previously
+    seen signatures (losers included): the generator makes some base docs
+    accidental near-dups of each other, so a batch doc whose only direct
+    match is a base LOSER still has to lose — the from-scratch cluster's
+    survivor is reachable only through that loser."""
+    from datalakefoundation_spark.ext.recipes import clean_corpus
+
+    words = [f"tok{i}" for i in range(400)]
+
+    def doc(seed, sub=()):
+        toks = [words[(seed * 13 + j * 7) % 400] for j in range(40)]
+        for pos, w in sub:
+            toks[pos] = w
+        return " ".join(toks)
+
+    rows = []
+    # base: 20 distinct docs (ids 0..19); 3 and 7 get near-dup variants
+    for i in range(20):
+        rows.append((i, doc(i)))
+    rows.append((20, doc(3, [(5, "changed")])))       # near-dup of 3 in base
+    # batch (ids >= 100): one new distinct doc, one near-dup of base doc 7,
+    # one near-dup PAIR that is wholly new
+    batch_rows = [
+        (100, doc(50)),
+        (101, doc(7, [(9, "changed")])),              # loses to indexed 7
+        (102, doc(60)),
+        (103, doc(60, [(11, "changed")])),            # new pair: 102 survives
+    ]
+    kw = dict(min_tokens=5, redact_pii=False, near_dedup=True)
+    base_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    all_docs = spark.createDataFrame(rows + batch_rows, "doc_id long, text string")
+    batch_docs = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    scratch = {r["doc_id"] for r in clean_corpus(all_docs, **kw).df.collect()}
+
+    base_res = clean_corpus(base_docs, **kw)
+    base_ids = {r["doc_id"] for r in base_res.df.collect()}
+    index = base_res.index_updates  # ALL base post-exact-dedup signatures
+    inc = clean_corpus(batch_docs, near_dedup_index=index, **kw)
+    inc_ids = {r["doc_id"] for r in inc.df.collect()}
+
+    assert base_ids | inc_ids == scratch
+    assert 101 not in inc_ids  # direct near-dup of an indexed doc
+    # index_updates = every batch doc that reached near-dedup (losers too)
+    upd = {r["doc_id"] for r in inc.index_updates.select("doc_id").collect()}
+    assert upd == {100, 101, 102, 103}
+    base_res.unpersist()
+    inc.unpersist()
+
+
 # ---------------------------------------------------------------- recipes
 def test_clean_corpus_end_to_end(spark, docs):
     """Full cleanup recipe over the fixture + planted junk: the quality

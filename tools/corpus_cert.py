@@ -190,6 +190,68 @@ def main() -> None:
     assert counts["perplexity"] < counts["decontaminate"]
     assert counts["perplexity"] > 0.75 * counts["decontaminate"]
     assert final_count > 0
+
+    # --- warm path: 500-doc ingest absorb against the standing index
+    # (VERDICT r6 directive #8 — the steady-state shape a production
+    # corpus actually runs). The index is CleanResult.index_updates (all
+    # post-exact-dedup signatures); the ingest is 250 near-dup copies of
+    # indexed docs (one extra marker token — must be absorbed) + 250
+    # fresh-salted docs (must survive near-dedup). Only the near-dedup
+    # stage is corpus-coupled — every other stage is per-doc — so the
+    # equivalence assertion targets exactly it.
+    t0 = time.time()
+    result.index_updates.write.parquet(f"{tmp_root}/index.parquet")
+    rec["index_build_s"] = round(time.time() - t0, 1)
+    index = spark.read.parquet(f"{tmp_root}/index.parquet")
+
+    dup_src = corpus.where(F.col("doc_id") % (n_docs // 250) == 0).limit(250)
+    dups = dup_src.select(
+        (F.col("doc_id") + n_docs).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" ingestmarker")).alias("text"),
+        F.col("lang"),
+    )
+    fresh = dup_src.select(
+        (F.col("doc_id") + 2 * n_docs).alias("doc_id"),
+        F.concat(
+            F.regexp_replace(F.col("text"), F.lit(" "), F.lit("_fresh ")),
+            F.lit(" f"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+        F.col("lang"),
+    )
+    batch = dups.unionByName(fresh).localCheckpoint(eager=True)
+    t0 = time.time()
+    inc = clean_corpus(batch, near_dedup_index=index, **kwargs)
+    inc_near = dict(inc.stages)["near_dedup"]
+    survivors = {r["doc_id"] for r in inc_near.select("doc_id").collect()}
+    rec["absorb_s"] = round(time.time() - t0, 1)
+    rec["absorb_batch"] = batch.count()
+    rec["absorb_survivors"] = len(survivors)
+    print(json.dumps({k: rec[k] for k in
+                      ("index_build_s", "absorb_s", "absorb_batch",
+                       "absorb_survivors")}), flush=True)
+    dup_ids = {r["doc_id"] for r in dups.select("doc_id").collect()}
+    fresh_ids = {r["doc_id"] for r in fresh.select("doc_id").collect()}
+    assert not (survivors & dup_ids), (
+        f"near-dup ingest docs escaped the index: {sorted(survivors & dup_ids)[:5]}"
+    )
+    # every fresh doc that reached near-dedup (per-doc gates upstream may
+    # trim a few) must come out the other side
+    near_input = {
+        r["doc_id"]
+        for r in dict(inc.stages)["exact_dedup"].select("doc_id").collect()
+    }
+    assert (fresh_ids & near_input) <= survivors, (
+        "fresh ingest docs were wrongly absorbed: "
+        f"{sorted((fresh_ids & near_input) - survivors)[:5]}"
+    )
+    assert len(fresh_ids & near_input) >= 200, len(fresh_ids & near_input)
+    # steady state is the point: absorbing 500 docs must cost a small
+    # fraction of the cold full-corpus run
+    assert rec["absorb_s"] < 0.2 * rec["cold_end_to_end_s"], (
+        rec["absorb_s"], rec["cold_end_to_end_s"],
+    )
+    inc.unpersist()
     shutil.rmtree(tmp_root, ignore_errors=True)
     print("CORPUS CERT OK")
 
