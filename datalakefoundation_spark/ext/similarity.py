@@ -408,6 +408,47 @@ def lsh_near_dup_candidates(
     )
 
 
+def lsh_near_dup_scored(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    dim: int = 64,
+    center: bool = False,
+    max_bucket_width: int | None = None,
+) -> DataFrame:
+    """``lsh_near_dup_candidates`` + exact cosine scored IN PLACE: vectors
+    ride the one band shuffle (``with_vectors=True``) and each surviving
+    in-bucket pair projects straight to ``(id_a, id_b, cosine)`` before
+    anything is shuffled or written again.
+
+    This is the high-candidate-volume form of the scale path: the
+    candidates-then-rescore composition joins |candidates| × entries rows
+    (at 100M candidates that join shuffles billions of rows — it exhausted
+    this host's scratch disk at 60k docs × 16 bands), while this form's
+    expansion stage is explode → filter → project with a 24-byte output
+    row and NO post-expansion shuffle. Cost: ``bands`` copies of each
+    dense vector through the single band-key exchange. For exact-integer
+    vectors (hashed features) the cosine is bit-identical to
+    ``sparse_cosine_pairs`` — both compute the same exact integer dot and
+    norms (asserted in tests)."""
+    pairs = _banded_pairs(
+        df, id_col, vec_col, bands, planes_per_band, dim,
+        ordered=True, with_vectors=True,
+        max_bucket_width=max_bucket_width, center=center,
+    )
+    return (
+        pairs.select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            cosine_similarity(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1295,6 +1336,7 @@ def text_near_dup_scaled(
     max_bucket_width: int | None = None,
     ngram: int = 1,
     recall_target: float = 0.95,
+    score: str = "sparse",
 ) -> DataFrame:
     """The SCALE path for text near-duplicates over hashed features — a
     pure COMPOSITION: banded-LSH candidate generation (one band-key
@@ -1320,18 +1362,34 @@ def text_near_dup_scaled(
     background-collision rate at or below the bands=8/ppb=8 default — the
     fix for the low-similarity band (0.85–0.90) where widening via
     bands=16/ppb=8 went quadratic. Diagnose a corpus's bucket layout
-    first with ``lsh_bucket_stats``."""
+    first with ``lsh_bucket_stats``.
+
+    ``score="in_place"`` swaps the candidates-then-sparse-rescore
+    composition for ``lsh_near_dup_scored``: exact cosine computed during
+    the band expansion itself, no |candidates| × entries join — the form
+    for low thresholds / many bands where the candidate set is large
+    (bit-identical results on integer hashed features; asserted in
+    tests)."""
     if bands == "auto":
         bands, planes_per_band = lsh_plan(threshold, recall_target)
+    if score not in ("sparse", "in_place"):
+        raise ValueError(f"score must be 'sparse' or 'in_place': {score!r}")
     entries = hashed_feature_entries(docs, text_col, id_col, dim, ngram).persist()
     try:
         dense = _dense_from_entries(entries, id_col, dim)
-        cand = lsh_near_dup_candidates(
-            dense, id_col=id_col, vec_col="features",
-            bands=bands, planes_per_band=planes_per_band, dim=dim,
-            center=center, max_bucket_width=max_bucket_width,
-        )
-        out = sparse_cosine_pairs(entries, id_col, threshold, candidates=cand)
+        if score == "in_place":
+            out = lsh_near_dup_scored(
+                dense, id_col=id_col, vec_col="features", threshold=threshold,
+                bands=bands, planes_per_band=planes_per_band, dim=dim,
+                center=center, max_bucket_width=max_bucket_width,
+            )
+        else:
+            cand = lsh_near_dup_candidates(
+                dense, id_col=id_col, vec_col="features",
+                bands=bands, planes_per_band=planes_per_band, dim=dim,
+                center=center, max_bucket_width=max_bucket_width,
+            )
+            out = sparse_cosine_pairs(entries, id_col, threshold, candidates=cand)
         # materialization boundary: entries is persisted only inside this
         # call, so force the result before releasing it
         return out.localCheckpoint(eager=True)

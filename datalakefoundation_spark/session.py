@@ -34,6 +34,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # console progress bars interleave \r fragments into probe/cert
+        # stdout, corrupting the JSON evidence lines the tools print
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )

@@ -134,6 +134,42 @@ def test_text_near_dup_recall_floor(spark):
         docs.unpersist()
 
 
+def test_lsh_bucket_stats_prices_the_expansion(spark):
+    """lsh_bucket_stats must report the EXACT pair count the expansion
+    stage would score: on n identical vectors every band is one bucket of
+    width n (expanded_pairs = n(n-1)/2 per band); adding distinct vectors
+    under center=True splits buckets and the per-band identity
+    sum(w*(w-1)/2) still holds against a direct bucket recount."""
+    from datalakefoundation_spark.ext.similarity import lsh_bucket_stats
+
+    n_same, bands, ppb = 40, 4, 6
+    same = spark.range(n_same).selectExpr(
+        "id as vec_id", "array(1.0d, 2.0d, 3.0d, 4.0d) as embedding"
+    )
+    rows = {r["band"]: r for r in lsh_bucket_stats(
+        same, bands=bands, planes_per_band=ppb, dim=4
+    ).collect()}
+    assert set(rows) == set(range(bands))
+    for r in rows.values():
+        assert r["n_buckets"] == 1
+        assert r["max_width"] == n_same
+        assert r["expanded_pairs"] == n_same * (n_same - 1) // 2
+
+    mixed = spark.range(200).selectExpr(
+        "id as vec_id",
+        "array(cast(hash(id, 1) % 97 as double), cast(hash(id, 2) % 97 as double),"
+        " cast(hash(id, 3) % 97 as double), cast(hash(id, 4) % 97 as double))"
+        " as embedding",
+    )
+    stats = lsh_bucket_stats(
+        mixed, bands=bands, planes_per_band=ppb, dim=4, center=True
+    ).collect()
+    assert {r["band"] for r in stats} == set(range(bands))
+    for r in stats:
+        assert r["n_buckets"] > 1  # centered projections split the corpus
+        assert r["expanded_pairs"] < 200 * 199 // 2
+
+
 def test_lsh_plan_closed_form():
     """The auto-banding planner: more bands at fixed-or-narrower buckets,
     never wider ones — background rate stays at or below the default

@@ -1984,6 +1984,36 @@ def test_hashed_features_feed_ann(spark, docs):
     assert top["cosine"] == pytest.approx(1.0, abs=1e-12)
 
 
+def test_text_near_dup_in_place_score_bit_identical(spark, docs):
+    """score='in_place' (cosine during the band expansion, no
+    candidates x entries join) must reproduce the sparse-rescore
+    composition BIT-identically: hashed-feature weights are exact
+    integers, so dense and sparse dots/norms are the same exact values
+    and the final IEEE ops are identical."""
+    from datalakefoundation_spark.ext.similarity import text_near_dup_scaled
+
+    base = docs.limit(60)
+    near = base.limit(12).select(
+        (F.col("doc_id") + 700_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        *[c for c in base.columns if c not in ("doc_id", "text")],
+    )
+    corpus = base.unionByName(near)
+    kw = dict(threshold=0.6, bands=6, planes_per_band=6)
+    sparse = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in text_near_dup_scaled(corpus, score="sparse", **kw).collect()
+    }
+    inplace = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in text_near_dup_scaled(corpus, score="in_place", **kw).collect()
+    }
+    assert sparse == inplace  # exact equality, values included
+    assert len(sparse) >= 12
+    with pytest.raises(ValueError):
+        text_near_dup_scaled(corpus, score="nope")
+
+
 def test_lsh_centering_on_nonnegative_vectors(spark):
     """Mean-centered projections fix the degenerate all-nonnegative case:
     on head-dominated count vectors the uncentered sign signature is one
