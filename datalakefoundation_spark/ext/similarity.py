@@ -1336,16 +1336,15 @@ def text_near_dup_scaled(
     max_bucket_width: int | None = None,
     ngram: int = 1,
     recall_target: float = 0.95,
-    score: str = "sparse",
+    score: str = "in_place",
 ) -> DataFrame:
-    """The SCALE path for text near-duplicates over hashed features — a
-    pure COMPOSITION: banded-LSH candidate generation (one band-key
-    shuffle, never all-pairs) feeding ``sparse_cosine_pairs(candidates=)``
-    for the exact re-score, so baseline and scale path agree by
-    construction. Recall < 1 by LSH design (tune ``bands`` up); precision
-    exact (every emitted pair carries its true cosine). Fixture-level
-    recall and exact-cosine agreement vs the all-pairs baseline are
-    asserted in tests/test_ext_operators.py.
+    """The SCALE path for text near-duplicates over hashed features:
+    banded-LSH candidate generation (one band-key shuffle, never
+    all-pairs) with the exact cosine computed for every surviving
+    in-bucket pair. Recall < 1 by LSH design (tune ``bands`` up);
+    precision exact (every emitted pair carries its true cosine).
+    Fixture-level recall and exact-cosine agreement vs the all-pairs
+    baseline are asserted in tests/test_ext_operators.py.
 
     ``center=True`` (default) uses mean-centered projections for the
     candidate stage: hashed text-count vectors are all-nonnegative, and
@@ -1364,12 +1363,20 @@ def text_near_dup_scaled(
     bands=16/ppb=8 went quadratic. Diagnose a corpus's bucket layout
     first with ``lsh_bucket_stats``.
 
-    ``score="in_place"`` swaps the candidates-then-sparse-rescore
-    composition for ``lsh_near_dup_scored``: exact cosine computed during
-    the band expansion itself, no |candidates| × entries join — the form
-    for low thresholds / many bands where the candidate set is large
-    (bit-identical results on integer hashed features; asserted in
-    tests)."""
+    ``score`` picks where the exact cosine happens. ``"in_place"`` (the
+    default) is ``lsh_near_dup_scored``: cosine computed during the band
+    expansion itself — the pair never leaves its expansion stage, the
+    only shuffle is the n·bands band-key exchange (~500 MB at 60k docs ×
+    8 bands × dim 64). ``"sparse"`` is the candidates-then-
+    ``sparse_cosine_pairs(candidates=)`` composition — kept as the
+    cross-verification twin (results are BIT-identical on integer hashed
+    features: same exact integer dots/norms, same IEEE ops — asserted in
+    tests) and for very large ``dim`` where carrying dense vectors
+    through the band shuffle would dominate. It is NOT the scale default
+    because the |candidates| × entries re-score join spills quadratically
+    in candidate volume: at 60k docs / threshold 0.85 / bands=8 it wrote
+    90 GB of shuffle scratch where the in-place form needs none
+    (measured, tools/text_near_dup_cert.py r7)."""
     if bands == "auto":
         bands, planes_per_band = lsh_plan(threshold, recall_target)
     if score not in ("sparse", "in_place"):

@@ -107,22 +107,23 @@ def build_corpus(n_base: int):
 
 
 # leg name -> (bands, center, max_bucket_width, subset, score, recall_target)
-# "auto" bands use lsh_plan(THRESHOLD, recall_target); subset legs run on
-# doc_id < 20k (recall is a per-pair property — same contract, fewer pairs).
-# bands 4/8 on the full corpus; the bands=16/ppb=8 WIDENING leg runs on a
-# subset because background band collisions grow superlinearly with bands
-# (more bands = more buckets a random pair can meet in) — the auto legs are
-# the full-corpus answer to that band: MORE, NARROWER bands (ppb 9/10) keep
-# the background rate at or below the default's, and score='in_place'
-# (bit-identical to the sparse re-score — asserted in tests) scores during
-# the band expansion itself: at threshold 0.85 x 16 bands the candidate set
-# crosses 100M pairs and the candidates x entries re-score join exhausted
-# this host's scratch disk.
+# "auto" bands use lsh_plan(THRESHOLD, recall_target); the uncentered
+# contrast leg runs on doc_id < 20k with a bucket cap (recall is a per-pair
+# property — same contract, fewer pairs) because bucket COLLAPSE makes its
+# expansion itself quadratic, which no scoring form fixes.
+#
+# All legs score 'in_place' (the operator default since r7): exact cosine
+# during the band expansion, bit-identical to the 'sparse' re-score twin
+# (asserted in tests). The r6 cert ran 'sparse' — recall rows are identical
+# by bit-identity; walls are NOT comparable across the two (the sparse
+# candidates x entries join wrote 90 GB of shuffle scratch for the bands=8
+# leg alone and exhausted this host's disk at bands=16 on the full corpus,
+# which is exactly why the default changed). bands=16 now runs FULL-corpus.
 LEGS: dict[str, tuple] = {
-    "bands4": (4, True, None, False, "sparse", None),
-    "bands8": (8, True, None, False, "sparse", None),
-    "bands16_sub": (16, True, None, True, "sparse", None),
-    "uncentered_sub": (8, False, 1024, True, "sparse", None),
+    "bands4": (4, True, None, False, "in_place", None),
+    "bands8": (8, True, None, False, "in_place", None),
+    "bands16": (16, True, None, False, "in_place", None),
+    "uncentered_sub": (8, False, 1024, True, "in_place", None),
     "auto_t95": ("auto", True, None, False, "in_place", 0.95),
     "auto_t99": ("auto", True, None, False, "in_place", 0.99),
 }
