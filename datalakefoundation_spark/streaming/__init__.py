@@ -4,6 +4,7 @@ from datalakefoundation_spark.streaming.lake_source import (  # noqa: F401
 from datalakefoundation_spark.streaming.ops import (  # noqa: F401
     read_event_stream,
     sessionize,
+    stream_clean_corpus,
     stream_dedup,
     stream_dedup_index,
     stream_merge_to_silver,

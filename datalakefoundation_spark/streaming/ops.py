@@ -442,3 +442,115 @@ def stream_rollup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_clean_corpus(
+    docs: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    clean_kwargs: dict | None = None,
+    trigger_available_now: bool = True,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """The full cleaning recipe as a continuous ingest pipeline — the
+    steady-state shape of a 100 TB training-data corpus, where documents
+    arrive forever and each batch must be cleaned against EVERYTHING seen
+    before, in O(batch).
+
+    Each micro-batch runs ``ext.recipes.clean_corpus`` with
+    ``near_dedup_index=`` the accumulated signature index (a LakeTable at
+    ``index_path``): the per-document stages (quality, Gopher, PII,
+    decontamination, perplexity) are stateless projections; within-batch
+    exact dedup is the recipe's own stage; CROSS-batch duplicates — exact
+    and near — fall out of the incremental near-dedup join, because a
+    verbatim copy shares every MinHash band with its indexed original and
+    loses to it the same way a near-dup does. Survivors land under
+    ``out_path``; the batch's signatures (losers included — see
+    clean_corpus) are appended to the index for the next batch.
+
+    Equivalence contract (asserted in tests/test_streaming.py): with
+    ingest-ordered ids (later batches carry larger ``id_col`` values, the
+    natural shape for an append-only feed), the union of every batch's
+    survivors equals the from-scratch ``clean_corpus`` over the
+    concatenated corpus — streaming is just the incremental evaluation
+    order of the same result.
+
+    Exactly-once across restarts, same discipline as ``stream_dedup_index``:
+    foreachBatch replays at-least-once, so both effects are keyed by
+    (stream id, batch id) — the survivor write is an idempotent overwrite
+    of a per-batch directory, and a replayed batch's signatures are
+    excluded from the index join side by the scoped key and folded back
+    via a converging rebuild instead of a duplicate append. The stream id
+    derives from the checkpoint location (batch ids restart at 0 for a new
+    checkpoint). ``clean_kwargs`` must not contain ``near_dedup_index`` or
+    ``near_dedup`` (the pipeline owns them); a ``benchmark``/``lm`` entry
+    must be a static (batch) DataFrame — Structured Streaming forbids a
+    second stream inside foreachBatch anyway.
+    """
+    import hashlib
+
+    from datalakefoundation_spark.ext.recipes import clean_corpus
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    kwargs = dict(clean_kwargs or {})
+    for owned in ("near_dedup_index", "near_dedup"):
+        if owned in kwargs:
+            raise ValueError(
+                f"stream_clean_corpus: clean_kwargs[{owned!r}] is owned by "
+                "the pipeline (the standing index IS the near-dedup state)"
+            )
+    kwargs["text_col"] = kwargs.get("text_col", text_col)
+    kwargs["id_col"] = kwargs.get("id_col", id_col)
+    stream_id = hashlib.sha256(checkpoint.encode()).hexdigest()[:16]
+
+    def _clean_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        replay_key = f"{stream_id}:{batch_id}"
+        index = LakeTable(spark, index_path)
+        prior = stored = None
+        if index.exists():
+            stored = index.read()
+            prior = stored.where(F.col("__batch_key") != F.lit(replay_key))
+            if prior.isEmpty():
+                prior = None
+        res = clean_corpus(
+            batch_df,
+            near_dedup=True,
+            near_dedup_index=(
+                prior.drop("__batch_key") if prior is not None else None
+            ),
+            **kwargs,
+        )
+        try:
+            # survivors first, index second: a crash between the two replays
+            # the batch, overwrites the same survivor directory with the
+            # same rows (the index join excluded this replay's own
+            # signatures), and the index append then lands exactly once
+            res.df.write.mode("overwrite").parquet(
+                f"{out_path}/stream={stream_id}/batch_id={batch_id:012d}"
+            )
+            sigs = res.index_updates.withColumn("__batch_key", F.lit(replay_key))
+            if stored is None:
+                index.append(sigs)
+            elif stored.where(
+                F.col("__batch_key") == F.lit(replay_key)
+            ).isEmpty():
+                index.append(sigs)
+            else:  # replay after a post-append crash: converge, don't dup
+                base = prior if prior is not None else stored.limit(0)
+                index.overwrite(
+                    base.unionByName(sigs), operation="replay_rebuild"
+                )
+        finally:
+            res.unpersist()
+
+    writer = docs.writeStream.foreachBatch(_clean_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

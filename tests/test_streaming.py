@@ -474,3 +474,97 @@ def test_stream_stream_join(spark, tmp_path):
     assert {
         (r["l_event_id"], r["r_event_id"]) for r in batch.collect()
     } == got
+
+
+def test_stream_clean_corpus_matches_batch(spark, tmp_path):
+    """Streamed full-recipe cleaning == the from-scratch clean_corpus over
+    the concatenated corpus: per-doc gates are stateless, within-batch
+    exact dups fall to the recipe's own stage, and CROSS-batch duplicates
+    (verbatim and near) lose to the standing signature index — including
+    across a stream restart that ingests a new file into the same
+    checkpoint/index."""
+    from datalakefoundation_spark.ext.recipes import clean_corpus
+    from datalakefoundation_spark.streaming import stream_clean_corpus
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    words = [f"tok{i}" for i in range(400)]
+
+    def doc(seed, sub=()):
+        toks = [words[(seed * 13 + j * 7) % 400] for j in range(40)]
+        for pos, w in sub:
+            toks[pos] = w
+        return " ".join(toks)
+
+    b1 = [(i, doc(i)) for i in range(20)]
+    b1.append((20, doc(3, [(5, "changed")])))      # near-dup of 3, same batch
+    b1.append((21, doc(11)))                       # verbatim dup, same batch
+    b2 = [
+        (100, doc(50)),
+        (101, doc(7, [(9, "changed")])),           # near-dup of batch-1 doc 7
+        (102, doc(11)),                            # VERBATIM copy of batch-1 doc
+        (103, "too short"),                        # quality-gate drop
+    ]
+    b3 = [
+        (200, doc(60)),
+        (201, doc(60, [(11, "changed")])),         # new pair: 200 survives
+        (202, doc(50, [(3, "changed")])),          # near-dup of batch-2 doc 100
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "clean_out")
+    index = str(tmp_path / "sig_index")
+    ckpt = str(tmp_path / "ckpt_clean")
+    kw = dict(min_tokens=5, redact_pii=False)
+
+    def write_batch(rows, order):
+        # the file source admits files oldest-mtime-first; pin explicit,
+        # strictly increasing mtimes so batch order == id order regardless
+        # of write latency under load (the equivalence contract requires
+        # ingest-ordered ids)
+        import os
+        import time as _time
+
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        t = _time.time() - 3600 + order * 60
+        for root, _dirs, files in os.walk(src):
+            for f in files:
+                p = os.path.join(root, f)
+                if os.path.getmtime(p) > t:
+                    os.utime(p, (t, t))
+
+    write_batch(b1, 1)
+    write_batch(b2, 2)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_clean_corpus(stream, out, index, ckpt, clean_kwargs=kw)
+        q.awaitTermination(180)
+
+    run()
+    # restart with one more file -> only the new file is processed
+    write_batch(b3, 3)
+    run()
+
+    all_docs = spark.createDataFrame(b1 + b2 + b3, schema)
+    want = {r["doc_id"] for r in clean_corpus(all_docs, **kw).df.collect()}
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == want
+    # cross-batch losers: 101/202 to indexed near-dups, 102 verbatim to an
+    # indexed doc, 201 within its own batch; 103 to the quality gate. (100
+    # and 200 lose too — the generator makes them accidental near-dups of
+    # base docs 16 and 6, exactly the cross-batch transitivity the index
+    # must catch.)
+    assert {100, 101, 102, 103, 200, 201, 202} & got == set()
+    assert 0 in got
+    # index: one signature row per doc that reached near-dedup (losers kept;
+    # the quality drop and the within-batch exact dup never reach it)
+    idx = LakeTable(spark, index).read()
+    n_docs = all_docs.count()
+    assert idx.count() == n_docs - 2
+    assert idx.select("doc_id").distinct().count() == n_docs - 2
