@@ -123,7 +123,16 @@ def run_join(spark, src: str, ckpt: str) -> list[int]:
     return state_series(q)
 
 
-def run_sessionize(spark, src: str, ckpt: str) -> list[int]:
+def run_sessionize(spark, src: str, ckpt: str, total_rows: int) -> list[int]:
+    """Poll-and-stop runner. availableNow CANNOT be used here: with
+    ProcessingTimeTimeout state pending, the drained query keeps
+    scheduling timeout-check micro-batches (~1/s) whose clock never
+    passes the 30-minute deadlines — measured 2 500+ empty batches with
+    zero timeouts fired before this leg was rewritten. The probe's
+    evidence is the state series across the DATA batches (growth to the
+    key universe, then flat), so run under the default trigger, poll
+    recentProgress into a batch-id-keyed series, and stop once every
+    input row is ingested and a few drain batches confirm the plateau."""
     schema = "user_id long, ts timestamp, event_id long"
     events = (
         spark.readStream.schema(schema)
@@ -134,11 +143,28 @@ def run_sessionize(spark, src: str, ckpt: str) -> list[int]:
         sessionize(events)
         .writeStream.format("noop")
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return state_series(q)
+    series: dict[int, int] = {}
+    ingested = 0
+    seen: set[int] = set()
+    idle = 0
+    deadline = time.time() + 3600
+    try:
+        while idle < 5 and time.time() < deadline:
+            time.sleep(2)
+            for p in q.recentProgress:
+                b = p["batchId"]
+                if p.get("stateOperators"):
+                    series[b] = p["stateOperators"][0]["numRowsTotal"]
+                if b not in seen:
+                    seen.add(b)
+                    ingested += p.get("numInputRows", 0)
+            idle = idle + 1 if ingested >= total_rows else 0
+    finally:
+        q.stop()
+    assert ingested >= total_rows, (ingested, total_rows)
+    return [series[b] for b in sorted(series)]
 
 
 def main() -> None:
@@ -157,7 +183,7 @@ def main() -> None:
         out["join_state_rows"] = join_rows
 
         t0 = time.time()
-        sess_rows = run_sessionize(spark, f"{tmp}/src", f"{tmp}/ck_sess")
+        sess_rows = run_sessionize(spark, f"{tmp}/src", f"{tmp}/ck_sess", total)
         out["sessionize_wall_s"] = round(time.time() - t0, 1)
         out["sessionize_state_rows"] = sess_rows
 
