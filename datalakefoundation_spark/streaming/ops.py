@@ -488,6 +488,14 @@ def stream_clean_corpus(
     ``near_dedup`` (the pipeline owns them); a ``benchmark``/``lm`` entry
     must be a static (batch) DataFrame — Structured Streaming forbids a
     second stream inside foreachBatch anyway.
+
+    Leave the corpus-GLOBAL calibrations — ``perplexity`` (threshold
+    tuned on a corpus percentile) and ``mixture`` (strata proportions) —
+    OUT of ``clean_kwargs``: per-batch they gate against the wrong
+    distribution (a batch can lose whole strata, which mixture_sample
+    correctly rejects). Apply them as a batch post-pass over the
+    accumulated ``out_path`` output instead; the per-document gates and
+    the index-coupled dedup are what belong in the continuous path.
     """
     import hashlib
 

@@ -220,8 +220,19 @@ def main() -> None:
         F.col("lang"),
     )
     batch = dups.unionByName(fresh).localCheckpoint(eager=True)
+    # corpus-GLOBAL calibrations are meaningless (and degenerate) on a
+    # 500-doc ingest batch: the fresh docs are token-salted to be novel
+    # for near-dedup, which also makes them maximally OOV for the
+    # reference LM (every survivor fails the ppl gate), and a batch this
+    # small can lose whole strata, which mixture_sample correctly
+    # rejects. The steady-state recipe applies ppl/mixture as a post-pass
+    # over the accumulated output (see stream_clean_corpus docs); the
+    # warm leg certifies the one corpus-COUPLED stage, near-dedup.
+    warm_kwargs = {
+        k: v for k, v in kwargs.items() if k not in ("perplexity", "mixture")
+    }
     t0 = time.time()
-    inc = clean_corpus(batch, near_dedup_index=index, **kwargs)
+    inc = clean_corpus(batch, near_dedup_index=index, **warm_kwargs)
     inc_near = dict(inc.stages)["near_dedup"]
     survivors = {r["doc_id"] for r in inc_near.select("doc_id").collect()}
     rec["absorb_s"] = round(time.time() - t0, 1)
