@@ -210,12 +210,18 @@ def main() -> None:
         F.concat(F.col("text"), F.lit(" ingestmarker")).alias("text"),
         F.col("lang"),
     )
+    # fresh docs must be novel for NEAR-DEDUP but ordinary for the per-doc
+    # gates: hash every token to a short doc-specific token (6-char, so
+    # the Gopher word-length prior sees a normal corpus — a suffix-salted
+    # variant stretched tokens past max_mean_word_len and the gates
+    # dropped the whole batch before near-dedup). Per-doc hashing also
+    # keeps fresh versions of near-dup GROUP-MATES disjoint, so no
+    # fresh-fresh pair can absorb another.
     fresh = dup_src.select(
         (F.col("doc_id") + 2 * n_docs).alias("doc_id"),
-        F.concat(
-            F.regexp_replace(F.col("text"), F.lit(" "), F.lit("_fresh ")),
-            F.lit(" f"),
-            F.col("doc_id").cast("string"),
+        F.expr(
+            "array_join(transform(split(text, ' '), t -> concat('f', "
+            "substring(sha2(concat(t, cast(doc_id as string)), 256), 1, 5))), ' ')"
         ).alias("text"),
         F.col("lang"),
     )
