@@ -207,20 +207,32 @@ FROM c
 
 
 def q_embedding_quantize(spark, sf_dir):
-    return SIM.quantize_embeddings(_embs(spark, sf_dir))
+    # posexploded to scalar rows (vec_id, scale, i, q): the driver's pandas
+    # canonicalizer sort_values/factorizes raw cell values and cannot hash a
+    # list, so an array<int> result column errs at the driver even though the
+    # local gate string-canonicalizes it (r7 driver red). Same shape that
+    # made q_random_projection driver-green.
+    q = SIM.quantize_embeddings(_embs(spark, sf_dir))
+    return q.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("i", "q")
+    )
 
 
 # mirrors quantize_embeddings step-for-step: float->double widening, max|x|,
-# scale = m/127, round-half-up via floor(x/scale + 0.5), clamp to ±127
+# scale = m/127, round-half-up via floor(x/scale + 0.5), clamp to ±127;
+# unnested to one row per element to keep every result column scalar
 SQL_EMBEDDING_QUANTIZE = """
 WITH m AS (
   SELECT vec_id, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
-  FROM embeddings)
-SELECT e.vec_id, m.m / 127.0 AS scale,
-  list_transform(e.embedding, x -> CASE WHEN m.m = 0 THEN 0 ELSE
-    CAST(greatest(-127, least(127,
-      CAST(floor(CAST(x AS DOUBLE) / (m.m / 127.0) + 0.5) AS BIGINT))) AS INT) END) AS qvec
-FROM embeddings e JOIN m USING (vec_id)
+  FROM embeddings),
+q AS (
+  SELECT e.vec_id, m.m / 127.0 AS scale,
+    list_transform(e.embedding, x -> CASE WHEN m.m = 0 THEN 0 ELSE
+      CAST(greatest(-127, least(127,
+        CAST(floor(CAST(x AS DOUBLE) / (m.m / 127.0) + 0.5) AS BIGINT))) AS INT) END) AS qvec
+  FROM embeddings e JOIN m USING (vec_id))
+SELECT vec_id, scale, CAST(i AS INT) AS i, qvec[CAST(i AS INT) + 1] AS q
+FROM q, unnest(generate_series(0, len(qvec) - 1)) AS t(i)
 """
 
 
@@ -1692,10 +1704,11 @@ def q_bpe_token_count(spark, sf_dir):
     """End-to-end BPE: train 200 merges from the corpus word counts
     (driver-side loop over the bounded vocabulary — deterministic: ties
     break lexicographically) and encode every document in one
-    Arrow-batched mapInPandas stage. Iterative merging is not
-    SQL-expressible, so this is a rows-only driver check; the algorithmic
-    correctness is pinned by tests/test_bpe.py (textbook-equivalence,
-    determinism across partitionings, lossless round-trip)."""
+    Arrow-batched mapInPandas stage. Iterative merging of a TRAINED
+    table is not SQL-expressible, so this is a rows-only check (EXTRA —
+    it must not occupy a driver window slot it can never hash-pass); the
+    algorithm is pinned by tests/test_bpe.py AND the encode step is
+    oracle-verified by q_bpe_encode against a fixed merge table."""
     from datalakefoundation_spark.ext import bpe as B
 
     docs = _docs(spark, sf_dir)
@@ -1703,7 +1716,90 @@ def q_bpe_token_count(spark, sf_dir):
     return B.bpe_encode(docs, merges).orderBy("doc_id")
 
 
+# Fixed merge table for the oracle-paired encode check: chosen to cascade
+# (table</w> needs 4 chained merges; data</w> needs the leftmost-lowest-rank
+# rule to pick (a,</w>) before (a,t)) so the oracle exercises rank ordering,
+# not just single substitutions. Training itself (q_bpe_token_count, EXTRA)
+# stays rows-only; encode — the per-document hot path — is hash-verified.
+_BPE_FIXED_MERGES = [
+    ("e", "</w>"), ("w", "</w>"), ("t", "a"), ("ta", "b"),
+    ("tab", "l"), ("tabl", "e</w>"), ("a", "</w>"), ("r", "o"),
+    ("ro", "w</w>"), ("a", "t"), ("d", "at"), ("dat", "a</w>"),
+]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE ENCODE against a fixed merge table, exploded to one scalar row
+    per token (doc_id, tpos, token). The DuckDB twin replays the exact
+    inference rule — repeatedly merge the leftmost occurrence of the
+    lowest-ranked adjacent pair — as a recursive CTE over symbol lists,
+    so the Arrow-batched encoder (ext/bpe.py bpe_encode/encode_word,
+    including its per-word memo cache) is value-verified end to end."""
+    from datalakefoundation_spark.ext import bpe as B
+
+    enc = B.bpe_encode(_docs(spark, sf_dir), _BPE_FIXED_MERGES, emit_tokens=True)
+    return enc.select("doc_id", F.posexplode("bpe_tokens").alias("tpos", "token"))
+
+
+def _bpe_encode_oracle_sql() -> str:
+    # pair keys joined with chr(1) (never occurs in the corpus); DuckDB
+    # list_position returns 0 on miss, so rank r > 0 means "mergeable" and
+    # the 1-based position doubles as the merge rank — list_min of the
+    # positive ranks is the earliest-learned applicable merge, and
+    # list_position(ranks, best) is its LEFTMOST occurrence, exactly
+    # encode_word's scan. Each recursion step shrinks the word by one
+    # symbol, so the terminal row per (doc_id, wpos) is the min-len one.
+    merge_list = "[" + ", ".join(
+        f"'{a}' || chr(1) || '{b}'" for a, b in _BPE_FIXED_MERGES
+    ) + "]"
+    return f"""
+WITH RECURSIVE
+w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+seeded AS (
+  SELECT doc_id, CAST(i AS INT) AS wpos,
+         list_concat(
+           list_transform(range(1, length(ws[CAST(i AS INT)]) + 1),
+                          k -> ws[CAST(i AS INT)][k]),
+           ['</w>']) AS syms
+  FROM w0, unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[CAST(i AS INT)] <> ''),
+enc AS (
+  SELECT doc_id, wpos, syms FROM seeded
+  UNION ALL
+  SELECT doc_id, wpos,
+         list_concat(list_concat(syms[1:bi-1], [syms[bi] || syms[bi+1]]),
+                     syms[bi+2:]) AS syms
+  FROM (
+    SELECT doc_id, wpos, syms,
+           list_position(ranks, list_min(list_filter(ranks, r -> r > 0))) AS bi
+    FROM (
+      SELECT doc_id, wpos, syms,
+             list_transform(range(1, len(syms)),
+               i -> list_position({merge_list}, syms[i] || chr(1) || syms[i+1])) AS ranks
+      FROM enc) p) q
+  WHERE bi > 0),
+final AS (
+  SELECT doc_id, wpos, syms,
+         row_number() OVER (PARTITION BY doc_id, wpos ORDER BY len(syms) ASC) AS rn
+  FROM enc),
+tok AS (
+  SELECT doc_id, wpos, CAST(k AS INT) AS kpos, syms[CAST(k AS INT)] AS token
+  FROM final, unnest(generate_series(1, len(syms))) AS t(k)
+  WHERE rn = 1)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, kpos) - 1
+            AS INT) AS tpos,
+       token
+FROM tok
+"""
+
+
 EXTRA = {
+    # rows-only by nature (trained merge table -> no SQL oracle); its encode
+    # stage is hash-verified in the window by q_bpe_encode, its training by
+    # tests/test_bpe.py — keeping it here keeps it runnable without burning
+    # a driver slot on a structurally red row (VERDICT r7 directive #3):
+    "q_bpe_token_count": (q_bpe_token_count, None),
     # rotated OUT of the driver window in r7 (q_dedup_minhash/q_dedup_simhash
     # driver-green r1–r6, q_ann_lsh r3–r6, q_dedup_clusters/q_decontaminate
     # r3–r6, q_dedup_minhash_incr r5+r6; the banded/cluster/bloom shapes stay
@@ -1759,7 +1855,10 @@ QUERIES = {
     # rotation every oracle-paired query in the codebase has been
     # driver-verified at least once:
     "q_hashed_features_ngram": (q_hashed_features_ngram, SQL_HASHED_FEATURES_NGRAM),
-    "q_bpe_token_count": (q_bpe_token_count, None),
+    # r8: q_bpe_token_count (oracle=None — structurally unverifiable by the
+    # driver, a guaranteed red slot) demoted to EXTRA; replaced by the
+    # hash-comparable encode check (VERDICT r7 directive #3):
+    "q_bpe_encode": (q_bpe_encode, _bpe_encode_oracle_sql()),
     "q_importance_resample": (q_importance_resample, SQL_IMPORTANCE_RESAMPLE),
     "q_source_cap": (q_source_cap, SQL_SOURCE_CAP),
     "q_chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),

@@ -26,7 +26,11 @@ from datalakefoundation_spark.verification import (  # noqa: E402
     all_queries,
     extra_queries,
 )
-from tools.check_oracle import TABLES, canon_pdf  # noqa: E402
+from tools.check_oracle import (  # noqa: E402
+    TABLES,
+    canon_pdf,
+    driver_incompatible_cols,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.001")
 
@@ -61,10 +65,30 @@ def test_every_registry_query_has_unique_name():
     assert not set(reg) & set(extra)
 
 
+def test_gate_rejects_array_valued_results():
+    """The driver's canonicalizer sort_values/factorizes raw cells and
+    throws on lists (r7: q_embedding_quantize) — the local gate must flag
+    that shape BEFORE it burns a driver round."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"id": [1, 2], "vec": [[1, 2], [3, 4]], "arr": [np.array([1]), np.array([2])]}
+    )
+    assert driver_incompatible_cols(pdf) == ["vec", "arr"]
+    assert driver_incompatible_cols(pdf[["id"]]) == []
+
+
 @pytest.mark.parametrize("name", sorted(_registry()))
 def test_oracle_parity(name, spark, duck):
     fn, sql = _registry()[name]
     s_pdf = fn(spark, SF_DIR).toPandas()
+    if name in all_queries():
+        bad = driver_incompatible_cols(s_pdf)
+        assert not bad, (
+            f"driver-window query emits non-scalar columns {bad}; the driver "
+            "canonicalizer cannot hash list cells — explode to scalar rows"
+        )
     if sql is None:
         # rows-only contract: must at least run and produce a stable schema
         assert list(s_pdf.columns)

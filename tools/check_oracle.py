@@ -65,6 +65,28 @@ def canon(v):
     return str(v)
 
 
+def driver_incompatible_cols(pdf):
+    """Columns the DRIVER's canonicalizer cannot handle: it sort_values/
+    factorizes raw pandas cells, which throws ``unhashable type`` on any
+    list/array/dict/set value. Our local canon string-encodes those
+    (see ``canon``) so it would silently PASS a result shape the driver
+    errs on — r7's ``q_embedding_quantize`` red. Every query in the
+    driver's 50-row window must therefore emit only scalar cells; this
+    is enforced in ``main`` below and in tests/test_oracle_parity.py.
+    """
+    import numpy as np
+
+    bad = []
+    for c in pdf.columns:
+        col = pdf[c]
+        if col.dtype == object:
+            for v in col:
+                if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+                    bad.append(c)
+                    break
+    return bad
+
+
 def canon_pdf(pdf):
     """Order-insensitive canonical multiset of a pandas DataFrame's values.
 
@@ -98,6 +120,7 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    window = set(qs)  # driver-verified rows: scalar-cell shape enforced
     # also gate the oracle-paired queries deliberately outside the driver's
     # 50-row registry window (operators covered by consolidated registry rows)
     from datalakefoundation_spark.verification import extra_queries
@@ -121,6 +144,16 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: spark/pandas error: {type(e).__name__}: {e}")
             continue
+        if name in window:
+            bad = driver_incompatible_cols(s_pdf)
+            if bad:
+                failures.append(name)
+                print(
+                    f"FAIL  {name}: non-scalar result columns {bad} — the "
+                    "driver's canonicalizer cannot hash list/array cells; "
+                    "explode to scalar rows (see q_random_projection)"
+                )
+                continue
         if name not in oracles:
             print(f"skip  {name}: no oracle (rows-only) — {len(s_pdf)} rows")
             continue
