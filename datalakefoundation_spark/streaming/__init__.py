@@ -2,6 +2,7 @@ from datalakefoundation_spark.streaming.lake_source import (  # noqa: F401
     LakeStreamDataSource,
 )
 from datalakefoundation_spark.streaming.ops import (  # noqa: F401
+    read_clean_corpus_output,
     read_event_stream,
     sessionize,
     stream_clean_corpus,

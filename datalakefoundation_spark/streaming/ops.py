@@ -485,9 +485,12 @@ def stream_clean_corpus(
     via a converging rebuild instead of a duplicate append. The stream id
     derives from the checkpoint location (batch ids restart at 0 for a new
     checkpoint). ``clean_kwargs`` must not contain ``near_dedup_index`` or
-    ``near_dedup`` (the pipeline owns them); a ``benchmark``/``lm`` entry
-    must be a static (batch) DataFrame — Structured Streaming forbids a
-    second stream inside foreachBatch anyway.
+    ``near_dedup`` (the pipeline owns them) nor ``span_dedup_size`` (span
+    ownership is cross-document — batch post-pass only, rejected below); a
+    ``benchmark``/``lm`` entry must be a static (batch) DataFrame —
+    Structured Streaming forbids a second stream inside foreachBatch
+    anyway. Read survivors via ``read_clean_corpus_output`` — ``out_path``
+    accumulates one ``stream=<id>`` subtree per checkpoint generation.
 
     Leave the corpus-GLOBAL calibrations — ``perplexity`` (threshold
     tuned on a corpus percentile) and ``mixture`` (strata proportions) —
@@ -509,6 +512,18 @@ def stream_clean_corpus(
                 f"stream_clean_corpus: clean_kwargs[{owned!r}] is owned by "
                 "the pipeline (the standing index IS the near-dedup state)"
             )
+    if kwargs.get("span_dedup_size") is not None:
+        # span ownership is CROSS-document: a later batch would keep token
+        # spans that an earlier batch's surviving doc already owns, so the
+        # streamed-union == from-scratch clean_corpus equivalence silently
+        # breaks. Like perplexity/mixture, span dedup is a batch post-pass
+        # over the accumulated output — reject it here rather than let the
+        # contract rot quietly.
+        raise ValueError(
+            "stream_clean_corpus: span_dedup_size is cross-document "
+            "(span ownership spans batches) — run ext.dedup.span_dedup as "
+            "a batch post-pass over the accumulated out_path output"
+        )
     kwargs["text_col"] = kwargs.get("text_col", text_col)
     kwargs["id_col"] = kwargs.get("id_col", id_col)
     stream_id = hashlib.sha256(checkpoint.encode()).hexdigest()[:16]
@@ -522,6 +537,22 @@ def stream_clean_corpus(
         prior = stored = None
         if index.exists():
             stored = index.read()
+            if "__batch_key" not in stored.columns:
+                # index bootstrapped from a BATCH run's CleanResult.
+                # index_updates (the X50 cold-build flow): those rows carry
+                # no replay key. Stamp a sentinel so they count as prior
+                # for every micro-batch instead of dying on a missing
+                # column at the first filter.
+                stored = stored.withColumn("__batch_key", F.lit("__seed__"))
+            else:
+                # once the stream's first append adds the column, the
+                # batch-seeded rows read back as NULL (schema evolution);
+                # NULL != key is NULL, which would silently drop the whole
+                # seed from the prior side — coalesce them to the sentinel
+                stored = stored.withColumn(
+                    "__batch_key",
+                    F.coalesce(F.col("__batch_key"), F.lit("__seed__")),
+                )
             prior = stored.where(F.col("__batch_key") != F.lit(replay_key))
             if prior.isEmpty():
                 prior = None
@@ -562,3 +593,21 @@ def stream_clean_corpus(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_clean_corpus_output(spark, out_path: str, checkpoint: str) -> DataFrame:
+    """Read the survivors of the CURRENT stream generation only.
+
+    ``out_path`` is per-pipeline-generation: survivor directories are laid
+    out as ``stream=<id>/batch_id=<n>`` where the id derives from the
+    checkpoint location. The idempotent-overwrite (exactly-once) guarantee
+    holds WITHIN one checkpoint's stream id — restarting with a NEW
+    checkpoint restarts batch ids at 0 under a new id and leaves earlier
+    generations' directories in place, so a plain ``read.parquet(out_path)``
+    would double-count documents across generations. Always scope reads to
+    the generation, i.e. use this helper (or clean up retired ``stream=``
+    subdirectories when retiring their checkpoints)."""
+    import hashlib
+
+    stream_id = hashlib.sha256(checkpoint.encode()).hexdigest()[:16]
+    return spark.read.parquet(f"{out_path}/stream={stream_id}")

@@ -852,17 +852,28 @@ FROM orders
 QUERIES = {
     "q_pk_pipeline": (q_pk_pipeline, SQL_PK_PIPELINE),
     "q_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    # rotated IN for r8 by the steady-state window policy (verification/
+    # __init__.py): the 6 least-recently-driver-verified oracle-paired
+    # queries (last driver-green r2) take the seats of 6 two-round-green
+    # rotating rows whose shapes stay covered (see ext_queries.EXTRA r8):
+    "q_scan_project": (q_scan_project, SQL_SCAN_PROJECT),
+    "q_select_expr": (q_select_expr, SQL_SELECT_EXPR),
+    "q_calculated_columns": (q_calculated_columns, SQL_CALCULATED_COLUMNS),
+    "q_source_hash": (q_source_hash, SQL_SOURCE_HASH),
+    "q_business_pk": (q_business_pk, SQL_BUSINESS_PK),
+    "q_duplicate_guard": (q_duplicate_guard, SQL_DUPLICATE_GUARD),
 }
 
 # Oracle-paired queries kept OUT of the driver registry (window is 50 rows).
-# Coverage story for each: q_scan_project ⊂ q_filter_predicate (scan+prune);
-# q_select_expr/q_calculated_columns ⊂ q_projection_pipeline;
-# q_source_hash/q_business_pk/q_duplicate_guard ⊂ q_pk_pipeline;
+# Coverage story for each:
 # q_cast_columns/q_rename_project ⊂ q_cast_rename;
 # q_watermark_max/q_count_filter ⊂ q_bookkeeping_aggs;
 # q_rollup_sales' grouping sets ⊂ q_cube_sales (CUBE emits a superset);
 # q_top_customers' join+agg+top-k shape ⊂ q_shipping_priority;
 # q_running_total's running-sum frame ⊂ q_sessionize_batch.
+# (q_scan_project/q_select_expr/q_calculated_columns/q_source_hash/
+# q_business_pk/q_duplicate_guard rotated back INTO the window for r8 as the
+# least-recently-driver-verified rows — last green r2.)
 EXTRA = {
     # rotated OUT of the driver window in r7 (driver-green r3–r6; fused
     # bookkeeping/agg + window shapes covered by surviving strategy rows) to
@@ -882,12 +893,6 @@ EXTRA = {
     "q_distinct_partitions": (q_distinct_partitions, SQL_DISTINCT_PARTITIONS),
     "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
     "q_order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
-    "q_scan_project": (q_scan_project, SQL_SCAN_PROJECT),
-    "q_select_expr": (q_select_expr, SQL_SELECT_EXPR),
-    "q_calculated_columns": (q_calculated_columns, SQL_CALCULATED_COLUMNS),
-    "q_source_hash": (q_source_hash, SQL_SOURCE_HASH),
-    "q_business_pk": (q_business_pk, SQL_BUSINESS_PK),
-    "q_duplicate_guard": (q_duplicate_guard, SQL_DUPLICATE_GUARD),
     "q_cast_columns": (q_cast_columns, SQL_CAST_COLUMNS),
     "q_rename_project": (q_rename_project, SQL_RENAME_PROJECT),
     "q_watermark_max": (q_watermark_max, SQL_WATERMARK_MAX),

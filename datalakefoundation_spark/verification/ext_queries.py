@@ -1795,6 +1795,19 @@ FROM tok
 
 
 EXTRA = {
+    # rotated OUT of the driver window in r8 by the steady-state policy
+    # (verification/__init__.py): each driver-green r6+r7, shape covered
+    # by a surviving window row — gapfill grid ⊂ q_time_weighted_avg /
+    # q_rollup_anomalies, bigram LM ⊂ q_trigram_lm, direct hashed
+    # features ⊂ q_hashed_features_ngram, rare-token counts ⊂
+    # q_collocations + q_tfidf_terms, expectation aggs ⊂
+    # q_profile_columns, frac decontamination ⊂ q_decontaminate_bloom:
+    "q_rollup_gapfill": (q_rollup_gapfill, SQL_ROLLUP_GAPFILL),
+    "q_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
+    "q_hashed_features": (q_hashed_features, SQL_HASHED_FEATURES),
+    "q_rare_tokens": (q_rare_tokens, SQL_RARE_TOKENS),
+    "q_check_expectations": (q_check_expectations, SQL_CHECK_EXPECTATIONS),
+    "q_decontaminate_frac": (q_decontaminate_frac, SQL_DECONTAMINATE_FRAC),
     # rows-only by nature (trained merge table -> no SQL oracle); its encode
     # stage is hash-verified in the window by q_bpe_encode, its training by
     # tests/test_bpe.py — keeping it here keeps it runnable without burning
@@ -1866,25 +1879,19 @@ QUERIES = {
     "q_random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     # rotated IN late r5 for first-time driver verification:
     "q_event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
-    "q_rollup_gapfill": (q_rollup_gapfill, SQL_ROLLUP_GAPFILL),
     "q_time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
     "q_histogram_percentiles": (q_histogram_percentiles, SQL_HISTOGRAM_PERCENTILES),
-    "q_bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "q_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     # rotated IN for r6 — the 13 oracle-paired ext queries that had never
     # had a driver CORRECTNESS row (VERDICT r5 directive #1); LM/feature/
     # near-dup family first, then the decontamination/quality knobs:
     "q_trigram_lm": (q_trigram_lm, SQL_TRIGRAM_LM),
-    "q_hashed_features": (q_hashed_features, SQL_HASHED_FEATURES),
     "q_text_near_dup": (q_text_near_dup, SQL_TEXT_NEAR_DUP),
     "q_bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
     "q_retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "q_rollup_anomalies": (q_rollup_anomalies, SQL_ROLLUP_ANOMALIES),
     "q_collocations": (q_collocations, SQL_COLLOCATIONS),
-    "q_rare_tokens": (q_rare_tokens, SQL_RARE_TOKENS),
-    "q_check_expectations": (q_check_expectations, SQL_CHECK_EXPECTATIONS),
     "q_decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE),
-    "q_decontaminate_frac": (q_decontaminate_frac, SQL_DECONTAMINATE_FRAC),
     # vocabulary-hashing variants: the SAME oracles as the direct paths —
     # hash_distinct must be bit-identical, so oracle-pairing it makes the
     # equivalence a gate property rather than only a local test

@@ -568,3 +568,99 @@ def test_stream_clean_corpus_matches_batch(spark, tmp_path):
     n_docs = all_docs.count()
     assert idx.count() == n_docs - 2
     assert idx.select("doc_id").distinct().count() == n_docs - 2
+
+
+def test_stream_clean_corpus_seeds_from_batch_built_index(spark, tmp_path):
+    """A standing index bootstrapped by a BATCH clean_corpus run (the X50
+    cold-build flow: CleanResult.index_updates appended to a LakeTable,
+    no __batch_key column) must seed the stream: the first micro-batch
+    treats every stored signature as prior instead of dying on the
+    missing column, so near-dups of seeded docs are absorbed."""
+    from datalakefoundation_spark.ext.recipes import clean_corpus
+    from datalakefoundation_spark.streaming import (
+        read_clean_corpus_output,
+        stream_clean_corpus,
+    )
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    words = [f"tok{i}" for i in range(400)]
+
+    def doc(seed, sub=()):
+        # (seed*73 + j)*131 mod 400: two docs a,b share a token run only at
+        # shift k ≡ 73(a-b) mod 400; for the seeds used here every such k
+        # falls outside ±40, so no accidental cross-doc shingle overlap
+        toks = [words[((seed * 73 + j) * 131) % 400] for j in range(40)]
+        for pos, w in sub:
+            toks[pos] = w
+        return " ".join(toks)
+
+    schema = "doc_id long, text string"
+    kw = dict(min_tokens=5, redact_pii=False)
+
+    # cold batch build: clean 3 docs, seed the index from its signatures
+    cold = spark.createDataFrame([(i, doc(i)) for i in range(3)], schema)
+    res = clean_corpus(cold, **kw)
+    index = str(tmp_path / "seeded_index")
+    tbl = LakeTable(spark, index)
+    tbl.append(res.index_updates)  # no __batch_key — the batch flow's shape
+    res.unpersist()
+
+    # stream TWO micro-batches, each with a near-dup of a seeded doc: batch
+    # 2 exercises the post-append shape where seed rows read back with
+    # __batch_key NULL (schema evolution) and must still count as prior
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    import os as _os
+    import time as _time
+
+    def write_file(rows, order):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        t = _time.time() - 3600 + order * 60
+        for root, _dirs, files in _os.walk(src):
+            for f in files:
+                p = _os.path.join(root, f)
+                if _os.path.getmtime(p) > t:
+                    _os.utime(p, (t, t))
+
+    write_file([(10, doc(1, [(4, "changed")])), (11, doc(30))], 1)
+    write_file([(12, doc(2, [(6, "changed")])), (13, doc(31))], 2)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_clean_corpus(stream, out, index, ckpt, clean_kwargs=kw)
+    q.awaitTermination(180)
+
+    got = {r["doc_id"] for r in read_clean_corpus_output(spark, out, ckpt).collect()}
+    assert 10 not in got  # absorbed against the batch-seeded index
+    assert 12 not in got  # batch 2: seed rows (NULL key) still prior
+    assert got == {11, 13}
+    # the stream appended signature rows for every doc that reached
+    # near-dedup, on top of the 3 seeded rows
+    idx = tbl.read()
+    assert "__batch_key" in idx.columns
+    assert idx.count() == 3 + 4
+    assert idx.where("__batch_key IS NULL").count() == 3
+
+
+def test_stream_clean_corpus_rejects_span_dedup(spark, tmp_path):
+    """span ownership is cross-document (a later batch keeps spans an
+    earlier batch's doc already owns) — streamed-union equivalence breaks,
+    so the kwarg must be rejected, not silently accepted."""
+    from datalakefoundation_spark.streaming import stream_clean_corpus
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with pytest.raises(ValueError, match="span_dedup_size"):
+        stream_clean_corpus(
+            stream,
+            str(tmp_path / "o"),
+            str(tmp_path / "i"),
+            str(tmp_path / "c"),
+            clean_kwargs={"span_dedup_size": 20},
+        )

@@ -90,12 +90,46 @@ def write_batches(spark, path: str, batches: int, per_batch: int) -> None:
         time.sleep(0.05)
 
 
-def state_series(query) -> list[int]:
-    return [
-        p["stateOperators"][0]["numRowsTotal"]
-        for p in query.recentProgress
-        if p.get("stateOperators")
-    ]
+from pyspark.sql.streaming import StreamingQueryListener  # noqa: E402
+
+
+class _ProgressTap(StreamingQueryListener):
+    """Complete per-batch progress capture via listener, not polling.
+
+    ``q.recentProgress`` keeps only the last ~100 updates
+    (spark.sql.streaming.numRecentProgressUpdates); with small CLI batch
+    sizes fast micro-batches are evicted between 2 s polls, undercounting
+    ingestion (the poll loop then spins to its deadline and the final
+    assert fires) and silently dropping points from the state series. A
+    registered listener receives EVERY progress event regardless of batch
+    rate. Attach around exactly one query at a time (the probe's runs are
+    sequential) and remove in ``finally``."""
+
+    def __init__(self) -> None:
+        self.state: dict[int, int] = {}
+        self.rows: dict[int, int] = {}
+
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        b = p.batchId
+        self.rows[b] = p.numInputRows
+        if p.stateOperators:
+            self.state[b] = p.stateOperators[0].numRowsTotal
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        pass
+
+    def ingested(self) -> int:
+        return sum(self.rows.values())
+
+    def state_series(self) -> list[int]:
+        return [self.state[b] for b in sorted(self.state)]
 
 
 def run_join(spark, src: str, ckpt: str) -> list[int]:
@@ -112,15 +146,21 @@ def run_join(spark, src: str, ckpt: str) -> list[int]:
     )
     joined = stream_stream_join(left, right, key="user_id")
     agg = joined.groupBy().count()  # tiny sink: we only want the state metrics
-    q = (
-        joined.writeStream.format("noop")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    tap = _ProgressTap()
+    spark.streams.addListener(tap)
+    try:
+        q = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        time.sleep(3)  # listener events are delivered async; let them drain
+    finally:
+        spark.streams.removeListener(tap)
     del agg
-    return state_series(q)
+    return tap.state_series()
 
 
 def run_sessionize(spark, src: str, ckpt: str, total_rows: int) -> list[int]:
@@ -130,41 +170,38 @@ def run_sessionize(spark, src: str, ckpt: str, total_rows: int) -> list[int]:
     passes the 30-minute deadlines — measured 2 500+ empty batches with
     zero timeouts fired before this leg was rewritten. The probe's
     evidence is the state series across the DATA batches (growth to the
-    key universe, then flat), so run under the default trigger, poll
-    recentProgress into a batch-id-keyed series, and stop once every
-    input row is ingested and a few drain batches confirm the plateau."""
+    key universe, then flat), so run under the default trigger with a
+    listener capturing every batch (see _ProgressTap — recentProgress is
+    a bounded buffer), and stop once every input row is ingested and a
+    few drain batches confirm the plateau."""
     schema = "user_id long, ts timestamp, event_id long"
     events = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
-    q = (
-        sessionize(events)
-        .writeStream.format("noop")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    series: dict[int, int] = {}
-    ingested = 0
-    seen: set[int] = set()
+    tap = _ProgressTap()
+    spark.streams.addListener(tap)
     idle = 0
     deadline = time.time() + 3600
     try:
-        while idle < 5 and time.time() < deadline:
-            time.sleep(2)
-            for p in q.recentProgress:
-                b = p["batchId"]
-                if p.get("stateOperators"):
-                    series[b] = p["stateOperators"][0]["numRowsTotal"]
-                if b not in seen:
-                    seen.add(b)
-                    ingested += p.get("numInputRows", 0)
-            idle = idle + 1 if ingested >= total_rows else 0
+        q = (
+            sessionize(events)
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            while idle < 5 and time.time() < deadline:
+                time.sleep(2)
+                idle = idle + 1 if tap.ingested() >= total_rows else 0
+        finally:
+            q.stop()
+        time.sleep(3)  # drain async listener events
     finally:
-        q.stop()
-    assert ingested >= total_rows, (ingested, total_rows)
-    return [series[b] for b in sorted(series)]
+        spark.streams.removeListener(tap)
+    assert tap.ingested() >= total_rows, (tap.ingested(), total_rows)
+    return tap.state_series()
 
 
 def main() -> None:
