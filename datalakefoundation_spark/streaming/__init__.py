@@ -4,6 +4,7 @@ from datalakefoundation_spark.streaming.lake_source import (  # noqa: F401
 from datalakefoundation_spark.streaming.ops import (  # noqa: F401
     read_clean_corpus_output,
     read_event_stream,
+    salted_stream_stream_join,
     sessionize,
     stream_clean_corpus,
     stream_dedup,
@@ -11,4 +12,5 @@ from datalakefoundation_spark.streaming.ops import (  # noqa: F401
     stream_merge_to_silver,
     stream_to_lake,
     windowed_counts,
+    windowed_stream_join,
 )

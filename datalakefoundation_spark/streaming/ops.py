@@ -189,6 +189,123 @@ def stream_stream_join(
     return li.join(ri, cond, how)
 
 
+def salted_stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    salt_buckets: int = 8,
+    left_watermark: str = "2 minutes",
+    right_watermark: str = "2 minutes",
+    within: str = "1 minute",
+    how: str = "inner",
+) -> DataFrame:
+    """``stream_stream_join`` with a salted front-end for HOT keys.
+
+    The plain join hashes by key alone, so a rank-1 key carrying p% of
+    both streams pushes its whole (p·n)² pair product — and its state —
+    through ONE state partition (the r7 probe measured 27M pairs/batch
+    for a 6% key). Salting spreads it: the left side gets a deterministic
+    per-row salt (xxhash64 of the full row — identical across replays, so
+    exactly-once holds), the right side is REPLICATED to every salt, and
+    the join adds ``l_salt == r_salt``. Each left row meets each matching
+    right row in exactly one salt bucket, so the result set is
+    row-identical to the unsalted join (asserted in
+    tests/test_streaming.py) while the hot key's pair product and state
+    spread over ``salt_buckets`` partitions.
+
+    Costs and limits, stated plainly: right-side state is ×salt_buckets
+    (replication is the price of spreading — size the bucket count to the
+    skew, not to the cluster); total pair VOLUME is unchanged (salting
+    kills the straggler, not the quadratic — when per-event pairs aren't
+    actually needed, use ``windowed_stream_join`` instead, which removes
+    the product entirely); bit-identical duplicate left rows share a salt
+    (they are exact-dup candidates upstream — dedup before joining).
+    Only ``inner`` and ``left_outer`` are allowed: an unmatched RIGHT
+    replica would otherwise emit one NULL-padded row per salt."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"salted_stream_stream_join: how={how!r} would duplicate "
+            "unmatched right rows across salts; use inner or left_outer"
+        )
+    if salt_buckets < 2:
+        raise ValueError("salted_stream_stream_join: salt_buckets must be >= 2")
+    li = left.withWatermark("ts", left_watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key, "ts")],
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)).alias(
+            "__l_salt"
+        ),
+    )
+    ri = right.withWatermark("ts", right_watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, "ts")],
+        F.explode(
+            F.array(*[F.lit(i).cast("long") for i in range(salt_buckets)])
+        ).alias("__r_salt"),
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("__l_salt") == F.col("__r_salt"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return li.join(ri, cond, how).drop("__l_salt", "__r_salt")
+
+
+def windowed_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_aggs: list,
+    right_aggs: list,
+    key: str = "user_id",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Pre-aggregate-then-join: the recipe that REMOVES a hot key's pair
+    product instead of merely spreading it.
+
+    Both streams are aggregated per (key, tumbling event-time window)
+    first, then equi-joined on (key, window) — the multiple-stateful-
+    operator shape Spark supports natively (window-struct equality
+    propagates event time through the join). A rank-1 key contributing
+    p·n events per batch to each side costs (p·n)² pairs in the per-event
+    join but exactly 1×1 per window here, and join state holds per-window
+    AGGREGATES, not per-event buffers — this is the form to reach for
+    whenever the downstream consumer wants per-key-per-window statistics
+    rather than event pairs (the usual case for the hot keys themselves:
+    nobody wants 27M hot-key event pairs, they want the hot key's counts).
+
+    ``left_aggs`` / ``right_aggs``: aliased aggregate Columns (e.g.
+    ``F.count("*").alias("l_n")``) — alias every agg, names must not
+    collide across sides. Emission follows append-mode aggregation
+    semantics: a window's row emits only after the watermark passes its
+    end, i.e. driven forward by LATER data batches (an availableNow drain
+    flushes windows the final watermark has passed)."""
+    lagg = (
+        left.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("__w"), F.col(key).alias("l_key"))
+        .agg(*left_aggs)
+    )
+    ragg = (
+        right.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("__w"), F.col(key).alias("r_key"))
+        .agg(*right_aggs)
+    )
+    j = lagg.join(
+        ragg,
+        (F.col("l_key") == F.col("r_key")) & (lagg["__w"] == ragg["__w"]),
+        "inner",
+    )
+    return j.select(
+        F.col("l_key").alias(key),
+        lagg["__w"].getField("start").alias("window_start"),
+        lagg["__w"].getField("end").alias("window_end"),
+        *[c for c in j.columns if c not in ("l_key", "r_key", "__w")],
+    )
+
+
 def stream_merge_to_silver(
     events: DataFrame,
     metadata,

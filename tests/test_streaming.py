@@ -664,3 +664,131 @@ def test_stream_clean_corpus_rejects_span_dedup(spark, tmp_path):
             str(tmp_path / "c"),
             clean_kwargs={"span_dedup_size": 20},
         )
+
+
+def test_salted_stream_stream_join_matches_plain(spark, tmp_path):
+    """Salted front-end: row-identical to the unsalted join — each left row
+    carries one salt, the right replicas cover every salt, so every
+    matching pair meets exactly once — including a hot key contributing
+    many events to both sides (the case salting exists for)."""
+    from datalakefoundation_spark.streaming.ops import (
+        salted_stream_stream_join,
+        stream_stream_join,
+    )
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    hot_l = [(100 + i, _ts(2, i), 7, "view", float(i)) for i in range(12)]
+    hot_r = [(200 + i, _ts(2, 30 + i % 25), 7, "click", float(i)) for i in range(12)]
+    _write_events(
+        spark,
+        lsrc,
+        [(1, _ts(0, 0), 1, "view", 1.0), (3, _ts(9, 0), 1, "view", 3.0)] + hot_l,
+    )
+    _write_events(
+        spark,
+        rsrc,
+        [
+            (10, _ts(0, 30), 1, "click", 1.0),
+            (12, _ts(9, 40), 1, "click", 3.0),
+            (13, _ts(0, 20), 9, "click", 4.0),
+        ]
+        + hot_r,
+    )
+
+    def run(fn, name, **kw):
+        q = (
+            fn(read_event_stream(spark, lsrc), read_event_stream(spark, rsrc), **kw)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["l_event_id"], r["r_event_id"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    plain = run(stream_stream_join, "ssj_plain_r8")
+    salted = run(salted_stream_stream_join, "ssj_salted_r8", salt_buckets=4)
+    assert salted == plain
+    assert len(plain) > 100  # the hot key's pair product is actually present
+    # salt columns are internal
+    assert not any(
+        c.startswith("__") for c in salted_stream_stream_join(
+            read_event_stream(spark, lsrc), read_event_stream(spark, rsrc)
+        ).columns
+    )
+    with pytest.raises(ValueError, match="unmatched right"):
+        salted_stream_stream_join(
+            read_event_stream(spark, lsrc), read_event_stream(spark, rsrc),
+            how="full_outer",
+        )
+
+
+def test_windowed_stream_join_matches_batch(spark, tmp_path):
+    """Pre-aggregate-then-join: per-(key, window) aggregates from both
+    streams equi-joined on the window — matches the batch groupBy+join
+    twin once the watermark has passed the windows (later data batches
+    drive emission, mirroring production)."""
+    from pyspark.sql import functions as F
+
+    from datalakefoundation_spark.streaming.ops import windowed_stream_join
+
+    src = str(tmp_path / "ev")
+    early = [
+        (1, _ts(0, 10), 1, "view", 1.0),
+        (2, _ts(0, 40), 1, "view", 2.0),
+        (3, _ts(0, 20), 2, "view", 4.0),
+        (4, _ts(1, 15), 1, "view", 8.0),
+    ]
+    late = [(9, _ts(30, 0), 3, "view", 0.0)]  # advances the watermark
+    _write_events(spark, src, early)
+    import os as _os
+    import time as _time
+
+    t = _time.time() - 3600
+    for root, _dirs, files in _os.walk(src):
+        for f in files:
+            _os.utime(_os.path.join(root, f), (t, t))
+    _write_events(spark, src, late)
+
+    def streams():
+        s = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return s
+
+    j = windowed_stream_join(
+        streams(),
+        streams(),
+        left_aggs=[F.count("*").alias("l_n"), F.sum("value").alias("l_sum")],
+        right_aggs=[F.count("*").alias("r_n")],
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("wsj_r8")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["window_start"].minute, r["l_n"], r["l_sum"], r["r_n"])
+        for r in spark.sql("SELECT * FROM wsj_r8").collect()
+    }
+    # batch twin over the closed windows (minute 0 and 1)
+    all_rows = spark.read.parquet(src).where("ts < timestamp'2026-08-01 10:05:00'")
+    g = all_rows.groupBy(
+        F.window("ts", "1 minute").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    want = {
+        (r["user_id"], r["w"].start.minute, r["n"], r["s"], r["n"])
+        for r in g.collect()
+    }
+    assert got == want and len(want) == 3

@@ -31,8 +31,9 @@ Asserted (recorded in BASELINE.md):
   * join final state rows < 25% of total ingested rows;
   * sessionize state rows == live-key universe (flat) by mid-run.
 
-Usage: python tools/stream_state_probe.py [batches] [events_per_batch]
-  (default 20 50000)
+Usage: python tools/stream_state_probe.py [batches] [events_per_batch] [legs]
+  legs: comma list of join,join_salted,join_preagg,sessionize
+  (default 50 20000 join,sessionize)
 """
 
 from __future__ import annotations
@@ -51,8 +52,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from datalakefoundation_spark.session import get_spark  # noqa: E402
 from datalakefoundation_spark.streaming.ops import (  # noqa: E402
+    salted_stream_stream_join,
     sessionize,
     stream_stream_join,
+    windowed_stream_join,
 )
 
 USERS = 10_000
@@ -132,7 +135,21 @@ class _ProgressTap(StreamingQueryListener):
         return [self.state[b] for b in sorted(self.state)]
 
 
-def run_join(spark, src: str, ckpt: str) -> list[int]:
+def run_join(spark, src: str, ckpt: str, form: str = "plain") -> list[int]:
+    """``form`` selects the hot-key front-end under test:
+
+    * plain   — stream_stream_join: the rank-1 key's whole pair product
+                and state go through ONE state partition (r7: 27M
+                pairs/batch for a 6% key — the wall is the pair product).
+    * salted  — salted_stream_stream_join: identical result rows, hot
+                pair product and state spread over salt_buckets=8 state
+                partitions (right state ×8; wall becomes parallel).
+    * preagg  — windowed_stream_join: per-(key, minute) aggregates
+                equi-joined; the pair product is GONE (1×1 per window),
+                state is per-window aggregate rows — the wall left is
+                eviction + aggregation, which is the directive's target
+                shape for hot keys when per-event pairs aren't needed.
+    """
     schema = "user_id long, ts timestamp, event_id long"
     left = (
         spark.readStream.schema(schema)
@@ -144,7 +161,23 @@ def run_join(spark, src: str, ckpt: str) -> list[int]:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
-    joined = stream_stream_join(left, right, key="user_id")
+    if form == "plain":
+        joined = stream_stream_join(left, right, key="user_id")
+    elif form == "salted":
+        joined = salted_stream_stream_join(
+            left, right, key="user_id", salt_buckets=8
+        )
+    elif form == "preagg":
+        joined = windowed_stream_join(
+            left,
+            right,
+            left_aggs=[F.count("*").alias("l_n"), F.sum("event_id").alias("l_sum")],
+            right_aggs=[F.count("*").alias("r_n")],
+            key="user_id",
+            window="1 minute",
+        )
+    else:
+        raise ValueError(f"unknown join form: {form}")
     agg = joined.groupBy().count()  # tiny sink: we only want the state metrics
     tap = _ProgressTap()
     spark.streams.addListener(tap)
@@ -204,9 +237,30 @@ def run_sessionize(spark, src: str, ckpt: str, total_rows: int) -> list[int]:
     return tap.state_series()
 
 
+def _assert_plateau(
+    rows: list[int], total: int, state_factor: float, batches: int
+) -> None:
+    n = len(rows)
+    assert n >= 8, f"too few progress records: {n}"
+    q2 = max(rows[n // 4 : n // 2])
+    q4 = max(rows[3 * n // 4 :])
+    assert q4 <= 1.3 * q2, (
+        f"join state still growing: q2max={q2} q4max={q4} series={rows}"
+    )
+    if batches >= 16:
+        # the plateau is ~4 batches' worth of both sides; the fraction-of-
+        # ingest bound is only meaningful once ingest dwarfs the plateau
+        assert rows[-1] < state_factor * 2 * total, (
+            f"join final state too large: {rows[-1]} vs {2 * total} ingested"
+        )
+
+
 def main() -> None:
     batches = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    legs = (
+        sys.argv[3].split(",") if len(sys.argv) > 3 else ["join", "sessionize"]
+    )
     spark = get_spark("stream-state-probe")
     spark.sparkContext.setLogLevel("ERROR")
     total = batches * per_batch
@@ -214,35 +268,43 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as tmp:
         write_batches(spark, f"{tmp}/src", batches, per_batch)
 
-        t0 = time.time()
-        join_rows = run_join(spark, f"{tmp}/src", f"{tmp}/ck_join")
-        out["join_wall_s"] = round(time.time() - t0, 1)
-        out["join_state_rows"] = join_rows
-
-        t0 = time.time()
-        sess_rows = run_sessionize(spark, f"{tmp}/src", f"{tmp}/ck_sess", total)
-        out["sessionize_wall_s"] = round(time.time() - t0, 1)
-        out["sessionize_state_rows"] = sess_rows
+        series: dict[str, list[int]] = {}
+        for leg in legs:
+            t0 = time.time()
+            if leg == "sessionize":
+                series[leg] = run_sessionize(
+                    spark, f"{tmp}/src", f"{tmp}/ck_{leg}", total
+                )
+            else:
+                form = {"join": "plain", "join_salted": "salted",
+                        "join_preagg": "preagg"}[leg]
+                series[leg] = run_join(spark, f"{tmp}/src", f"{tmp}/ck_{leg}", form)
+            out[f"{leg}_wall_s"] = round(time.time() - t0, 1)
+            out[f"{leg}_state_rows"] = series[leg]
 
     print(json.dumps(out), flush=True)
 
-    n = len(join_rows)
-    assert n >= 8, f"too few progress records: {n}"
-    q2 = max(join_rows[n // 4 : n // 2])
-    q4 = max(join_rows[3 * n // 4 :])
-    assert q4 <= 1.3 * q2, (
-        f"join state still growing: q2max={q2} q4max={q4} series={join_rows}"
-    )
-    assert join_rows[-1] < 0.25 * 2 * total, (
-        f"join final state too large: {join_rows[-1]} vs {2 * total} ingested"
-    )
-    m = len(sess_rows)
-    assert max(sess_rows[m // 2 :]) <= USERS, (
-        f"sessionize state exceeds the key universe: {max(sess_rows[m // 2:])}"
-    )
-    assert sess_rows[-1] <= sess_rows[m // 2] * 1.05 + 1, (
-        f"sessionize state not flat: {sess_rows}"
-    )
+    if "join" in series:
+        _assert_plateau(series["join"], total, 0.25, batches)
+    if "join_salted" in series:
+        # right state is ×8 replicas: same eviction plateau, bigger constant
+        _assert_plateau(series["join_salted"], total, 8 * 0.25, batches)
+    if "join_preagg" in series:
+        # per-window aggregates: state ∝ live (key, window) pairs, far below
+        # the per-event buffers of the pairwise forms
+        _assert_plateau(series["join_preagg"], total, 0.25, batches)
+        assert max(series["join_preagg"]) < max(series.get("join", [total])), (
+            "preagg state should undercut the per-event join's"
+        )
+    if "sessionize" in series:
+        sess_rows = series["sessionize"]
+        m = len(sess_rows)
+        assert max(sess_rows[m // 2 :]) <= USERS, (
+            f"sessionize state exceeds the key universe: {max(sess_rows[m // 2:])}"
+        )
+        assert sess_rows[-1] <= sess_rows[m // 2] * 1.05 + 1, (
+            f"sessionize state not flat: {sess_rows}"
+        )
     print("STREAM STATE PROBE OK")
 
 
