@@ -120,7 +120,10 @@ class _ProgressTap(StreamingQueryListener):
         b = p.batchId
         self.rows[b] = p.numInputRows
         if p.stateOperators:
-            self.state[b] = p.stateOperators[0].numRowsTotal
+            # SUM across operators: chained stateful plans (preagg form =
+            # two aggs + a join) report one entry per operator, and
+            # entry [0] alone can be a 0-row operator
+            self.state[b] = sum(op.numRowsTotal for op in p.stateOperators)
 
     def onQueryIdle(self, event) -> None:
         pass
