@@ -74,6 +74,7 @@ HEADLINE = [
     "q_bigram_lm",
     "q_gopher_quality",
     "q_hashed_features",
+    "q_bpe_encode",  # r8: fixed-merge-table encode (the Arrow hot path)
     # q_text_near_dup is the all-pairs verification baseline (like the
     # other sanctioned all-pairs forms): quadratic in docs with dense
     # bucket overlap on the tiny-vocab synthetic corpus — ~97 s at sf0.1.

@@ -201,10 +201,17 @@ def clean_corpus(
             # reachable only through that loser). A new doc joining a
             # component that touches ANY indexed doc loses; new-only
             # components keep their min-id member — the same survivor
-            # rule the from-scratch path applies, so on ingest-ordered
-            # ids (batch ids > index ids) batch-by-batch cleaning lands
-            # the from-scratch survivor set (asserted in
-            # tools/corpus_cert.py and tests/test_ext_operators.py).
+            # rule the from-scratch path applies. On ingest-ordered ids
+            # (batch ids > index ids) batch-by-batch cleaning is
+            # PREFIX-CONSISTENT with the from-scratch run: every
+            # from-scratch survivor survives here too (a component's
+            # global-min id never loses), but a later batch can BRIDGE
+            # two clusters earlier batches kept separately, and their
+            # already-kept earlier survivors are not retracted (measured
+            # 0.9% excess at 1M docs, tools/stream_ingest_probe.py; a
+            # periodic doc-level dedup compaction reconciles). Asserted
+            # in tools/corpus_cert.py, tests/test_ext_operators.py, and
+            # the subset/excess identities in tools/stream_ingest_probe.
             from datalakefoundation_spark.ext.cluster import connected_components
             from datalakefoundation_spark.ext.dedup import incremental_lsh_candidates
 

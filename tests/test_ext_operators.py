@@ -2085,3 +2085,65 @@ def test_text_near_dup_scaled_vs_baseline(spark, docs):
         assert v == base_pairs[k], f"cosine mismatch on {k}"
     recall = len(scaled) / len(base_pairs)
     assert recall >= 0.5, (len(scaled), len(base_pairs))
+
+
+def test_incremental_dedup_prefix_consistency_bridge(spark):
+    """Pins the ONLINE dedup semantic found at 1M scale by
+    tools/stream_ingest_probe.py: a later doc can BRIDGE two clusters the
+    earlier ingest kept separately. The incremental path is
+    prefix-consistent — every from-scratch survivor still survives (the
+    component's global-min id never loses), the bridged cluster's later
+    survivor is extra and NOT retracted — by design (a stream cannot
+    un-emit), documented in recipes.py / streaming/ops.py."""
+    from datalakefoundation_spark.ext.dedup import minhash_dedup_candidates
+    from datalakefoundation_spark.ext.recipes import clean_corpus
+
+    fixture = None
+    for salt in range(40):
+        wa = [f"a{salt}w{i}" for i in range(40)]
+        wb = [f"b{salt}w{i}" for i in range(40)]
+        a, a2 = " ".join(wa), " ".join(wa[:-1] + ["zz1"])
+        b, b2 = " ".join(wb), " ".join(wb[:-1] + ["zz2"])
+        w = a2 + " " + b2  # contains both clusters' shingle sets
+        all_docs = spark.createDataFrame(
+            [(1, a), (2, a2), (3, b), (4, b2), (10, w)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_dedup_candidates(all_docs).collect()
+        }
+        # need: w bridges both clusters; no direct a-cluster/b-cluster pair
+        cross = {(x, y) for x in (1, 2) for y in (3, 4)}
+        if (
+            any(p in got for p in [(1, 10), (2, 10)])
+            and any(p in got for p in [(3, 10), (4, 10)])
+            and not (cross & got)
+            and (1, 2) in got
+            and (3, 4) in got
+        ):
+            fixture = all_docs
+            break
+    assert fixture is not None, "no salt produced the bridge geometry"
+
+    kw = dict(min_tokens=3, redact_pii=False)
+    # from-scratch over everything: one component {1,2,3,4,10} -> min id 1
+    scratch = {r["doc_id"] for r in clean_corpus(fixture, **kw).df.collect()}
+    assert scratch == {1}
+    # streamed shape: ingest {1,2,3,4} first (two separate clusters), then
+    # the bridge doc 10 against the standing index
+    first = fixture.where("doc_id < 10")
+    res1 = clean_corpus(first, **kw)
+    surv1 = {r["doc_id"] for r in res1.df.collect()}
+    assert surv1 == {1, 3}
+    index = res1.index_updates
+    res2 = clean_corpus(fixture.where("doc_id = 10"), near_dedup_index=index, **kw)
+    surv2 = {r["doc_id"] for r in res2.df.collect()}
+    streamed = surv1 | surv2
+    res1.unpersist()
+    res2.unpersist()
+    # prefix consistency: batch survivors ⊆ streamed survivors, bridge doc
+    # absorbed, and the ONLY excess is the second cluster's earlier
+    # survivor (3), kept because it was emitted before the merge existed
+    assert scratch <= streamed
+    assert streamed == {1, 3}

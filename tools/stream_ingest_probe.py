@@ -25,9 +25,13 @@ Asserted (recorded in BASELINE.md):
   * absorb identities: survivors with rep % 5 != 0 (escaped planted dups)
     <= 0.1% of planted absorb targets — the same zero-escape geometry
     corpus_cert certified at 1M docs;
-  * survivor count == distinct texts among the rep ≡ 0 slice, within the
-    in-group base-text near-dup tolerance (base docs that are themselves
-    near-dups absorb within a group; bounded and recorded).
+  * the GOLD identity at full scale vs the from-scratch batch twin:
+    batch survivors ⊆ streamed survivors EXACTLY (zero missing — a
+    component's global-min id never loses under ingest-ordered ids),
+    streamed excess = earlier survivors of clusters a later doc bridged
+    (prefix-consistency: a stream cannot retract an emitted survivor),
+    excess bounded ≤ 2%. This run found and quantified that semantic:
+    0.9% excess at 1M docs with heavy planted structure.
 
 Usage: python tools/stream_ingest_probe.py [replicas] [batches]
   (default 200 20 → 1M docs in 20 x 50k-doc batches)
@@ -195,11 +199,35 @@ def main() -> None:
         rec["survivors"] = n_surv
         rec["escaped_planted_dups"] = escapes
 
-        # expected: one survivor per distinct text of the first-arrival slice
-        expected = (
-            gen.where(F.col("__rep") % GROUP == 0).select("text").distinct().count()
+        # the gold identity vs the from-scratch batch twin. Streaming dedup
+        # is PREFIX-CONSISTENT, not retroactive: a later doc can BRIDGE two
+        # clusters that earlier batches kept separately (batch k emits
+        # survivors a and b; batch k+1's w connects them; the from-scratch
+        # run keeps only min(a,b), but a stream cannot retract an emitted
+        # survivor). So the exact contract — asserted here at 1M docs — is
+        #   batch survivors ⊆ streamed survivors   (a component's global
+        #   min id never loses under ingest-ordered ids), with the excess
+        #   exactly the earlier survivors of later-merged clusters,
+        # and the excess fraction stays small (bridge docs are rare even
+        # in this heavily planted corpus). A periodic doc-level dedup
+        # compaction over accumulated survivors reconciles to the batch
+        # set when exactness matters.
+        from datalakefoundation_spark.ext.recipes import clean_corpus
+
+        t0 = time.time()
+        all_docs = spark.read.parquet(src)
+        batch_res = clean_corpus(
+            all_docs, near_dedup=True, min_tokens=5, redact_pii=False
         )
-        rec["expected_first_arrivals"] = expected
+        batch_ids = batch_res.df.select("doc_id").persist()
+        batch_count = batch_ids.count()
+        missing = batch_ids.join(survivors, "doc_id", "left_anti").count()
+        batch_res.unpersist()
+        batch_ids.unpersist()
+        rec["batch_twin_survivors"] = batch_count
+        rec["streamed_minus_batch"] = n_surv - batch_count
+        rec["batch_minus_streamed"] = missing
+        rec["batch_twin_wall_s"] = round(time.time() - t0, 1)
         print(json.dumps(rec), flush=True)
 
         n = len(data_walls)
@@ -215,9 +243,15 @@ def main() -> None:
         assert escapes <= max(10, planted // 1000), (
             f"{escapes} planted near-dups escaped the standing index"
         )
-        # in-group base-text near-dups absorb a few first arrivals too;
-        # bound the slack rather than pretending it's zero
-        assert expected * 0.98 <= n_surv <= expected, (n_surv, expected)
+        assert missing == 0, (
+            f"{missing} batch-twin survivors absent from the stream — the "
+            "subset direction must be exact (global-min-id never loses)"
+        )
+        excess = n_surv - batch_count
+        assert excess <= 0.02 * batch_count, (
+            f"streamed excess {excess} over batch twin {batch_count} exceeds "
+            "2% — more cluster-bridging than this geometry should produce"
+        )
         print("STREAM INGEST PROBE OK")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
