@@ -212,9 +212,17 @@ def q_embedding_quantize(spark, sf_dir):
     # list, so an array<int> result column errs at the driver even though the
     # local gate string-canonicalizes it (r7 driver red). Same shape that
     # made q_random_projection driver-green.
+    #
+    # posexplode_OUTER, deliberately: plain posexplode lets
+    # InferFiltersFromGenerate synthesize `size(qvec)>0 AND isnotnull(qvec)`
+    # with the qvec transform INLINED and __m re-expanded inside the
+    # element lambda — re-introducing the O(d²) array_max-per-element trap
+    # quantize_embeddings exists to avoid (measured 0.97 s vs 0.12 s at
+    # sf0.1). Outer generate skips that inference; results are identical
+    # because every embedding is a fixed-length non-null array.
     q = SIM.quantize_embeddings(_embs(spark, sf_dir))
     return q.select(
-        "vec_id", "scale", F.posexplode("qvec").alias("i", "q")
+        "vec_id", "scale", F.posexplode_outer("qvec").alias("i", "q")
     )
 
 

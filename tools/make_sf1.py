@@ -14,7 +14,7 @@ point, so this tool replicates sf0.1 x10 into an sf1-SHAPED directory:
   dedup benchmarks quadratic in the replica count, which a real sf1 corpus
   (10x more DISTINCT docs) would not do;
 * embeddings for replicas r>0 are regenerated as deterministic
-  pseudo-random unit-scale vectors (hash-sine of (vec_id, dim)) — verbatim
+  pseudo-random vectors (integer hash of (vec_id, dim), uniform in [-1,1]) — verbatim
   copies would be cosine-1 duplicates and blow up the similarity
   benchmarks the same way.
 
@@ -111,8 +111,9 @@ def main() -> None:
             SELECT vec_id + r * {sv} AS vec_id,
                    CASE WHEN r = 0 THEN embedding ELSE
                      list_transform(range(1, len(embedding) + 1),
-                       i -> CAST(sin((vec_id + r * {sv}) * 12.9898
-                                     + i * 78.233) AS FLOAT))
+                       i -> CAST((CAST(hash((vec_id + r * {sv}) * 64 + i)
+                                       % 2001 AS DOUBLE) - 1000.0) / 1000.0
+                          AS FLOAT))
                    END AS embedding,
                    label
             FROM read_parquet('{src['embeddings']}'), {rep}""",
