@@ -2147,3 +2147,15 @@ def test_incremental_dedup_prefix_consistency_bridge(spark):
     # survivor (3), kept because it was emitted before the merge existed
     assert scratch <= streamed
     assert streamed == {1, 3}
+    # X54: the periodic compaction converges to the from-scratch set —
+    # re-clustering the FULL index (losers included: the a—a'—w—b'—b
+    # bridge path runs through absorbed docs) drops the bridged extra
+    from datalakefoundation_spark.ext.recipes import reconcile_survivors
+
+    index_all = index.unionByName(res2.index_updates)
+    surv_df = fixture.where(F.col("doc_id").isin([int(x) for x in streamed]))
+    reconciled = {
+        r["doc_id"]
+        for r in reconcile_survivors(surv_df, index_all).select("doc_id").collect()
+    }
+    assert reconciled == scratch == {1}

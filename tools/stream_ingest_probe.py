@@ -223,11 +223,29 @@ def main() -> None:
         batch_count = batch_ids.count()
         missing = batch_ids.join(survivors, "doc_id", "left_anti").count()
         batch_res.unpersist()
-        batch_ids.unpersist()
         rec["batch_twin_survivors"] = batch_count
         rec["streamed_minus_batch"] = n_surv - batch_count
         rec["batch_minus_streamed"] = missing
         rec["batch_twin_wall_s"] = round(time.time() - t0, 1)
+
+        # X54: the periodic compaction must converge the streamed set to
+        # the batch set EXACTLY (set equality, both directions)
+        from datalakefoundation_spark.ext.recipes import reconcile_survivors
+
+        t0 = time.time()
+        reconciled = reconcile_survivors(
+            survivors, idx.drop("__batch_key")
+        ).select("doc_id").persist()
+        rec["reconciled_survivors"] = reconciled.count()
+        rec["reconciled_minus_batch"] = reconciled.join(
+            batch_ids, "doc_id", "left_anti"
+        ).count()
+        rec["batch_minus_reconciled"] = batch_ids.join(
+            reconciled, "doc_id", "left_anti"
+        ).count()
+        rec["reconcile_wall_s"] = round(time.time() - t0, 1)
+        reconciled.unpersist()
+        batch_ids.unpersist()
         print(json.dumps(rec), flush=True)
 
         n = len(data_walls)
@@ -251,6 +269,11 @@ def main() -> None:
         assert excess <= 0.02 * batch_count, (
             f"streamed excess {excess} over batch twin {batch_count} exceeds "
             "2% — more cluster-bridging than this geometry should produce"
+        )
+        assert rec["reconciled_minus_batch"] == 0 == rec["batch_minus_reconciled"], (
+            "reconcile_survivors must converge to the batch set exactly: "
+            f"{rec['reconciled_minus_batch']} extra, "
+            f"{rec['batch_minus_reconciled']} missing"
         )
         print("STREAM INGEST PROBE OK")
     finally:
