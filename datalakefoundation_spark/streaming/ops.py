@@ -18,6 +18,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+
+def _stream_id(checkpoint: str) -> str:
+    """Stream-generation id derived from the checkpoint location (batch ids
+    restart at 0 for a new checkpoint, so a raw batch_id key would alias
+    streams). WRITERS and READERS must agree byte-for-byte — this is the
+    single definition; replay keys, survivor directories, and
+    read_clean_corpus_output all derive from it."""
+    import hashlib
+
+    return hashlib.sha256(checkpoint.encode()).hexdigest()[:16]
+
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -229,11 +241,17 @@ def salted_stream_stream_join(
         )
     if salt_buckets < 2:
         raise ValueError("salted_stream_stream_join: salt_buckets must be >= 2")
+    # salt from the HASHABLE columns only: xxhash64 rejects map-typed input
+    # at plan time, and a drop-in replacement for stream_stream_join must
+    # accept any schema the plain join does (e.g. an events table carrying
+    # a props map). key+ts are always present, so the salt never degrades
+    # to a constant.
+    salt_cols = [c for c, t in left.dtypes if not t.startswith("map")]
     li = left.withWatermark("ts", left_watermark).select(
         F.col(key).alias("l_key"),
         F.col("ts").alias("l_ts"),
         *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key, "ts")],
-        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)).alias(
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets)).alias(
             "__l_salt"
         ),
     )
@@ -404,8 +422,6 @@ def stream_dedup_index(
     scoped key before the join, so replays are exact, not just
     row-deduplicated.
     """
-    import hashlib
-
     from datalakefoundation_spark.ext.dedup import (
         incremental_lsh_candidates,
         lsh_candidate_pairs,
@@ -413,7 +429,7 @@ def stream_dedup_index(
     )
     from datalakefoundation_spark.tables.lake_table import LakeTable
 
-    stream_id = hashlib.sha256(checkpoint.encode()).hexdigest()[:16]
+    stream_id = _stream_id(checkpoint)
 
     def _index_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -527,11 +543,9 @@ def stream_rollup(
     would alias streams). Replay keys live in manifest history: vacuum
     retention must cover the checkpoint-recovery horizon (it does by
     default — retention is hours, recovery replays the last batch)."""
-    import hashlib
-
     from datalakefoundation_spark.ext.rollup import fold_rollup_inserts
 
-    stream_id = hashlib.sha256(checkpoint.encode()).hexdigest()[:16]
+    stream_id = _stream_id(checkpoint)
 
     def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -630,8 +644,6 @@ def stream_clean_corpus(
     accumulated ``out_path`` output instead; the per-document gates and
     the index-coupled dedup are what belong in the continuous path.
     """
-    import hashlib
-
     from datalakefoundation_spark.ext.recipes import clean_corpus
     from datalakefoundation_spark.tables.lake_table import LakeTable
 
@@ -656,7 +668,7 @@ def stream_clean_corpus(
         )
     kwargs["text_col"] = kwargs.get("text_col", text_col)
     kwargs["id_col"] = kwargs.get("id_col", id_col)
-    stream_id = hashlib.sha256(checkpoint.encode()).hexdigest()[:16]
+    stream_id = _stream_id(checkpoint)
 
     def _clean_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -737,7 +749,5 @@ def read_clean_corpus_output(spark, out_path: str, checkpoint: str) -> DataFrame
     would double-count documents across generations. Always scope reads to
     the generation, i.e. use this helper (or clean up retired ``stream=``
     subdirectories when retiring their checkpoints)."""
-    import hashlib
-
-    stream_id = hashlib.sha256(checkpoint.encode()).hexdigest()[:16]
+    stream_id = _stream_id(checkpoint)
     return spark.read.parquet(f"{out_path}/stream={stream_id}")

@@ -35,6 +35,13 @@ def main() -> None:
     while os.getloadavg()[0] > cores * 0.25 and time.time() < deadline:
         time.sleep(5)
     load0 = round(os.getloadavg()[0], 2)
+    if load0 > cores * 0.25:
+        # refuse, don't degrade: busy-host numbers are exactly the noise
+        # this tool exists to exclude
+        raise SystemExit(
+            f"host still busy after 120s (load {load0}, gate {cores * 0.25}); "
+            "re-run when quiet"
+        )
 
     from datalakefoundation_spark.processing import Processing
     from tests.helpers import make_metadata

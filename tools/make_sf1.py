@@ -39,7 +39,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata_sf1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    if os.path.abspath(out).startswith("/root/testdata/"):
+    ap = os.path.abspath(out)
+    if ap == "/root/testdata" or ap.startswith("/root/testdata" + os.sep):
         raise SystemExit("refusing to write inside /root/testdata")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()

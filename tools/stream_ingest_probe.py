@@ -121,6 +121,15 @@ def run_probe(spark, replicas: int, batches: int) -> dict:
     identities vs the batch twin, reconcile convergence). Asserts live in
     ``main`` (full scale) and tests/test_certifications.py (CI scale)."""
     assert replicas % batches == 0 and (replicas // batches) >= 1
+    # the rep-%-GROUP survivor arithmetic (and the escape metric built on
+    # it) requires each group's members to arrive in CONSECUTIVE batches
+    # with the rep≡0 member first — true iff the batch cycle never wraps
+    # inside a group: batches % GROUP == 0, or every rep fits in one cycle
+    assert replicas <= batches or batches % GROUP == 0, (
+        f"batches={batches} must be a multiple of GROUP={GROUP} (or "
+        f"replicas <= batches), else group membership wraps the batch "
+        "cycle and the escape metric miscounts legitimate survivors"
+    )
     gen, n_base, rpb = gen_corpus(spark, replicas, batches)
     n_docs = n_base * replicas
     rec: dict = {"replicas": replicas, "batches": batches, "docs": n_docs}
@@ -181,8 +190,11 @@ def run_probe(spark, replicas: int, batches: int) -> dict:
             for r in idx.groupBy("__batch_key").agg(F.count("*").alias("n")).collect()
         }
         rec["index_rows_final"] = idx.count()
+        # replay keys are "<stream_id>:<unpadded batch>" — sort numerically,
+        # not lexically, or the recorded growth series comes out scrambled
         rec["index_rows_per_batch"] = [
-            per_batch_sigs[k] for k in sorted(per_batch_sigs)
+            per_batch_sigs[k]
+            for k in sorted(per_batch_sigs, key=lambda k: int(k.rsplit(":", 1)[1]))
         ]
 
         survivors = read_clean_corpus_output(spark, out, ckpt).select("doc_id")
