@@ -1802,7 +1802,99 @@ FROM tok
 """
 
 
+# --------------------------------------------- streaming front-ends (X52/X53)
+def _ts_events(spark, sf_dir):
+    """events with an absolute-time ``ts`` column for the streaming ops run
+    in BATCH mode (withWatermark is a no-op on batch — the same twin shape
+    tests/test_streaming.py uses). Outputs convert back to µs epochs via
+    unix_micros, so nothing TZ-dependent ever reaches the compare."""
+    from datalakefoundation_spark.verification.core_queries import read_events
+
+    return read_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+
+
+def q_salted_interval_join(spark, sf_dir):
+    """X52 end-to-end vs an UNSALTED oracle: the salted stream-stream join
+    (full-row-hash salt on the left, right replicated to every salt, salt
+    equality in the condition) run in batch mode over clicks × views must
+    produce exactly the plain interval join's pair set — the strongest
+    form of the row-identity claim, hash-checked against DuckDB."""
+    from datalakefoundation_spark.streaming.ops import salted_stream_stream_join
+
+    ev = _ts_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id"
+    )
+    j = salted_stream_stream_join(
+        clicks, views, key="user_id", salt_buckets=4, within="1 day"
+    )
+    return j.select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("view_id"),
+    )
+
+
+SQL_SALTED_INTERVAL_JOIN = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events)
+SELECT c.event_id AS click_id, v.event_id AS view_id
+FROM e c JOIN e v ON c.user_id = v.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND v.tus BETWEEN c.tus - 86400000000 AND c.tus + 86400000000
+"""
+
+
+def q_windowed_join(spark, sf_dir):
+    """X53's batch twin: per-(user, 1-day tumbling window) aggregates from
+    the click and view streams equi-joined on (key, window) — the
+    pre-aggregate-then-join form, hash-checked against a DuckDB
+    bucket-and-join; window bounds exported as µs epochs."""
+    from datalakefoundation_spark.streaming.ops import windowed_stream_join
+
+    ev = _ts_events(spark, sf_dir)
+    j = windowed_stream_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "view"),
+        key="user_id",
+        window="1 day",
+        left_aggs=[
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "click_value"
+            ),
+        ],
+        right_aggs=[F.count(F.lit(1)).alias("n_views")],
+    )
+    return j.select(
+        "user_id",
+        F.unix_micros("window_start").alias("w_start_us"),
+        "n_clicks",
+        "click_value",
+        "n_views",
+    )
+
+
+SQL_WINDOWED_JOIN = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 * 86400000000 AS w,
+                  event_type, value FROM events),
+c AS (SELECT user_id, w, count(*) AS n_clicks,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS click_value
+      FROM e WHERE event_type = 'click' GROUP BY user_id, w),
+v AS (SELECT user_id, w, count(*) AS n_views
+      FROM e WHERE event_type = 'view' GROUP BY user_id, w)
+SELECT c.user_id, c.w AS w_start_us, n_clicks, click_value, n_views
+FROM c JOIN v USING (user_id, w)
+"""
+
+
 EXTRA = {
+    # r8 streaming front-ends, oracle-paired in batch mode (window is full):
+    "q_salted_interval_join": (q_salted_interval_join, SQL_SALTED_INTERVAL_JOIN),
+    "q_windowed_join": (q_windowed_join, SQL_WINDOWED_JOIN),
     # rotated OUT of the driver window in r8 by the steady-state policy
     # (verification/__init__.py): each driver-green r6+r7, shape covered
     # by a surviving window row — gapfill grid ⊂ q_time_weighted_avg /
