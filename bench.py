@@ -223,6 +223,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load = _idle_host_gate()
+    # explicit host-state verdict (VERDICT r8 directive #6): "quiet" means
+    # the idle gate was MET (load settled under cores/2 before timing);
+    # "contended" means the 60 s wait expired with the host still busy —
+    # the recorded numbers then carry external noise and a regression
+    # reading should be re-pinned on a quiet host (tools/load_repin.py)
+    # before being believed. -1.0 = getloadavg unsupported.
+    cores = os.cpu_count() or 1
+    host_state = (
+        "unknown" if load < 0 else ("quiet" if load <= cores * 0.5 else "contended")
+    )
     spark = get_spark("dlf-bench")
     spark.sparkContext.setLogLevel("ERROR")
     errors: dict[str, str] = {}
@@ -247,6 +257,7 @@ def main() -> None:
         # judged against these, not assumed reproducible
         "spread": dict(SPREADS),
         "host_load_1m": load,
+        "host_state": host_state,
         "timed_runs": TIMED_RUNS,
     }
     if errors:

@@ -24,10 +24,26 @@ def _stream_id(checkpoint: str) -> str:
     restart at 0 for a new checkpoint, so a raw batch_id key would alias
     streams). WRITERS and READERS must agree byte-for-byte — this is the
     single definition; replay keys, survivor directories, and
-    read_clean_corpus_output all derive from it."""
-    import hashlib
+    read_clean_corpus_output all derive from it.
 
-    return hashlib.sha256(checkpoint.encode()).hexdigest()[:16]
+    The location is NORMALIZED before hashing so that equivalent spellings
+    of the same directory (trailing slash, relative vs absolute path,
+    ``file://`` URI) map to the SAME id — otherwise a reader spelling the
+    checkpoint differently than the writer would look for a missing
+    ``stream=<id>`` subtree (or, worse, scope to a different generation).
+    Remote scheme URIs (s3a://, hdfs://...) are kept verbatim apart from
+    the trailing-slash strip: there is no local filesystem to resolve
+    against, and scheme+authority are already canonical."""
+    import hashlib
+    import os
+
+    c = checkpoint
+    if c.startswith("file://"):
+        c = c[len("file://"):] or "/"
+    if "://" not in c:
+        c = os.path.abspath(c)
+    c = c.rstrip("/") or "/"
+    return hashlib.sha256(c.encode()).hexdigest()[:16]
 
 
 EVENT_SCHEMA = T.StructType(
@@ -201,6 +217,46 @@ def stream_stream_join(
     return li.join(ri, cond, how)
 
 
+def detect_hot_keys(
+    calibration: DataFrame,
+    key: str = "user_id",
+    min_share: float = 0.01,
+    max_keys: int = 64,
+) -> list:
+    """Heavy-hitter detection over a BATCH calibration window — the input to
+    ``salted_stream_stream_join(hot_keys=...)``.
+
+    One groupBy-count over the calibration sample (a recent slice of the
+    stream's source, read as a batch DataFrame), keeping keys whose share
+    exceeds ``min_share``. The count table is persisted so the total and
+    the threshold filter share one scan; the collect is control-plane
+    bounded by ``max_keys`` (each hot key costs ×salt_buckets right-state
+    replication downstream, so a long list is a config smell — raise
+    rather than silently salt half the key universe). Returns a plain list
+    suitable for an IN-literal (broadcast with the plan, no join)."""
+    counts = calibration.groupBy(key).agg(F.count(F.lit(1)).alias("__n")).persist()
+    try:
+        total = counts.agg(F.sum("__n")).first()[0] or 0
+        if total == 0:
+            return []
+        rows = (
+            counts.where(F.col("__n") >= float(min_share) * total)
+            .orderBy(F.desc("__n"))
+            .limit(max_keys + 1)
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    if len(rows) > max_keys:
+        raise ValueError(
+            f"detect_hot_keys: more than max_keys={max_keys} keys exceed "
+            f"min_share={min_share} — raise the share threshold (every hot "
+            "key pays ×salt_buckets right-state replication) or raise "
+            "max_keys deliberately"
+        )
+    return [r[key] for r in rows]
+
+
 def salted_stream_stream_join(
     left: DataFrame,
     right: DataFrame,
@@ -210,6 +266,7 @@ def salted_stream_stream_join(
     right_watermark: str = "2 minutes",
     within: str = "1 minute",
     how: str = "inner",
+    hot_keys: list | None = None,
 ) -> DataFrame:
     """``stream_stream_join`` with a salted front-end for HOT keys.
 
@@ -225,15 +282,30 @@ def salted_stream_stream_join(
     tests/test_streaming.py) while the hot key's pair product and state
     spread over ``salt_buckets`` partitions.
 
+    ``hot_keys`` — the HOT-KEY-SCOPED form (the 100 TB default): only the
+    listed keys are salted; every other key takes salt 0 on both sides
+    (one replica — the plain join's state cost). Blanket replication
+    (``hot_keys=None``) pays ×salt_buckets right-side state on ALL keys to
+    fix a skew only the heavy hitters have; with a hot list, right-state
+    overhead drops to ×(1 + (salt_buckets-1)·hot_share) — plain-level
+    state with salted-level wall (measured head-to-head in
+    tools/stream_state_probe.py legs join_salted vs join_salted_hot).
+    Detect the list with ``detect_hot_keys`` over a calibration window, or
+    pass it statically. Row-identity holds for any list — a key's rows
+    meet exactly once whether salted or not — so a stale calibration
+    degrades the SPREAD, never correctness. The list is broadcast as an
+    IN-literal; keep it heavy-hitter-sized (``detect_hot_keys`` caps it).
+
     Costs and limits, stated plainly: right-side state is ×salt_buckets
-    (replication is the price of spreading — size the bucket count to the
-    skew, not to the cluster); total pair VOLUME is unchanged (salting
-    kills the straggler, not the quadratic — when per-event pairs aren't
-    actually needed, use ``windowed_stream_join`` instead, which removes
-    the product entirely); bit-identical duplicate left rows share a salt
-    (they are exact-dup candidates upstream — dedup before joining).
-    Only ``inner`` and ``left_outer`` are allowed: an unmatched RIGHT
-    replica would otherwise emit one NULL-padded row per salt."""
+    on replicated keys (replication is the price of spreading — size the
+    bucket count to the skew, not to the cluster); total pair VOLUME is
+    unchanged (salting kills the straggler, not the quadratic — when
+    per-event pairs aren't actually needed, use ``windowed_stream_join``
+    instead, which removes the product entirely); bit-identical duplicate
+    left rows share a salt (they are exact-dup candidates upstream —
+    dedup before joining). Only ``inner`` and ``left_outer`` are allowed:
+    an unmatched RIGHT replica would otherwise emit one NULL-padded row
+    per salt."""
     if how not in ("inner", "left_outer"):
         raise ValueError(
             f"salted_stream_stream_join: how={how!r} would duplicate "
@@ -241,27 +313,48 @@ def salted_stream_stream_join(
         )
     if salt_buckets < 2:
         raise ValueError("salted_stream_stream_join: salt_buckets must be >= 2")
+    if hot_keys is not None and len(hot_keys) == 0:
+        # an empty hot list means "nothing needs salting" — that is the
+        # plain join; building the salted plan for it would silently pay
+        # the salt-condition overhead for nothing
+        raise ValueError(
+            "salted_stream_stream_join: hot_keys=[] — use stream_stream_join "
+            "(nothing to salt), or pass hot_keys=None for blanket salting"
+        )
     # salt from the HASHABLE columns only: xxhash64 rejects map-typed input
-    # at plan time, and a drop-in replacement for stream_stream_join must
+    # at plan time — at ANY nesting depth (array<map<..>>, struct with a map
+    # field), so exclude every dtype whose string mentions map<, not just
+    # top-level maps — and a drop-in replacement for stream_stream_join must
     # accept any schema the plain join does (e.g. an events table carrying
     # a props map). key+ts are always present, so the salt never degrades
     # to a constant.
-    salt_cols = [c for c, t in left.dtypes if not t.startswith("map")]
+    salt_cols = [c for c, t in left.dtypes if "map<" not in t]
+    row_salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets)
+    ).cast("long")
+    all_salts = F.array(*[F.lit(i).cast("long") for i in range(salt_buckets)])
+    if hot_keys is None:
+        l_salt = row_salt
+        r_salts = all_salts
+    else:
+        # NULL keys fall to the otherwise-branch (isin is NULL on NULL) —
+        # harmless, since NULL never equi-joins anyway
+        is_hot = F.col(key).isin(list(hot_keys))
+        l_salt = F.when(is_hot, row_salt).otherwise(F.lit(0).cast("long"))
+        r_salts = F.when(is_hot, all_salts).otherwise(
+            F.array(F.lit(0).cast("long"))
+        )
     li = left.withWatermark("ts", left_watermark).select(
         F.col(key).alias("l_key"),
         F.col("ts").alias("l_ts"),
         *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key, "ts")],
-        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets)).alias(
-            "__l_salt"
-        ),
+        l_salt.alias("__l_salt"),
     )
     ri = right.withWatermark("ts", right_watermark).select(
         F.col(key).alias("r_key"),
         F.col("ts").alias("r_ts"),
         *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, "ts")],
-        F.explode(
-            F.array(*[F.lit(i).cast("long") for i in range(salt_buckets)])
-        ).alias("__r_salt"),
+        F.explode(r_salts).alias("__r_salt"),
     )
     cond = (
         (F.col("l_key") == F.col("r_key"))
@@ -296,11 +389,37 @@ def windowed_stream_join(
     nobody wants 27M hot-key event pairs, they want the hot key's counts).
 
     ``left_aggs`` / ``right_aggs``: aliased aggregate Columns (e.g.
-    ``F.count("*").alias("l_n")``) — alias every agg, names must not
-    collide across sides. Emission follows append-mode aggregation
-    semantics: a window's row emits only after the watermark passes its
-    end, i.e. driven forward by LATER data batches (an availableNow drain
-    flushes windows the final watermark has passed)."""
+    ``F.count("*").alias("l_n")``) — alias every agg; names must not
+    collide across sides nor with ``key``/``window_start``/``window_end``
+    (validated up front: a collision would otherwise surface only at the
+    sink as an ambiguous-reference error). Emission follows append-mode
+    aggregation semantics: a window's row emits only after the watermark
+    passes its end, i.e. driven forward by LATER data batches (an
+    availableNow drain flushes windows the final watermark has passed)."""
+    import re as _re
+
+    def _alias_of(col) -> str:
+        # Column carries no public name accessor pre-analysis; the repr is
+        # stable ("Column<'count(1) AS l_n'>") and aggs are flat AS-aliases
+        s = str(col)
+        m = _re.search(r" AS (\w+)'?>?$", s)
+        return m.group(1) if m else s
+
+    names = [_alias_of(c) for c in left_aggs] + [_alias_of(c) for c in right_aggs]
+    reserved = {key, "window_start", "window_end", "l_key", "r_key", "__w"}
+    seen: set[str] = set()
+    for n in names:
+        if n in reserved:
+            raise ValueError(
+                f"windowed_stream_join: agg alias {n!r} collides with a "
+                f"reserved output column ({sorted(reserved)})"
+            )
+        if n in seen:
+            raise ValueError(
+                f"windowed_stream_join: duplicate agg alias {n!r} across "
+                "left_aggs/right_aggs — alias every aggregate uniquely"
+            )
+        seen.add(n)
     lagg = (
         left.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("__w"), F.col(key).alias("l_key"))

@@ -251,12 +251,19 @@ FROM p
 
 
 EXTRA = {
+    # rotated OUT in r9 (driver-green r7+r8; anti-join shape stays
+    # window-covered by q_delete_inference's left_anti and the other three
+    # analytics rows) to free a seat for the never-driver-verified X52/X53
+    # streaming front-ends per the steady-state policy:
+    "q_never_urgent_customers": (
+        q_never_urgent_customers, SQL_NEVER_URGENT_CUSTOMERS
+    ),
 }
 
 
 # q_event_funnel rotated IN for r6 (first driver exposure, green); the four
 # subquery-shape rows rotated IN for r7 to finish the first-time-verification
-# ledger (VERDICT r6 directive #1).
+# ledger (VERDICT r6 directive #1); q_never_urgent_customers rotated OUT r9.
 QUERIES = {
     "q_event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "q_small_quantity_lineitems": (
@@ -264,9 +271,6 @@ QUERIES = {
     ),
     "q_large_volume_customers": (
         q_large_volume_customers, SQL_LARGE_VOLUME_CUSTOMERS
-    ),
-    "q_never_urgent_customers": (
-        q_never_urgent_customers, SQL_NEVER_URGENT_CUSTOMERS
     ),
     "q_high_volume_suppliers": (q_high_volume_suppliers, SQL_HIGH_VOLUME_SUPPLIERS),
 }

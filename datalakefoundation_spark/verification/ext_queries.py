@@ -218,9 +218,17 @@ def q_embedding_quantize(spark, sf_dir):
     # with the qvec transform INLINED and __m re-expanded inside the
     # element lambda — re-introducing the O(d²) array_max-per-element trap
     # quantize_embeddings exists to avoid (measured 0.97 s vs 0.12 s at
-    # sf0.1). Outer generate skips that inference; results are identical
-    # because every embedding is a fixed-length non-null array.
-    q = SIM.quantize_embeddings(_embs(spark, sf_dir))
+    # sf0.1). Outer generate skips that inference; and so the pairing does
+    # not silently depend on the fixture having only non-null fixed-length
+    # embeddings (outer emits a (vec_id, scale, NULL, NULL) row for an
+    # empty vec where the oracle's generate_series emits nothing), both
+    # sides filter empties on the INPUT column — size(embedding), never
+    # size(qvec), which would hand the optimizer the inlined transform
+    # right back.
+    embs = _embs(spark, sf_dir).where(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    q = SIM.quantize_embeddings(embs)
     return q.select(
         "vec_id", "scale", F.posexplode_outer("qvec").alias("i", "q")
     )
@@ -232,7 +240,7 @@ def q_embedding_quantize(spark, sf_dir):
 SQL_EMBEDDING_QUANTIZE = """
 WITH m AS (
   SELECT vec_id, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
-  FROM embeddings),
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
 q AS (
   SELECT e.vec_id, m.m / 127.0 AS scale,
     list_transform(e.embedding, x -> CASE WHEN m.m = 0 THEN 0 ELSE
@@ -1816,11 +1824,48 @@ def _ts_events(spark, sf_dir):
 
 
 def q_salted_interval_join(spark, sf_dir):
-    """X52 end-to-end vs an UNSALTED oracle: the salted stream-stream join
-    (full-row-hash salt on the left, right replicated to every salt, salt
-    equality in the condition) run in batch mode over clicks × views must
-    produce exactly the plain interval join's pair set — the strongest
-    form of the row-identity claim, hash-checked against DuckDB."""
+    """X52 end-to-end vs an UNSALTED oracle — the HOT-KEY-SCOPED form (r9):
+    a calibration pass over the click side picks the hot list, ONLY those
+    keys are salted/replicated, everything else rides salt 0 — and the
+    pair set must still equal the plain interval join's, hash-checked
+    against DuckDB. Which keys land on the hot list is irrelevant to the
+    result (row-identity holds for any list); the row exists to prove
+    exactly that on the production code path. The fixture's keys are
+    near-uniform (no key clears one share threshold at every sf), so the
+    calibration is a deterministic top-8-by-count with a user_id
+    tie-break rather than detect_hot_keys' share cut — same shape,
+    sf-stable hot list."""
+    from datalakefoundation_spark.streaming.ops import salted_stream_stream_join
+
+    ev = _ts_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id"
+    )
+    hot = [
+        r["user_id"]
+        for r in clicks.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "user_id")
+        .limit(8)
+        .collect()
+    ]
+    j = salted_stream_stream_join(
+        clicks, views, key="user_id", salt_buckets=4, within="1 day",
+        hot_keys=hot,
+    )
+    return j.select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("view_id"),
+    )
+
+
+def q_salted_blanket_join(spark, sf_dir):
+    """X52's blanket form (hot_keys=None — every key salted/replicated):
+    the r8 shape, kept oracle-paired so both front-end variants stay
+    hash-verified against the same unsalted DuckDB join."""
     from datalakefoundation_spark.streaming.ops import salted_stream_stream_join
 
     ev = _ts_events(spark, sf_dir)
@@ -1892,9 +1937,24 @@ FROM c JOIN v USING (user_id, w)
 
 
 EXTRA = {
-    # r8 streaming front-ends, oracle-paired in batch mode (window is full):
-    "q_salted_interval_join": (q_salted_interval_join, SQL_SALTED_INTERVAL_JOIN),
-    "q_windowed_join": (q_windowed_join, SQL_WINDOWED_JOIN),
+    # r9: the blanket (hot_keys=None) X52 form, oracle-paired against the
+    # same unsalted join as the hot-scoped window row:
+    "q_salted_blanket_join": (q_salted_blanket_join, SQL_SALTED_INTERVAL_JOIN),
+    # rotated OUT of the driver window in r9 by the steady-state policy
+    # (each driver-green r7+r8, shape covered by a resident or fresher
+    # window row — interval condition ⊂ q_salted_interval_join, substring
+    # windows ⊂ q_span_dedup + q_bpe_encode, bigram counts ⊂ q_trigram_lm +
+    # q_tfidf_terms, ladder reads ⊂ q_rollup_anomalies + q_time_weighted_avg,
+    # cohort aggs ⊂ q_event_funnel, hash-threshold sampling ⊂
+    # q_mixture_sample + q_source_cap, integer embedding math ⊂
+    # q_embedding_quantize + q_knn_topk):
+    "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "q_chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "q_collocations": (q_collocations, SQL_COLLOCATIONS),
+    "q_event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
+    "q_retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "q_importance_resample": (q_importance_resample, SQL_IMPORTANCE_RESAMPLE),
+    "q_random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     # rotated OUT of the driver window in r8 by the steady-state policy
     # (verification/__init__.py): each driver-green r6+r7, shape covered
     # by a surviving window row — gapfill grid ⊂ q_time_weighted_avg /
@@ -1940,21 +2000,14 @@ EXTRA = {
     "q_multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "q_repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "q_ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
-    # rotated OUT of the driver window in late r5 (4 rounds driver-green
-    # each; shapes covered by surviving registry rows) to make room for
-    # the r5 time-series/LM/gopher operators:
-    "q_stratified_sample": (q_stratified_sample, _stratified_oracle_sql()),
-    "q_vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
-    "q_text_stats": (q_text_stats, SQL_TEXT_STATS),
-    "q_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "q_knn_topk": (q_knn_topk, SQL_KNN_TOPK),
-    "q_novelty": (q_novelty, SQL_NOVELTY),
+    # (the six late-r5-rotated rows — q_stratified_sample, q_vocab_topk,
+    # q_text_stats, q_ngram_jaccard, q_knn_topk, q_novelty — were promoted
+    # back into the window in r9 as the stalest EXTRA residents)
 }
 
 
 QUERIES = {
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "q_grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
     "q_tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
     "q_pii_scrub": (q_pii_scrub, _pii_oracle_sql()),
@@ -1963,6 +2016,19 @@ QUERIES = {
     "q_reshard_shuffle": (q_reshard_shuffle, SQL_RESHARD_SHUFFLE),
     "q_semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "q_mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    # rotated IN for r9 — the X52/X53 streaming front-ends, never driver-
+    # verified (added r8 as EXTRA); the hot-key-scoped salted join is the
+    # r9 directive-#1 code path:
+    "q_salted_interval_join": (q_salted_interval_join, SQL_SALTED_INTERVAL_JOIN),
+    "q_windowed_join": (q_windowed_join, SQL_WINDOWED_JOIN),
+    # rotated IN for r9 — the six stalest EXTRA residents (last driver row
+    # r5), re-verified per the steady-state rotation policy:
+    "q_stratified_sample": (q_stratified_sample, _stratified_oracle_sql()),
+    "q_vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "q_text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "q_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "q_knn_topk": (q_knn_topk, SQL_KNN_TOPK),
+    "q_novelty": (q_novelty, SQL_NOVELTY),
     # rotated IN for r7 — the last oracle-paired ext queries that had never
     # had a driver CORRECTNESS row (VERDICT r6 directive #1); after this
     # rotation every oracle-paired query in the codebase has been
@@ -1972,13 +2038,8 @@ QUERIES = {
     # driver, a guaranteed red slot) demoted to EXTRA; replaced by the
     # hash-comparable encode check (VERDICT r7 directive #3):
     "q_bpe_encode": (q_bpe_encode, _bpe_encode_oracle_sql()),
-    "q_importance_resample": (q_importance_resample, SQL_IMPORTANCE_RESAMPLE),
     "q_source_cap": (q_source_cap, SQL_SOURCE_CAP),
-    "q_chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "q_embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
-    "q_random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
-    # rotated IN late r5 for first-time driver verification:
-    "q_event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
     "q_time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
     "q_histogram_percentiles": (q_histogram_percentiles, SQL_HISTOGRAM_PERCENTILES),
     "q_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
@@ -1988,9 +2049,7 @@ QUERIES = {
     "q_trigram_lm": (q_trigram_lm, SQL_TRIGRAM_LM),
     "q_text_near_dup": (q_text_near_dup, SQL_TEXT_NEAR_DUP),
     "q_bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
-    "q_retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "q_rollup_anomalies": (q_rollup_anomalies, SQL_ROLLUP_ANOMALIES),
-    "q_collocations": (q_collocations, SQL_COLLOCATIONS),
     "q_decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE),
     # vocabulary-hashing variants: the SAME oracles as the direct paths —
     # hash_distinct must be bit-identical, so oracle-pairing it makes the

@@ -714,6 +714,22 @@ def test_salted_stream_stream_join_matches_plain(spark, tmp_path):
     salted = run(salted_stream_stream_join, "ssj_salted_r8", salt_buckets=4)
     assert salted == plain
     assert len(plain) > 100  # the hot key's pair product is actually present
+    # hot-key-scoped form (r9): only user 7 is replicated — cold keys take
+    # salt 0 on both sides — and the pair set is STILL identical
+    hot_scoped = run(
+        salted_stream_stream_join, "ssj_hot_r9", salt_buckets=4, hot_keys=[7]
+    )
+    assert hot_scoped == plain
+    # a stale/wrong hot list degrades only the spread, never the rows
+    stale = run(
+        salted_stream_stream_join, "ssj_stale_r9", salt_buckets=4, hot_keys=[9999]
+    )
+    assert stale == plain
+    with pytest.raises(ValueError, match="hot_keys"):
+        salted_stream_stream_join(
+            read_event_stream(spark, lsrc), read_event_stream(spark, rsrc),
+            hot_keys=[],
+        )
     # salt columns are internal
     assert not any(
         c.startswith("__") for c in salted_stream_stream_join(
@@ -792,3 +808,106 @@ def test_windowed_stream_join_matches_batch(spark, tmp_path):
         for r in g.collect()
     }
     assert got == want and len(want) == 3
+
+
+def test_detect_hot_keys(spark):
+    """Calibration helper: keys above the share threshold, capped, exact."""
+    from datalakefoundation_spark.streaming.ops import detect_hot_keys
+
+    rows = [(i, 7) for i in range(60)] + [(i, 8) for i in range(30)] + [
+        (100 + i, i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    got = detect_hot_keys(df, "user_id", min_share=0.2)
+    assert got == [7, 8]  # ordered by count desc
+    assert detect_hot_keys(df.limit(0), "user_id") == []
+    with pytest.raises(ValueError, match="max_keys"):
+        detect_hot_keys(df, "user_id", min_share=0.001, max_keys=3)
+
+
+def test_windowed_stream_join_rejects_alias_collisions(spark, tmp_path):
+    """Agg aliases colliding across sides or with reserved output columns
+    must fail at the CALL SITE, not as an ambiguous reference at the sink."""
+    from pyspark.sql import functions as F
+
+    from datalakefoundation_spark.streaming.ops import windowed_stream_join
+
+    src = str(tmp_path / "ev")
+    _write_events(spark, src, [(1, _ts(0, 10), 1, "view", 1.0)])
+    s = read_event_stream(spark, src)
+    with pytest.raises(ValueError, match="duplicate agg alias"):
+        windowed_stream_join(
+            s, s, left_aggs=[F.count("*").alias("n")],
+            right_aggs=[F.count("*").alias("n")],
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        windowed_stream_join(
+            s, s, left_aggs=[F.count("*").alias("window_start")],
+            right_aggs=[F.count("*").alias("r_n")],
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        windowed_stream_join(
+            s, s, key="user_id", left_aggs=[F.count("*").alias("user_id")],
+            right_aggs=[F.count("*").alias("r_n")],
+        )
+
+
+def test_stream_id_normalizes_checkpoint_spellings(tmp_path):
+    """Equivalent spellings of one checkpoint directory must map to ONE
+    stream id — a reader spelling the path differently than the writer
+    would otherwise look for a missing stream=<id> subtree (ADVICE r8)."""
+    import os
+
+    from datalakefoundation_spark.streaming.ops import _stream_id
+
+    p = str(tmp_path / "ck")
+    base = _stream_id(p)
+    assert _stream_id(p + "/") == base
+    assert _stream_id(p + "//") == base
+    assert _stream_id("file://" + p) == base
+    rel = os.path.relpath(p)
+    assert _stream_id(rel) == base
+    # remote-scheme URIs: verbatim apart from the trailing slash
+    assert _stream_id("s3a://bucket/ck/") == _stream_id("s3a://bucket/ck")
+    assert _stream_id("s3a://bucket/ck") != base
+
+
+def test_salted_join_accepts_nested_map_schema(spark, tmp_path):
+    """The salt must exclude map-typed columns at ANY nesting depth —
+    xxhash64 rejects them at plan time (ADVICE r8: array<map<..>> slipped
+    through the old top-level-only check)."""
+    from pyspark.sql import functions as F
+
+    from datalakefoundation_spark.streaming.ops import salted_stream_stream_join
+
+    src = str(tmp_path / "ev")
+    _write_events(
+        spark, src,
+        [(1, _ts(0, 0), 1, "view", 1.0), (2, _ts(0, 30), 1, "click", 2.0)],
+    )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    def stream():
+        s = spark.readStream.schema(schema).parquet(src)
+        return (
+            s.withColumn("props", F.create_map(F.lit("k"), F.col("event_type")))
+            .withColumn("tags", F.array(F.create_map(F.lit("a"), F.lit("b"))))
+            .withColumn(
+                "meta",
+                F.struct(F.create_map(F.lit("m"), F.lit(1)).alias("inner")),
+            )
+        )
+
+    j = salted_stream_stream_join(stream(), stream(), salt_buckets=4)
+    q = (
+        j.writeStream.format("memory").queryName("ssj_map_r9")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM ssj_map_r9").collect()
+    }
+    assert got == {(1, 1), (1, 2), (2, 1), (2, 2)}

@@ -147,6 +147,12 @@ def run_join(spark, src: str, ckpt: str, form: str = "plain") -> list[int]:
     * salted  — salted_stream_stream_join: identical result rows, hot
                 pair product and state spread over salt_buckets=8 state
                 partitions (right state ×8; wall becomes parallel).
+    * salted_hot — salted_stream_stream_join(hot_keys=[0]): identical
+                result rows again, but ONLY the rank-1 key is replicated —
+                right state ×(1 + 7·hot_share) ≈ plain-level instead of
+                the blanket ×8, with the hot pair product still spread
+                over 8 buckets (salted-level wall). The r9 directive's
+                head-to-head: plain-level state plateau, salted-level wall.
     * preagg  — windowed_stream_join: per-(key, minute) aggregates
                 equi-joined; the pair product is GONE (1×1 per window),
                 state is per-window aggregate rows — the wall left is
@@ -169,6 +175,12 @@ def run_join(spark, src: str, ckpt: str, form: str = "plain") -> list[int]:
     elif form == "salted":
         joined = salted_stream_stream_join(
             left, right, key="user_id", salt_buckets=8
+        )
+    elif form == "salted_hot":
+        # user 0 IS the Zipf rank-1 key (~6%/batch) — the static list a
+        # calibration window (detect_hot_keys) would produce on this data
+        joined = salted_stream_stream_join(
+            left, right, key="user_id", salt_buckets=8, hot_keys=[0]
         )
     elif form == "preagg":
         joined = windowed_stream_join(
@@ -264,7 +276,7 @@ def main() -> None:
     legs = (
         sys.argv[3].split(",") if len(sys.argv) > 3 else ["join", "sessionize"]
     )
-    known = {"join", "join_salted", "join_preagg", "sessionize"}
+    known = {"join", "join_salted", "join_salted_hot", "join_preagg", "sessionize"}
     bad = [leg for leg in legs if leg not in known]
     if bad:
         # validate BEFORE write_batches spends minutes generating data
@@ -285,6 +297,7 @@ def main() -> None:
                 )
             else:
                 form = {"join": "plain", "join_salted": "salted",
+                        "join_salted_hot": "salted_hot",
                         "join_preagg": "preagg"}[leg]
                 series[leg] = run_join(spark, f"{tmp}/src", f"{tmp}/ck_{leg}", form)
             out[f"{leg}_wall_s"] = round(time.time() - t0, 1)
@@ -297,6 +310,22 @@ def main() -> None:
     if "join_salted" in series:
         # right state is ×8 replicas: same eviction plateau, bigger constant
         _assert_plateau(series["join_salted"], total, 8 * 0.25, batches)
+    if "join_salted_hot" in series:
+        # hot-key-scoped: only the rank-1 key (~6%) is replicated, so the
+        # plateau must sit at plain level ×(1 + 7·0.06) ≈ 1.4, nowhere near
+        # the blanket ×8 — the whole point of the scoped form
+        _assert_plateau(series["join_salted_hot"], total, 2 * 0.25, batches)
+        if "join_salted" in series:
+            assert max(series["join_salted_hot"]) < 0.5 * max(series["join_salted"]), (
+                "hot-scoped state should undercut blanket-salted state by >2x: "
+                f"hot={max(series['join_salted_hot'])} "
+                f"blanket={max(series['join_salted'])}"
+            )
+        if "join" in series:
+            assert max(series["join_salted_hot"]) < 2.0 * max(series["join"]), (
+                "hot-scoped state should stay near plain level: "
+                f"hot={max(series['join_salted_hot'])} plain={max(series['join'])}"
+            )
     if "join_preagg" in series:
         # per-window aggregates: state ∝ live (key, window) pairs, far below
         # the per-event buffers of the pairwise forms
