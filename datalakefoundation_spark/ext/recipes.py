@@ -432,3 +432,189 @@ def reconcile_survivors(
         F.col("node").alias(id_col)
     )
     return survivors.join(losers, id_col, "left_anti")
+
+
+def cluster_assignment(
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Full near-dup clustering over a standing signature index:
+    ``(node, cluster_id)`` for every doc appearing in a candidate pair,
+    cluster_id = the component's minimum id. One band join + connected
+    components — O(corpus); run it ONCE to bootstrap the persisted
+    assignment state that ``reconcile_survivors_frontier`` then maintains
+    at O(churn) per reconcile. Docs in no pair are implicit singletons
+    (cluster = own id) and carry no row."""
+    from datalakefoundation_spark.ext.cluster import connected_components
+    from datalakefoundation_spark.ext.dedup import lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(
+        index_sigs.select(id_col, *[f"h{i}" for i in range(num_hashes)]),
+        id_col,
+        num_hashes,
+        band_size,
+    )
+    return connected_components(pairs)
+
+
+@dataclass
+class FrontierReconcile:
+    """Result of ``reconcile_survivors_frontier``.
+
+    ``df`` — the reconciled survivors (input minus newly-bridged losers).
+    ``updates`` — (node, cluster_id) rows to UPSERT into the persisted
+    assignment state: new rows for frontier docs (and old singletons) that
+    joined a pair, plus relabeled rows for every member of a prior cluster
+    whose minimum changed. Churn-sized.
+    ``assignment`` — the full post-reconcile assignment (prior rows with
+    relabels applied, plus the new rows), for callers that overwrite their
+    state table instead of merging ``updates`` into it. Lazy; materializing
+    it costs a scan of the prior assignment.
+    """
+
+    df: DataFrame
+    updates: DataFrame
+    assignment: DataFrame
+
+
+def reconcile_survivors_frontier(
+    survivors: DataFrame,
+    index_sigs: DataFrame,
+    frontier_sigs: DataFrame,
+    prior_assignment: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> FrontierReconcile:
+    """Frontier-bounded X54: converge streamed near-dedup output to the
+    from-scratch survivor set at a cost ∝ CHURN, not corpus.
+
+    ``reconcile_survivors`` re-clusters the FULL index every invocation —
+    O(corpus), the one maintenance op whose cost scaled with the table.
+    This variant exploits what a reconcile leaves behind: a component is
+    fully summarized by its minimum id (``prior_assignment``: one
+    (node, cluster_id) row per doc that has appeared in a candidate pair,
+    from ``cluster_assignment`` or a previous frontier reconcile). New
+    edges can only be INCIDENT TO THE FRONTIER (docs ingested since the
+    last reconcile) — old-old edges already existed — so:
+
+    1. band-join the frontier's signatures against the index
+       (``incremental_lsh_candidates`` — the same O(batch) shape the
+       per-batch ingest uses, never a corpus re-bucketing);
+    2. contract old endpoints to their prior cluster labels (a prior
+       label IS its component's min doc id, so the label is a faithful
+       stand-in for the whole component) — the REDUCED graph's nodes are
+       frontier ids + touched prior labels, sized by the churn;
+    3. run connected components on the reduced graph only;
+    4. a reduced component's new minimum over {frontier ids, prior
+       labels} is the true new component minimum — every non-min member
+       is a newly-bridged loser, dropped from ``survivors``;
+    5. emit assignment updates: rows for fresh nodes, and relabels for
+       all members of prior clusters whose label changed (one
+       broadcast semi-join of the prior assignment on the changed
+       labels — churn-proportional under bounded cluster sizes).
+
+    EQUALITY with the full reconcile (asserted in
+    tests/test_ext_operators.py and at 1M docs by
+    tools/frontier_reconcile_probe.py): untouched components' minima
+    cannot change (no new edges reach them), and touched components'
+    new minima are computed exactly via the label contraction.
+
+    Contract: ``survivors`` must be consistent with ``prior_assignment``
+    (the previous reconcile's output plus batch survivors emitted since);
+    ``frontier_sigs`` ⊆ ``index_sigs`` is the signatures of exactly the
+    docs ingested since that reconcile. Cost: one frontier band join (the
+    index side streams through at scan speed — the frontier side
+    broadcasts), a reduced-graph CC, and two broadcast-pruned passes over
+    the assignment table (column-pruned scans, no corpus-wide shuffle)."""
+    from datalakefoundation_spark.ext.cluster import connected_components
+    from datalakefoundation_spark.ext.dedup import incremental_lsh_candidates
+
+    sig_cols = [id_col, *[f"h{i}" for i in range(num_hashes)]]
+    frontier_ids = frontier_sigs.select(id_col)
+    prior_index = index_sigs.select(*sig_cols).join(
+        F.broadcast(frontier_ids), id_col, "left_anti"
+    )
+    # churn-sized intermediates are localCheckpointed (eager): lineage is
+    # cut once, the stored partitions are tiny, and the returned lazy
+    # frames never re-pay the frontier band join — no persist lifecycle
+    # for the caller to manage
+    pairs = incremental_lsh_candidates(
+        prior_index,
+        frontier_sigs.select(*sig_cols),
+        id_col,
+        num_hashes,
+        band_size,
+    ).localCheckpoint(eager=True)
+    endpoints = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    # prune the assignment to the touched endpoints BEFORE joining the
+    # pairs against it: endpoints are churn-sized and broadcastable, so
+    # the big assignment table streams through a semi-join at scan
+    # speed instead of shuffling for a sort-merge join
+    lab = prior_assignment.join(
+        F.broadcast(endpoints), "node", "left_semi"
+    ).localCheckpoint(eager=True)
+    la = lab.select(
+        F.col("node").alias("doc_a"), F.col("cluster_id").alias("__ca")
+    )
+    lb = lab.select(
+        F.col("node").alias("doc_b"), F.col("cluster_id").alias("__cb")
+    )
+    reduced = (
+        pairs.join(F.broadcast(la), "doc_a", "left")
+        .join(F.broadcast(lb), "doc_b", "left")
+        .select(
+            F.coalesce(F.col("__ca"), F.col("doc_a")).alias("doc_a"),
+            F.coalesce(F.col("__cb"), F.col("doc_b")).alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
+    comp = connected_components(reduced).localCheckpoint(eager=True)
+    # comp nodes are prior labels and fresh ids (frontier docs / old
+    # singletons). Relabel prior clusters whose minimum changed ...
+    changed = comp.where(F.col("node") != F.col("cluster_id"))
+    relabeled_members = (
+        prior_assignment.withColumnRenamed("cluster_id", "__old")
+        .join(
+            F.broadcast(changed.select(
+                F.col("node").alias("__old"), "cluster_id"
+            )),
+            "__old",
+        )
+        .select("node", "cluster_id")
+    )
+    # ... and add first-time rows for nodes the prior assignment has never
+    # seen. A reduced node is either a contracted prior LABEL (a value of
+    # lab.cluster_id — every label c has its own (c, c) row, so a row-less
+    # endpoint can never coincide with one) or a row-less endpoint — so
+    # "fresh" is an anti-join of comp against the PRUNED label set, both
+    # churn-sized, never against the full assignment table
+    fresh = comp.join(
+        lab.select(F.col("cluster_id").alias("node")).distinct(),
+        "node",
+        "left_anti",
+    ).select("node", "cluster_id")
+    updates = relabeled_members.unionByName(fresh)
+    losers = (
+        updates.where(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias(id_col))
+        .distinct()
+    )
+    reconciled = survivors.join(losers, id_col, "left_anti")
+    assignment = (
+        prior_assignment.join(
+            F.broadcast(changed.select(F.col("node").alias("__chg"))),
+            prior_assignment["cluster_id"] == F.col("__chg"),
+            "left_anti",
+        )
+        .unionByName(updates)
+    )
+    return FrontierReconcile(
+        df=reconciled, updates=updates, assignment=assignment
+    )

@@ -373,6 +373,7 @@ def windowed_stream_join(
     key: str = "user_id",
     window: str = "1 minute",
     watermark: str = "2 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
     """Pre-aggregate-then-join: the recipe that REMOVES a hot key's pair
     product instead of merely spreading it.
@@ -395,8 +396,23 @@ def windowed_stream_join(
     sink as an ambiguous-reference error). Emission follows append-mode
     aggregation semantics: a window's row emits only after the watermark
     passes its end, i.e. driven forward by LATER data batches (an
-    availableNow drain flushes windows the final watermark has passed)."""
+    availableNow drain flushes windows the final watermark has passed).
+
+    ``slide`` — SLIDING windows (r9): each event lands in
+    ``window/slide`` overlapping windows; both sides slide identically,
+    so window-struct equality still drives the equi-join and event time
+    still propagates through it. State grows by the same overlap factor
+    (each key holds window/slide live aggregate rows instead of 1) —
+    still aggregate rows, never per-event buffers. SESSION windows are
+    deliberately NOT supported here: a session window's bounds derive
+    from each stream's own event gaps, so the "same" session on the two
+    sides generally has different (start, end) — window equality would
+    silently join only sessions that happen to align exactly. Sessionize
+    each stream separately (``sessionize``) and join on overlap instead."""
     import re as _re
+
+    if slide is not None and _re.fullmatch(r"\s*", slide):
+        raise ValueError("windowed_stream_join: slide must be a duration string")
 
     def _alias_of(col) -> str:
         # Column carries no public name accessor pre-analysis; the repr is
@@ -420,14 +436,15 @@ def windowed_stream_join(
                 "left_aggs/right_aggs — alias every aggregate uniquely"
             )
         seen.add(n)
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     lagg = (
         left.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("__w"), F.col(key).alias("l_key"))
+        .groupBy(w.alias("__w"), F.col(key).alias("l_key"))
         .agg(*left_aggs)
     )
     ragg = (
         right.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("__w"), F.col(key).alias("r_key"))
+        .groupBy(w.alias("__w"), F.col(key).alias("r_key"))
         .agg(*right_aggs)
     )
     j = lagg.join(

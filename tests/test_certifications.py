@@ -201,3 +201,52 @@ def test_stream_ingest_identities_floor(spark):
     assert rec["survivors"] > 0
     assert rec["index_rows_final"] > 0
     assert_identities(rec)
+
+
+def test_sf_scaling_ratio_ceilings(spark):
+    """Standing scale-regression gate (VERDICT r8 directive #4): the
+    sf0.1→sf1 curve is recorded per-round in BASELINE.md, but a recorded
+    curve can't FAIL — this CI twin times one representative query per
+    family at sf0.01 and sf0.1 (10x data) and asserts a generous wall
+    ratio ceiling. The trap class this exists for (the r8
+    InferFiltersFromGenerate O(d²) quantize plan) showed a ~30x blowup at
+    10x data; honest queries measured 0.7–9.1x at the full-scale probe and
+    LOWER at this size (fixed overhead dominates the small side, deflating
+    the ratio). Min-of-2 per point to shed codegen JIT; the ceiling is
+    deliberately loose (25x) so VM noise can't flake it while a
+    superlinear plan still trips it."""
+    import time
+
+    from datalakefoundation_spark.verification import all_queries, extra_queries
+
+    merged = dict(all_queries())
+    merged.update(extra_queries())
+    families = {
+        "scan_agg": "q_pricing_summary",
+        "dedup": "q_dedup_minhash",
+        "ann": "q_ann_lsh",
+        "embedding": "q_embedding_quantize",
+        "bpe_arrow": "q_bpe_encode",
+        "lm": "q_trigram_lm",
+        "timeseries": "q_time_weighted_avg",
+    }
+
+    def wall(fn, sf_dir):
+        samples = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        return min(samples)
+
+    ratios = {}
+    for fam, name in families.items():
+        fn = merged[name][0]
+        small = wall(fn, "/root/testdata/sf0.01")
+        big = wall(fn, "/root/testdata/sf0.1")
+        ratios[fam] = round(big / max(small, 0.05), 1)
+    bad = {f: r for f, r in ratios.items() if r > 25}
+    assert not bad, (
+        f"superlinear sf0.01→sf0.1 scaling (10x data, ceiling 25x): {bad}; "
+        f"all ratios: {ratios}"
+    )

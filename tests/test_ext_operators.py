@@ -2159,3 +2159,104 @@ def test_incremental_dedup_prefix_consistency_bridge(spark):
         for r in reconcile_survivors(surv_df, index_all).select("doc_id").collect()
     }
     assert reconciled == scratch == {1}
+
+    # frontier-bounded X54 (r9): same convergence, but re-clustering ONLY
+    # from the frontier (doc 10) against the prior assignment — the exact
+    # bridge-through-frontier case: doc 10's edges contract to the two
+    # prior cluster labels (1 and 3), the reduced component {10, 1, 3}
+    # re-minimizes to 1, and survivor 3 is dropped without touching any
+    # untouched component
+    from datalakefoundation_spark.ext.recipes import (
+        cluster_assignment,
+        reconcile_survivors_frontier,
+    )
+
+    prior = cluster_assignment(index)  # state as of the pre-bridge reconcile
+    assert {(r["node"], r["cluster_id"]) for r in prior.collect()} == {
+        (1, 1), (2, 1), (3, 3), (4, 3),
+    }
+    fr = reconcile_survivors_frontier(
+        surv_df, index_all, res2.index_updates, prior
+    )
+    assert {r["doc_id"] for r in fr.df.select("doc_id").collect()} == {1}
+    ups = {(r["node"], r["cluster_id"]) for r in fr.updates.collect()}
+    # doc 10 joins cluster 1; cluster 3's members (3, 4) relabel to 1
+    assert ups == {(10, 1), (3, 1), (4, 1)}
+    # the full post-reconcile assignment equals a from-scratch clustering
+    want_assign = {
+        (r["node"], r["cluster_id"])
+        for r in cluster_assignment(index_all).collect()
+    }
+    got_assign = {(r["node"], r["cluster_id"]) for r in fr.assignment.collect()}
+    assert got_assign == want_assign
+
+
+def test_frontier_reconcile_matches_full_over_rounds(spark):
+    """Multi-round equality: ingest a randomized near-dup corpus in waves,
+    frontier-reconcile after each wave, and require the survivor set AND
+    the assignment state to equal the from-scratch full reconcile at every
+    round — including waves whose docs bridge, extend, and singleton."""
+    import random
+
+    from datalakefoundation_spark.ext.dedup import minhash_signature
+    from datalakefoundation_spark.ext.recipes import (
+        cluster_assignment,
+        reconcile_survivors,
+        reconcile_survivors_frontier,
+    )
+
+    rng = random.Random(20260816)
+    vocab = [f"w{i}" for i in range(400)]
+    base_texts = {}
+    rows = []
+    did = 0
+    for wave in range(3):
+        for _ in range(25):
+            did += 1
+            if base_texts and rng.random() < 0.5:
+                # near-dup of an earlier doc: one token changed
+                src = rng.choice(list(base_texts))
+                toks = base_texts[src].split()
+                toks[rng.randrange(len(toks))] = f"v{did}"
+                text = " ".join(toks)
+            else:
+                text = " ".join(rng.choice(vocab) for _ in range(30))
+                base_texts[did] = text
+            rows.append((did, text, wave))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, wave int")
+    sigs_all = minhash_signature(docs, "text", "doc_id").join(
+        docs.select("doc_id", "wave"), "doc_id"
+    ).localCheckpoint(eager=True)
+
+    # bootstrap: full reconcile over wave 0
+    idx = sigs_all.where("wave = 0").drop("wave")
+    assignment = cluster_assignment(idx)
+    survivors = reconcile_survivors(
+        docs.where("wave = 0").drop("wave"), idx
+    )
+    for wave in (1, 2):
+        frontier = sigs_all.where(f"wave = {wave}").drop("wave")
+        idx = sigs_all.where(f"wave <= {wave}").drop("wave")
+        # streamed shape: the wave's docs all arrive as survivors first
+        # (the per-batch ingest would absorb some, but feeding the superset
+        # exercises the loser filter hardest)
+        surv_in = survivors.select("doc_id", "text").unionByName(
+            docs.where(f"wave = {wave}").select("doc_id", "text")
+        )
+        fr = reconcile_survivors_frontier(surv_in, idx, frontier, assignment)
+        got = {r["doc_id"] for r in fr.df.select("doc_id").collect()}
+        want_full = {
+            r["doc_id"]
+            for r in reconcile_survivors(surv_in, idx).select("doc_id").collect()
+        }
+        assert got == want_full, f"wave {wave}: {got ^ want_full}"
+        got_assign = {
+            (r["node"], r["cluster_id"]) for r in fr.assignment.collect()
+        }
+        want_assign = {
+            (r["node"], r["cluster_id"])
+            for r in cluster_assignment(idx).collect()
+        }
+        assert got_assign == want_assign, f"wave {wave} assignment diverged"
+        assignment = fr.assignment.localCheckpoint(eager=True)
+        survivors = fr.df.localCheckpoint(eager=True)

@@ -102,3 +102,18 @@ def test_oracle_parity(name, spark, duck):
         raise AssertionError(
             f"value mismatch at sorted row {bad}:\n spark: {cs[bad][:300]}\n duck : {cd[bad][:300]}"
         )
+
+
+def test_window_rows_all_hash_comparable():
+    """Eligibility policy §3 (verification/__init__.py): a rows-only query
+    (oracle=None) can never produce anything but `err: no_oracle` in a
+    driver CORRECTNESS row — those belong in EXTRA, never in the window."""
+    rows_only = [n for n, (_fn, sql) in all_queries().items() if sql is None]
+    assert rows_only == [], f"window seats without an oracle: {rows_only}"
+
+
+def test_every_extra_row_is_exercised_by_this_gate():
+    """Registry-drift pin (VERDICT r8 directive #8): the parametrization
+    source of test_oracle_parity must be exactly window ∪ EXTRA, so a
+    future rotation can't orphan an EXTRA row from the local gate."""
+    assert set(_registry()) == set(all_queries()) | set(extra_queries())

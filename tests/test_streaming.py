@@ -911,3 +911,77 @@ def test_salted_join_accepts_nested_map_schema(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssj_map_r9").collect()
     }
     assert got == {(1, 1), (1, 2), (2, 1), (2, 2)}
+
+
+def test_windowed_stream_join_sliding_matches_batch(spark, tmp_path):
+    """Sliding windows through the pre-aggregate-then-join recipe: each
+    event lands in window/slide overlapping windows on BOTH sides, window
+    equality still drives the join, and the closed-window output equals
+    the batch sliding groupBy+join twin."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from datalakefoundation_spark.streaming.ops import windowed_stream_join
+
+    src = str(tmp_path / "ev")
+    early = [
+        (1, _ts(0, 10), 1, "view", 1.0),
+        (2, _ts(0, 40), 1, "view", 2.0),
+        (3, _ts(1, 15), 1, "view", 4.0),
+        (4, _ts(1, 45), 2, "view", 8.0),
+    ]
+    late = [(9, _ts(30, 0), 3, "view", 0.0)]  # advances the watermark
+    _write_events(spark, src, early)
+    t = _time.time() - 3600
+    for root, _dirs, files in _os.walk(src):
+        for f in files:
+            _os.utime(_os.path.join(root, f), (t, t))
+    _write_events(spark, src, late)
+
+    def streams():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    j = windowed_stream_join(
+        streams(),
+        streams(),
+        left_aggs=[F.count("*").alias("l_n"), F.sum("value").alias("l_sum")],
+        right_aggs=[F.count("*").alias("r_n")],
+        window="2 minutes",
+        slide="1 minute",
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("wsj_slide_r9")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["window_start"].minute, r["l_n"], r["l_sum"], r["r_n"])
+        for r in spark.sql("SELECT * FROM wsj_slide_r9").collect()
+    }
+    # batch twin over the windows the watermark closed (ends <= 10:05)
+    all_rows = spark.read.parquet(src).where("ts < timestamp'2026-08-01 10:05:00'")
+    g = (
+        all_rows.groupBy(
+            F.window("ts", "2 minutes", "1 minute").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .where(F.col("w.end") <= F.lit("2026-08-01 10:05:00").cast("timestamp"))
+    )
+    want = {
+        (r["user_id"], r["w"].start.minute, r["n"], r["s"], r["n"])
+        for r in g.collect()
+    }
+    assert got == want
+    # every early event appears in exactly 2 of the overlapping windows
+    assert len(want) >= 5
