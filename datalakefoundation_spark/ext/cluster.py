@@ -131,6 +131,59 @@ def connected_components_star(
     )
 
 
+def connected_components_driver(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Driver-side union-find over a BOUNDED edge list — same output
+    contract as ``connected_components`` ((node, cluster_id), cluster_id =
+    component minimum), built for graphs already known to be small.
+
+    The distributed forms pay ~10–25 Spark jobs of per-iteration overhead
+    (checkpoint + convergence count per round) regardless of graph size —
+    measured 11 s for a 260k-edge reduced graph whose union-find answer
+    costs well under a second. Callers gate on an edge-count threshold
+    (see reconcile_survivors_frontier): the collect here is control-plane
+    bounded by that gate, NOT a corpus-sized pull."""
+    src_field = pairs.schema[src_col]
+    rows = pairs.select(src_col, dst_col).collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    label: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = label.get(root)
+        if cur is None or node < cur:
+            label[root] = node
+    out = [(node, label[find(node)]) for node in parent]
+    spark = pairs.sparkSession
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("node", src_field.dataType),
+            T.StructField("cluster_id", src_field.dataType),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",

@@ -18,6 +18,12 @@ Format support (built-in):
   filter-0 scanlines. Palette/16-bit/interlaced raise ``UnsupportedMedia``.
 * PPM: binary P6 (8-bit RGB) decode/encode.
 * WAV: PCM 8/16-bit mono/stereo decode to float32 in [-1, 1].
+* GIF: 87a/89a decode incl. real LZW + frame disposal; literal-LZW encode.
+* JPEG: baseline-sequential JFIF decode (SOF0/1, canonical Huffman,
+  einsum IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart intervals) — the
+  container that dominates web corpora; progressive/arithmetic/12-bit
+  raise ``UnsupportedMedia``. Encode writes baseline 4:4:4 with the
+  Annex-K tables (fixture fabrication, like gif_encode).
 """
 
 from __future__ import annotations
@@ -59,6 +65,8 @@ def sniff(content: bytes) -> str | None:
         return "wav"
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if content[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -254,13 +262,15 @@ def decode_image(content: bytes) -> np.ndarray:
     """Decode any supported image payload to HxWxC uint8. Pillow fast path
     when available; built-in PNG/PPM otherwise."""
     kind = sniff(content)
-    if HAVE_PIL and kind in ("png", "ppm"):  # pragma: no cover - no PIL here
+    if HAVE_PIL and kind in ("png", "ppm", "jpeg"):  # pragma: no cover - no PIL here
         with _PILImage.open(io.BytesIO(content)) as im:
             return np.asarray(im.convert(im.mode if im.mode in ("L", "RGB", "RGBA") else "RGB"))
     if kind == "png":
         return png_decode(content)
     if kind == "ppm":
         return ppm_decode(content)
+    if kind == "jpeg":
+        return jpeg_decode(content)
     raise UnsupportedMedia("unknown image container")
 
 
@@ -541,4 +551,475 @@ def gif_encode(frames: list["np.ndarray"], delay_ms: int = 100) -> bytes:
             out += chunk
         out.append(0)
     out += b"\x3b"
+    return bytes(out)
+
+
+# ----------------------------------------------------------- JPEG (baseline)
+# Baseline-sequential JFIF (ITU-T T.81): SOF0 frames, Huffman entropy
+# coding, 8-bit samples, interleaved scans, optional restart intervals,
+# 4:4:4 / 4:2:2 / 4:2:0 chroma sampling on decode. Progressive (SOF2),
+# arithmetic coding, 12-bit, and hierarchical frames raise
+# UnsupportedMedia. The encoder writes baseline 4:4:4 with the spec's
+# Annex-K example tables so tests and fixtures can fabricate real JPEGs;
+# it exists for the same reason gif_encode does. All block math is
+# numpy-vectorized across a component's blocks (einsum IDCT); only the
+# Huffman bit walk is a Python loop, amortized inside Arrow-batched
+# mapInPandas stages like every other codec here.
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1/K.2 example quantization tables (luminance, chrominance)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 example Huffman tables: (BITS counts per length 1..16, HUFFVAL)
+_HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix A: forward F = A f A^T, inverse
+    f = A^T F A (T.81 A.3.3 up to the orthonormal scaling)."""
+    x = np.arange(8)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+    a[0, :] = 1 / (2 * np.sqrt(2))
+    return a
+
+
+_DCT_A = _dct_matrix()
+
+
+class _HuffDecoder:
+    """Canonical Huffman decoder (T.81 F.2.2.3): per-length min/max code
+    arithmetic over the BITS/HUFFVAL table representation."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            self.valptr[ln] = k
+            self.mincode[ln] = code
+            code += bits[ln - 1]
+            k += bits[ln - 1]
+            self.maxcode[ln] = code - 1 if bits[ln - 1] else -1
+            code <<= 1
+
+    def decode(self, rd: "_BitReader") -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | rd.bit()
+            if self.maxcode[ln] >= code >= self.mincode[ln]:
+                return self.vals[self.valptr[ln] + code - self.mincode[ln]]
+        raise UnsupportedMedia("corrupt JPEG: bad Huffman code")
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise UnsupportedMedia("corrupt JPEG: entropy data exhausted")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1: map a t-bit magnitude to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_decode(content: bytes) -> np.ndarray:
+    """Decode a baseline-sequential JFIF payload to HxWxC uint8 (C=1 grey,
+    C=3 RGB via BT.601 full-range YCbCr)."""
+    if content[:2] != b"\xff\xd8":
+        raise UnsupportedMedia("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}  # (class 0=DC/1=AC, id)
+    frame = None
+    restart = 0
+    i = 2
+    n = len(content)
+    while i < n:
+        if content[i] != 0xFF:
+            raise UnsupportedMedia("corrupt JPEG: expected marker")
+        m = content[i + 1]
+        i += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", content[i : i + 2])[0]
+        seg = content[i + 2 : i + seg_len]
+        i += seg_len
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq:
+                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                else:
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                qt[tq] = tbl
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                huff[(tc, th)] = _HuffDecoder(bits, vals)
+                p += 17 + nv
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1: baseline & extended sequential
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise UnsupportedMedia(f"{prec}-bit JPEG unsupported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMedia(
+                f"non-baseline JPEG frame (marker 0xFF{m:02X}: progressive/"
+                "arithmetic/hierarchical) unsupported"
+            )
+        elif m == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise UnsupportedMedia("corrupt JPEG: SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for s in range(ns):
+                cs, tdta = seg[1 + 2 * s], seg[2 + 2 * s]
+                sel[cs] = (tdta >> 4, tdta & 0xF)
+            # entropy segment runs to the next non-RST/non-stuffed marker
+            j = i
+            while j < n - 1:
+                if content[j] == 0xFF and content[j + 1] != 0x00 and not (
+                    0xD0 <= content[j + 1] <= 0xD7
+                ):
+                    break
+                j += 1
+            scan = content[i:j]
+            i = j
+            return _jpeg_decode_scan(frame, sel, qt, huff, restart, scan)
+    raise UnsupportedMedia("corrupt JPEG: no scan data")
+
+
+def _jpeg_decode_scan(frame, sel, qt, huff, restart, scan) -> np.ndarray:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    maxh = max(c["h"] for c in comps)
+    maxv = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * maxh))
+    mcuy = -(-h // (8 * maxv))
+    n_mcu = mcux * mcuy
+    # split at restart markers, de-stuff each chunk, decode sequentially
+    chunks = []
+    cur = bytearray()
+    k = 0
+    while k < len(scan):
+        b = scan[k]
+        if b == 0xFF:
+            nxt = scan[k + 1] if k + 1 < len(scan) else 0
+            if nxt == 0x00:
+                cur.append(0xFF)
+                k += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                chunks.append(bytes(cur))
+                cur = bytearray()
+                k += 2
+                continue
+        cur.append(b)
+        k += 1
+    chunks.append(bytes(cur))
+    coeffs = {
+        c["id"]: np.zeros((n_mcu * c["h"] * c["v"], 64), dtype=np.int64)
+        for c in comps
+    }
+    pred = {c["id"]: 0 for c in comps}
+    rd = _BitReader(chunks[0])
+    chunk_idx = 0
+    for mcu in range(n_mcu):
+        if restart and mcu and mcu % restart == 0:
+            chunk_idx += 1
+            rd = _BitReader(chunks[chunk_idx])
+            pred = {c["id"]: 0 for c in comps}
+        for c in comps:
+            dc_t, ac_t = sel[c["id"]]
+            dch, ach = huff[(0, dc_t)], huff[(1, ac_t)]
+            for blk in range(c["h"] * c["v"]):
+                row = (mcu * c["h"] * c["v"]) + blk
+                out = coeffs[c["id"]][row]
+                t = dch.decode(rd)
+                pred[c["id"]] += _extend(rd.receive(t), t)
+                out[0] = pred[c["id"]]
+                kk = 1
+                while kk < 64:
+                    rs = ach.decode(rd)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            kk += 16
+                            continue
+                        break  # EOB
+                    kk += r
+                    if kk > 63:
+                        raise UnsupportedMedia("corrupt JPEG: AC overrun")
+                    out[kk] = _extend(rd.receive(s), s)
+                    kk += 1
+    planes = {}
+    for c in comps:
+        zz = coeffs[c["id"]] * qt[c["tq"]][None, :]
+        blocks = np.zeros((zz.shape[0], 64), dtype=np.float64)
+        blocks[:, _ZIGZAG] = zz
+        blocks = blocks.reshape(-1, 8, 8)
+        pix = np.einsum("ur,nuv,vc->nrc", _DCT_A, blocks, _DCT_A) + 128.0
+        # reassemble block grid: MCU-major, then h*v blocks raster within
+        bw = mcux * c["h"]
+        bh = mcuy * c["v"]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        idx = 0
+        for mcu in range(n_mcu):
+            my, mx = divmod(mcu, mcux)
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    plane[y0 : y0 + 8, x0 : x0 + 8] = pix[idx]
+                    idx += 1
+        # upsample to full resolution by sample replication, crop
+        plane = np.repeat(np.repeat(plane, maxv // c["v"], 0), maxh // c["h"], 1)
+        planes[c["id"]] = plane[:h, :w]
+    if len(comps) == 1:
+        return np.clip(np.round(planes[comps[0]["id"]]), 0, 255).astype(np.uint8)[
+            :, :, None
+        ]
+    y, cb, cr = (planes[c["id"]] for c in comps)
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) from the canonical BITS/HUFFVAL form —
+    the same generation rule _HuffDecoder walks in reverse."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """Encode HxW(x1) grey or HxWx3 RGB uint8 as baseline-sequential JFIF
+    (4:4:4, Annex-K tables scaled by the libjpeg quality rule). Exists so
+    tests and fixtures can fabricate real JPEGs — same role as gif_encode;
+    jpeg_decode is the production decode path."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, nc = pixels.shape
+    if nc not in (1, 3):
+        raise UnsupportedMedia(f"{nc}-channel JPEG encode unsupported")
+    s = 5000 // max(1, min(100, quality)) if quality < 50 else 200 - 2 * min(100, quality)
+    qts = []
+    for base in (_QT_LUMA, _QT_CHROMA)[: (1 if nc == 1 else 2)]:
+        qts.append(np.clip((base * s + 50) // 100, 1, 255).astype(np.int64))
+    p = pixels.astype(np.float64)
+    if nc == 3:
+        r, g, b = p[..., 0], p[..., 1], p[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [p[..., 0]]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    dc_tabs = [_huff_encode_table(*_HT_DC_LUMA), _huff_encode_table(*_HT_DC_CHROMA)]
+    ac_tabs = [_huff_encode_table(*_HT_AC_LUMA), _huff_encode_table(*_HT_AC_CHROMA)]
+    # per-component quantized zigzag coefficients, vectorized across blocks
+    comp_zz = []
+    for ci, plane in enumerate(planes):
+        padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        blocks = (
+            padded.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coef = np.einsum("ru,nuv,cv->nrc", _DCT_A, blocks, _DCT_A)
+        q = qts[min(ci, 1)]  # natural order; zigzagged at DQT write below
+        quant = np.round(coef.reshape(-1, 64) / q[None, :].astype(np.float64))
+        comp_zz.append(quant.astype(np.int64)[:, _ZIGZAG])
+    wr = _BitWriter()
+    pred = [0] * nc
+    n_blocks = comp_zz[0].shape[0]
+    for bi in range(n_blocks):  # 4:4:4 — one block per component per MCU
+        for ci in range(nc):
+            zz = comp_zz[ci][bi]
+            dct, act = dc_tabs[min(ci, 1)], ac_tabs[min(ci, 1)]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            t = _category(diff)
+            code, ln = dct[t]
+            wr.write(code, ln)
+            if t:
+                wr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            run = 0
+            last_nz = np.nonzero(zz[1:])[0]
+            last = int(last_nz[-1]) + 1 if len(last_nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = act[0xF0]  # ZRL
+                    wr.write(code, ln)
+                    run -= 16
+                t = _category(v)
+                code, ln = act[(run << 4) | t]
+                wr.write(code, ln)
+                wr.write(v if v >= 0 else v + (1 << t) - 1, t)
+                run = 0
+            if last < 63:
+                code, ln = act[0x00]  # EOB
+                wr.write(code, ln)
+    scan = wr.flush()
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00" + b"\x01\x01" + b"\x00"  # v1.1, no density units
+        + b"\x00\x01\x00\x01" + b"\x00\x00"    # 1x1 aspect, no thumbnail
+    )
+    for ti, q in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti]) + bytes(
+            int(x) for x in q[_ZIGZAG]  # DQT stores zigzag order
+        )
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, min(ci, 1)])
+    for tc, tabs in ((0, (_HT_DC_LUMA, _HT_DC_CHROMA)), (1, (_HT_AC_LUMA, _HT_AC_CHROMA))):
+        for th in range(1 if nc == 1 else 2):
+            bits, vals = tabs[th]
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        th = min(ci, 1)
+        out += bytes([ci + 1, (th << 4) | th])
+    out += b"\x00\x3f\x00"
+    out += scan
+    out += b"\xff\xd9"
     return bytes(out)

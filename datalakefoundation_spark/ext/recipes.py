@@ -487,6 +487,7 @@ def reconcile_survivors_frontier(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    driver_cc_threshold: int = 1_000_000,
 ) -> FrontierReconcile:
     """Frontier-bounded X54: converge streamed near-dedup output to the
     from-scratch survivor set at a cost ∝ CHURN, not corpus.
@@ -575,7 +576,18 @@ def reconcile_survivors_frontier(
         )
         .where(F.col("doc_a") != F.col("doc_b"))
     )
-    comp = connected_components(reduced).localCheckpoint(eager=True)
+    # the reduced graph is churn-sized by construction; below the
+    # threshold, driver-side union-find skips the distributed CC's
+    # ~10-25 jobs of per-iteration overhead (measured 11 s for a
+    # 260k-edge reduced graph vs <1 s union-find). The collect is
+    # bounded by the gate; set driver_cc_threshold=0 to force the
+    # distributed path for frontier batches large enough to matter.
+    if pairs.count() <= driver_cc_threshold:
+        from datalakefoundation_spark.ext.cluster import connected_components_driver
+
+        comp = connected_components_driver(reduced).localCheckpoint(eager=True)
+    else:
+        comp = connected_components(reduced).localCheckpoint(eager=True)
     # comp nodes are prior labels and fresh ids (frontier docs / old
     # singletons). Relabel prior clusters whose minimum changed ...
     changed = comp.where(F.col("node") != F.col("cluster_id"))

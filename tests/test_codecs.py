@@ -419,3 +419,222 @@ def test_wav_roundtrip_property(n, ch, seed):
     assert rate == 8000 and got.shape == (n, ch)
     # bound: 0.5/32767 rounding + the 32767-encode/32768-decode scale gap
     np.testing.assert_allclose(got, samples, atol=1 / 16384)
+
+
+# ------------------------------------------------------------------- JPEG
+
+def _assemble_jpeg(h, w, comps, qtables, scan_bits, dri=0):
+    """Hand-assemble a baseline JFIF byte stream from parts the TEST
+    controls — markers and entropy bits written per T.81 directly, so the
+    decoder is exercised against the SPEC, not against jpeg_encode.
+    ``comps``: list of (h_samp, v_samp, tq); ``qtables``: natural-order
+    int arrays; ``scan_bits``: pre-stuffed entropy bytes (incl. RSTs)."""
+    out = bytearray(b"\xff\xd8")
+    for ti, q in enumerate(qtables):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti])
+        out += bytes(int(q[z]) for z in codecs._ZIGZAG)
+    nc = len(comps)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci, (hs, vs, tq) in enumerate(comps):
+        out += bytes([ci + 1, (hs << 4) | vs, tq])
+    for tc, tabs in ((0, (codecs._HT_DC_LUMA, codecs._HT_DC_CHROMA)),
+                     (1, (codecs._HT_AC_LUMA, codecs._HT_AC_CHROMA))):
+        for th in range(1 if nc == 1 else 2):
+            bits, vals = tabs[th]
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        th = 0 if ci == 0 else 1
+        out += bytes([ci + 1, (th << 4) | th])
+    out += b"\x00\x3f\x00" + scan_bits + b"\xff\xd9"
+    return bytes(out)
+
+
+def _bits_dc_eob(wr, diff, dc_tab, ac_tab):
+    """One DC-only block: category+magnitude bits then EOB."""
+    t = int(abs(diff)).bit_length()
+    code, ln = dc_tab[t]
+    wr.write(code, ln)
+    if t:
+        wr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    code, ln = ac_tab[0x00]
+    wr.write(code, ln)
+
+
+def test_jpeg_decode_analytic_dc_block():
+    """Spec-golden single-block fixture: 8x8 grey, unit quant table, one
+    DC coefficient D=40, all AC zero. T.81 math gives pixel =
+    round(D/8) + 128 = 133 everywhere — hand-assembled entropy bits, so
+    this passes only if marker parsing, canonical Huffman decode, DC
+    EXTEND, dequantization, the IDCT, and the level shift are all right."""
+    dc = codecs._huff_encode_table(*codecs._HT_DC_LUMA)
+    ac = codecs._huff_encode_table(*codecs._HT_AC_LUMA)
+    wr = codecs._BitWriter()
+    _bits_dc_eob(wr, 40, dc, ac)
+    data = _assemble_jpeg(8, 8, [(1, 1, 0)], [np.ones(64, dtype=np.int64)], wr.flush())
+    px = codecs.jpeg_decode(data)
+    assert px.shape == (8, 8, 1)
+    assert (px == 133).all()
+    # negative DC diff exercises EXTEND's sign branch: D=-40 -> 123
+    wr = codecs._BitWriter()
+    _bits_dc_eob(wr, -40, dc, ac)
+    data = _assemble_jpeg(8, 8, [(1, 1, 0)], [np.ones(64, dtype=np.int64)], wr.flush())
+    assert (codecs.jpeg_decode(data) == 123).all()
+
+
+def test_jpeg_decode_420_subsampled_solid():
+    """Hand-built 4:2:0 color fixture: one 16x16 MCU (4 Y + 1 Cb + 1 Cr
+    blocks), solid YCbCr=(160, 98, 180) -> analytic BT.601 RGB. Exercises
+    the sampling-factor block layout, chroma replication upsample, and the
+    color transform."""
+    dcl = codecs._huff_encode_table(*codecs._HT_DC_LUMA)
+    acl = codecs._huff_encode_table(*codecs._HT_AC_LUMA)
+    dcc = codecs._huff_encode_table(*codecs._HT_DC_CHROMA)
+    acc = codecs._huff_encode_table(*codecs._HT_AC_CHROMA)
+    y, cb, cr = 160, 98, 180
+    wr = codecs._BitWriter()
+    _bits_dc_eob(wr, (y - 128) * 8, dcl, acl)   # Y block 1: diff from 0
+    for _ in range(3):                          # Y blocks 2-4: diff 0
+        _bits_dc_eob(wr, 0, dcl, acl)
+    _bits_dc_eob(wr, (cb - 128) * 8, dcc, acc)
+    _bits_dc_eob(wr, (cr - 128) * 8, dcc, acc)
+    q = np.ones(64, dtype=np.int64)
+    data = _assemble_jpeg(16, 16, [(2, 2, 0), (1, 1, 1), (1, 1, 1)], [q, q], wr.flush())
+    px = codecs.jpeg_decode(data)
+    assert px.shape == (16, 16, 3)
+    want = np.clip(np.round([
+        y + 1.402 * (cr - 128),
+        y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+        y + 1.772 * (cb - 128),
+    ]), 0, 255).astype(np.uint8)
+    assert (px == want[None, None, :]).all(), (px[0, 0], want)
+
+
+def test_jpeg_decode_restart_markers():
+    """DRI=1 with an RST0 between two MCUs: the DC predictor must reset, so
+    both solid blocks carry the same full-magnitude diff."""
+    dc = codecs._huff_encode_table(*codecs._HT_DC_LUMA)
+    ac = codecs._huff_encode_table(*codecs._HT_AC_LUMA)
+    segs = []
+    for _ in range(2):
+        wr = codecs._BitWriter()
+        _bits_dc_eob(wr, 40, dc, ac)
+        segs.append(wr.flush())
+    scan = segs[0] + b"\xff\xd0" + segs[1]
+    data = _assemble_jpeg(
+        8, 16, [(1, 1, 0)], [np.ones(64, dtype=np.int64)], scan, dri=1
+    )
+    px = codecs.jpeg_decode(data)
+    assert px.shape == (8, 16, 1)
+    assert (px == 133).all()
+
+
+def test_jpeg_roundtrip_accuracy():
+    """Encoder->decoder round trip: exact on solid colors (DC-only blocks
+    quantize losslessly at any quality), tight on smooth gradients, and
+    bounded on noise (quantization error only)."""
+    img = np.full((16, 16), 128, dtype=np.uint8)
+    assert (codecs.jpeg_decode(codecs.jpeg_encode(img, 90))[:, :, 0] == 128).all()
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack([
+        (xx * 255 / 47).astype(np.uint8),
+        (yy * 255 / 31).astype(np.uint8),
+        ((xx + yy) * 255 / 79).astype(np.uint8),
+    ], axis=-1)
+    dec = codecs.jpeg_decode(codecs.jpeg_encode(img, 92))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 8 and err.mean() < 2, (err.max(), err.mean())
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    dec = codecs.jpeg_decode(codecs.jpeg_encode(img, 95))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 48 and err.mean() < 8, (err.max(), err.mean())
+
+    # non-multiple-of-8 dims: edge padding must not bleed into the crop
+    img = np.full((13, 21, 3), (10, 200, 90), dtype=np.uint8)
+    dec = codecs.jpeg_decode(codecs.jpeg_encode(img, 90))
+    assert dec.shape == (13, 21, 3)
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_jpeg_idct_matches_naive_definition():
+    """The einsum IDCT must equal the O(N^4) textbook DCT-III double sum —
+    an implementation-independent cross-check of the transform itself."""
+    rng = np.random.default_rng(3)
+    F8 = rng.uniform(-500, 500, (8, 8))
+    fast = codecs._DCT_A.T @ F8 @ codecs._DCT_A
+    naive = np.zeros((8, 8))
+    for x in range(8):
+        for yy in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * F8[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * yy + 1) * v * np.pi / 16)
+                    )
+            naive[x, yy] = s / 4
+    assert np.abs(fast - naive).max() < 1e-9
+
+
+def test_jpeg_rejects_non_baseline():
+    bad = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    with pytest.raises(codecs.UnsupportedMedia, match="progressive|non-baseline"):
+        codecs.jpeg_decode(bad)
+    with pytest.raises(codecs.UnsupportedMedia):
+        codecs.jpeg_decode(b"\x89PNG")
+
+
+def test_jpeg_sniff_and_decode_image_route():
+    img = np.full((8, 8, 3), (50, 100, 150), dtype=np.uint8)
+    enc = codecs.jpeg_encode(img, 90)
+    assert codecs.sniff(enc) == "jpeg"
+    assert codecs.decode_image(enc).shape == (8, 8, 3)
+
+
+@pytest.mark.skipif(not codecs.HAVE_PIL, reason="Pillow absent in this container")
+def test_jpeg_golden_vs_pillow():  # pragma: no cover - auto-activates in prod
+    """When Pillow IS present (a real deployment), our decoder must agree
+    with libjpeg on Pillow-encoded files and Pillow must accept ours."""
+    import io as _io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90, subsampling=0)
+    ours = codecs.jpeg_decode(buf.getvalue())
+    theirs = np.asarray(Image.open(_io.BytesIO(buf.getvalue())).convert("RGB"))
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+    theirs2 = np.asarray(
+        Image.open(_io.BytesIO(codecs.jpeg_encode(img, 90))).convert("RGB")
+    )
+    assert np.abs(theirs2.astype(int) - img.astype(int)).mean() < 10
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.sampled_from([1, 3]),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_roundtrip_property(h, w, c, seed):
+    """Solid-color images of any geometry survive the round trip exactly:
+    DC-only blocks quantize losslessly, and the crop must shed the edge
+    padding without bleed."""
+    rng = np.random.default_rng(seed)
+    color = rng.integers(0, 256, c, dtype=np.uint8)
+    img = np.broadcast_to(color, (h, w, c)).copy()
+    dec = codecs.jpeg_decode(codecs.jpeg_encode(img, 90))
+    assert dec.shape == (h, w, c)
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 1
