@@ -250,3 +250,18 @@ def test_sf_scaling_ratio_ceilings(spark):
         f"superlinear sf0.01→sf0.1 scaling (10x data, ceiling 25x): {bad}; "
         f"all ratios: {ratios}"
     )
+
+
+def test_frontier_reconcile_equality_floor(spark):
+    """Scaled frontier_reconcile_probe (VERDICT r8 directive #2): 150k docs
+    (30 replicas in 10-replica waves, 50k churn) instead of 1M — same
+    generator, same equality assertions as the full-scale tool (survivor
+    sets and assignment state identical to the full reconcile, both
+    directions). Wall ratios are asserted only at tool scale (fixed
+    overhead dominates CI sizes); the equalities are scale-independent."""
+    from tools.frontier_reconcile_probe import run_size
+
+    rec = run_size(spark, replicas=30)  # 3 waves; frontier = the last
+    assert rec["survivors_frontier"] > 0
+    assert rec["frontier_minus_full"] == 0 == rec["full_minus_frontier"], rec
+    assert rec["assign_extra"] == 0 == rec["assign_missing"], rec
