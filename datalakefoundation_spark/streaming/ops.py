@@ -460,6 +460,79 @@ def windowed_stream_join(
     )
 
 
+def session_overlap_join(
+    left_sessions: DataFrame,
+    right_sessions: DataFrame,
+    key: str = "user_id",
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
+    max_session: str = "2 hours",
+) -> DataFrame:
+    """Join two SESSIONIZED streams on per-key session OVERLAP — the
+    correct composition ``windowed_stream_join`` refuses to fake with
+    window equality (session bounds derive from each stream's own gaps,
+    so the "same" session rarely has equal (start, end) on both sides).
+
+    Inputs are ``sessionize`` outputs (or any frame with ``key``,
+    ``session_start``, ``session_end``, an event-time column on
+    ``session_end``); only CLOSED sessions join (an open session's end
+    still moves — joining it would emit retractable rows, which a stream
+    cannot retract). Two sessions of the same key match iff their
+    [start, end] intervals intersect:
+    ``l_start <= r_end AND r_start <= l_end``.
+
+    State boundedness is the usual stream-stream discipline: both sides
+    carry watermarks on ``session_end``, and ``max_session`` bounds the
+    join's time range — a session is joinable only while the other side's
+    watermark is within (its end + max_session), because a session's
+    START is at most ``max_session`` before its end. Pass the sessionizer
+    gap + the longest session you accept; sessions longer than
+    ``max_session`` are dropped (counted against no one) rather than
+    silently half-joined — filter them upstream if they matter."""
+    horizon = F.expr(f"INTERVAL {max_session}")
+    li = (
+        left_sessions.where(F.col("closed"))
+        .where(F.col("session_end") <= F.col("session_start") + horizon)
+        .withWatermark("session_end", left_watermark)
+        .select(
+            F.col(key).alias("l_key"),
+            F.col("session_start").alias("l_start"),
+            F.col("session_end").alias("l_end"),
+            *[
+                F.col(c).alias(f"l_{c}")
+                for c in left_sessions.columns
+                if c not in (key, "session_start", "session_end", "closed")
+            ],
+        )
+    )
+    ri = (
+        right_sessions.where(F.col("closed"))
+        .where(F.col("session_end") <= F.col("session_start") + horizon)
+        .withWatermark("session_end", right_watermark)
+        .select(
+            F.col(key).alias("r_key"),
+            F.col("session_start").alias("r_start"),
+            F.col("session_end").alias("r_end"),
+            *[
+                F.col(c).alias(f"r_{c}")
+                for c in right_sessions.columns
+                if c not in (key, "session_start", "session_end", "closed")
+            ],
+        )
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("l_start") <= F.col("r_end"))
+        & (F.col("r_start") <= F.col("l_end"))
+        # event-time range bound that makes the state store evictable:
+        # start >= end - max_session on both sides, so overlap implies
+        # the ends are within max_session of each other
+        & (F.col("r_end") >= F.col("l_end") - horizon)
+        & (F.col("r_end") <= F.col("l_end") + horizon)
+    )
+    return li.join(ri, cond, "inner")
+
+
 def stream_merge_to_silver(
     events: DataFrame,
     metadata,

@@ -638,3 +638,45 @@ def test_jpeg_roundtrip_property(h, w, c, seed):
     dec = codecs.jpeg_decode(codecs.jpeg_encode(img, 90))
     assert dec.shape == (h, w, c)
     assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_extract_features_real_jpeg_in_spark(spark):
+    """A JPEG payload must flow through the Arrow-batched feature stage via
+    the REAL decoder (features match a local jpeg_decode), never the byte
+    fallback — the r9 coverage of the dominant web-corpus container."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    jpg = codecs.jpeg_encode(img, quality=90)
+    df = spark.createDataFrame(
+        [(1, bytearray(jpg), "image")],
+        "media_id long, content binary, media_type string",
+    )
+    row = MM.extract_features(df, strict=True).head()
+    local = codecs.image_features(codecs.jpeg_decode(jpg), MM.FEATURE_DIM)
+    assert row["features"] == pytest.approx(local)
+    assert row["features"] != pytest.approx(MM._fake_decode(jpg))
+
+
+def test_jpeg_decode_422_subsampled_solid():
+    """4:2:2 (h=2, v=1 luma): one 16x8 MCU = 2 Y + 1 Cb + 1 Cr blocks —
+    pins the horizontal-only replication upsample the 4:2:0 test can't."""
+    dcl = codecs._huff_encode_table(*codecs._HT_DC_LUMA)
+    acl = codecs._huff_encode_table(*codecs._HT_AC_LUMA)
+    dcc = codecs._huff_encode_table(*codecs._HT_DC_CHROMA)
+    acc = codecs._huff_encode_table(*codecs._HT_AC_CHROMA)
+    y, cb, cr = 100, 150, 60
+    wr = codecs._BitWriter()
+    _bits_dc_eob(wr, (y - 128) * 8, dcl, acl)
+    _bits_dc_eob(wr, 0, dcl, acl)
+    _bits_dc_eob(wr, (cb - 128) * 8, dcc, acc)
+    _bits_dc_eob(wr, (cr - 128) * 8, dcc, acc)
+    q = np.ones(64, dtype=np.int64)
+    data = _assemble_jpeg(8, 16, [(2, 1, 0), (1, 1, 1), (1, 1, 1)], [q, q], wr.flush())
+    px = codecs.jpeg_decode(data)
+    assert px.shape == (8, 16, 3)
+    want = np.clip(np.round([
+        y + 1.402 * (cr - 128),
+        y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+        y + 1.772 * (cb - 128),
+    ]), 0, 255).astype(np.uint8)
+    assert (px == want[None, None, :]).all(), (px[0, 0], want)

@@ -985,3 +985,80 @@ def test_windowed_stream_join_sliding_matches_batch(spark, tmp_path):
     assert got == want
     # every early event appears in exactly 2 of the overlapping windows
     assert len(want) >= 5
+
+
+def test_session_overlap_join_matches_batch(spark, tmp_path):
+    """Two sessionized streams joined on per-key interval OVERLAP — the
+    composition windowed_stream_join's docstring points session shapes at.
+    Closed sessions only; overlap semantics checked against a batch join
+    twin; open and over-long sessions excluded by contract."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from datalakefoundation_spark.streaming.ops import session_overlap_join
+
+    def ts(minute):
+        return _dt.datetime(2026, 8, 1, 10, minute, 0)
+
+    schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, closed boolean"
+    )
+    lrows = [
+        (1, ts(0), ts(10), 3, True),    # overlaps r1 and r2
+        (1, ts(30), ts(40), 2, True),   # overlaps nothing
+        (2, ts(0), ts(5), 1, True),     # same interval, other key
+        (3, ts(0), ts(10), 9, False),   # open -> excluded
+        (4, ts(0), ts(200), 5, True),   # > max_session -> excluded
+    ]
+    rrows = [
+        (1, ts(5), ts(12), 4, True),    # overlaps l1
+        (1, ts(10), ts(20), 1, True),   # touches l1 at minute 10 (inclusive)
+        (2, ts(6), ts(9), 1, True),     # no overlap with l3 ([0,5])
+        (3, ts(0), ts(10), 2, True),
+    ]
+    lsrc, rsrc = str(tmp_path / "ls"), str(tmp_path / "rs")
+    spark.createDataFrame(lrows, schema).coalesce(1).write.parquet(lsrc)
+    spark.createDataFrame(rrows, schema).coalesce(1).write.parquet(rsrc)
+
+    j = session_overlap_join(
+        spark.readStream.schema(schema).parquet(lsrc),
+        spark.readStream.schema(schema).parquet(rsrc),
+        max_session="1 hour",
+    )
+    q = (
+        j.writeStream.format("memory").queryName("soj_r9")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_key"], r["l_start"].minute, r["r_start"].minute)
+        for r in spark.sql("SELECT * FROM soj_r9").collect()
+    }
+    # batch twin: closed, bounded sessions joined on interval intersection
+    lb = spark.read.parquet(lsrc).where(
+        "closed AND session_end <= session_start + INTERVAL 1 HOUR"
+    )
+    rb = spark.read.parquet(rsrc).where(
+        "closed AND session_end <= session_start + INTERVAL 1 HOUR"
+    )
+    want = {
+        (r["user_id"], r["ls"].minute, r["rs"].minute)
+        for r in lb.alias("l")
+        .join(
+            rb.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.session_start") <= F.col("r.session_end"))
+            & (F.col("r.session_start") <= F.col("l.session_end")),
+        )
+        .select(
+            F.col("l.user_id"),
+            F.col("l.session_start").alias("ls"),
+            F.col("r.session_start").alias("rs"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert (1, 0, 5) in got and (1, 0, 10) in got  # incl. the touching pair
+    assert not any(k == 3 or k == 4 for k, _a, _b in got)
