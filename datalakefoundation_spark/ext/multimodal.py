@@ -80,7 +80,7 @@ def _decode_features(content: bytes, strict: bool) -> list[float] | None:
     if content is None:
         return None
     kind = codecs.sniff(bytes(content))
-    if kind in ("png", "ppm"):
+    if kind in ("png", "ppm", "jpeg"):
         return codecs.image_features(codecs.decode_image(bytes(content)), FEATURE_DIM)
     if kind == "gif":  # animated: features of the first composed frame
         frames, _delays = codecs.gif_decode_frames(bytes(content))
@@ -90,7 +90,7 @@ def _decode_features(content: bytes, strict: bool) -> list[float] | None:
         return codecs.audio_features(samples, rate, FEATURE_DIM)
     if strict:
         raise codecs.UnsupportedMedia(
-            "payload container not recognized (png|ppm|wav supported)"
+            "payload container not recognized (png|ppm|jpeg|gif|wav supported)"
         )
     return _fake_decode(bytes(content))
 
@@ -141,8 +141,8 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
 def resize_images(
     df: DataFrame, width: int, height: int, strict: bool = False
 ) -> DataFrame:
-    """Arrow-batched image resize: supported image payloads (PNG/PPM) are
-    REALLY decoded, nearest-neighbor resized, and re-encoded in their
+    """Arrow-batched image resize: supported image payloads (PNG/PPM/JPEG)
+    are REALLY decoded, nearest-neighbor resized, and re-encoded in their
     original container; the metadata dimensions are rewritten to the
     decoded truth. Unknown containers pass through with metadata updated
     (byte fixture path), or raise UnsupportedMedia with ``strict=True``."""
@@ -156,6 +156,9 @@ def resize_images(
             return codecs.png_encode(codecs.resize_nearest(codecs.png_decode(raw), width, height))
         if kind == "ppm":
             return codecs.ppm_encode(codecs.resize_nearest(codecs.ppm_decode(raw), width, height))
+        if kind == "jpeg":
+            px = codecs.resize_nearest(codecs.jpeg_decode(raw), width, height)
+            return codecs.jpeg_encode(px if px.shape[2] > 1 else px[:, :, 0])
         if strict:
             raise codecs.UnsupportedMedia("payload is not a supported image container")
         return raw

@@ -680,3 +680,27 @@ def test_jpeg_decode_422_subsampled_solid():
         y + 1.772 * (cb - 128),
     ]), 0, 255).astype(np.uint8)
     assert (px == want[None, None, :]).all(), (px[0, 0], want)
+
+
+def test_resize_images_jpeg_in_spark(spark):
+    """JPEG payloads resize through the real decode->resize->re-encode path
+    and come back out as JPEG with the metadata rewritten."""
+    img = np.full((16, 12, 3), (30, 90, 210), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(codecs.jpeg_encode(img, 90)), "image")],
+        "media_id long, content binary, media_type string",
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit(12).alias("width"), F.lit(16).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("jpeg").alias("codec"),
+        ),
+    )
+    row = MM.resize_images(df, 6, 8, strict=True).head()
+    out = bytes(row["content"])
+    assert codecs.sniff(out) == "jpeg"
+    px = codecs.jpeg_decode(out)
+    assert px.shape == (8, 6, 3)
+    assert int(np.abs(px.astype(int) - np.array([30, 90, 210])).max()) <= 2
+    assert row["meta"]["width"] == 6 and row["meta"]["height"] == 8

@@ -999,7 +999,7 @@ def test_session_overlap_join_matches_batch(spark, tmp_path):
     from datalakefoundation_spark.streaming.ops import session_overlap_join
 
     def ts(minute):
-        return _dt.datetime(2026, 8, 1, 10, minute, 0)
+        return _dt.datetime(2026, 8, 1, 10, 0, 0) + _dt.timedelta(minutes=minute)
 
     schema = (
         "user_id long, session_start timestamp, session_end timestamp, "
