@@ -1862,6 +1862,91 @@ def q_salted_interval_join(spark, sf_dir):
     )
 
 
+def q_session_overlap_join(spark, sf_dir):
+    """session_overlap_join (the X53 session-shape composition) in batch
+    mode, oracle-paired: gap-island sessionize clicks and views per user
+    (2-day inactivity gap — the fixture's median same-type gap per user
+    is ~36 h over a 30-day span, so this yields multi-event, overlapping
+    sessions; classic lag+cumsum islands, expressible on both engines), then join the two session sets on per-key interval
+    intersection. Bounds exported as µs epochs; n_events carried from
+    both sides so the hash pins the aggregation too."""
+    from datalakefoundation_spark.streaming.ops import session_overlap_join
+
+    ev = _ts_events(spark, sf_dir)
+
+    def sessions(kind):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts")
+        e = ev.where(F.col("event_type") == kind).select("user_id", "ts")
+        flagged = e.withColumn(
+            "__new",
+            (
+                F.col("ts").cast("long")
+                - F.coalesce(F.lag("ts").over(w).cast("long"), F.lit(-10**9))
+                > 172_800
+            ).cast("int"),
+        ).withColumn("__sid", F.sum("__new").over(w))
+        return (
+            flagged.groupBy("user_id", "__sid")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .drop("__sid")
+            .withColumn("closed", F.lit(True))
+        )
+
+    j = session_overlap_join(
+        sessions("click"), sessions("view"), max_session="35 days"
+    )
+    return j.select(
+        F.col("l_key").alias("user_id"),
+        F.unix_micros("l_start").alias("c_start_us"),
+        F.unix_micros("l_end").alias("c_end_us"),
+        F.col("l_n_events").alias("c_n"),
+        F.unix_micros("r_start").alias("v_start_us"),
+        F.unix_micros("r_end").alias("v_end_us"),
+        F.col("r_n_events").alias("v_n"),
+    )
+
+
+# identical islands rule: a session breaks when the gap exceeds 172800 s
+# (2 days); epoch-second arithmetic on both sides so the flag is
+# integer-exact; the 35-day length guard mirrors max_session
+SQL_SESSION_OVERLAP_JOIN = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+  WHERE event_type IN ('click', 'view')),
+f AS (
+  SELECT user_id, event_type, tus,
+         CASE WHEN tus // 1000000
+                   - coalesce(lag(tus // 1000000) OVER
+                       (PARTITION BY user_id, event_type ORDER BY tus),
+                     -1000000000) > 172800
+              THEN 1 ELSE 0 END AS newf
+  FROM e),
+s AS (
+  SELECT user_id, event_type, tus,
+         sum(newf) OVER (PARTITION BY user_id, event_type ORDER BY tus
+                         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f),
+g AS (
+  SELECT user_id, event_type, sid,
+         min(tus) AS s_start, max(tus) AS s_end, count(*) AS n
+  FROM s GROUP BY user_id, event_type, sid
+  HAVING max(tus) - min(tus) <= CAST(3024000 AS BIGINT) * 1000000)
+SELECT c.user_id,
+       c.s_start AS c_start_us, c.s_end AS c_end_us, c.n AS c_n,
+       v.s_start AS v_start_us, v.s_end AS v_end_us, v.n AS v_n
+FROM g c JOIN g v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND c.s_start <= v.s_end AND v.s_start <= c.s_end
+"""
+
+
 def q_salted_blanket_join(spark, sf_dir):
     """X52's blanket form (hot_keys=None — every key salted/replicated):
     the r8 shape, kept oracle-paired so both front-end variants stay
@@ -1938,8 +2023,11 @@ FROM c JOIN v USING (user_id, w)
 
 EXTRA = {
     # r9: the blanket (hot_keys=None) X52 form, oracle-paired against the
-    # same unsalted join as the hot-scoped window row:
+    # same unsalted join as the hot-scoped window row; and the session-
+    # overlap composition (gap-island sessionize -> interval-intersection
+    # join) vs an identical DuckDB islands+overlap twin:
     "q_salted_blanket_join": (q_salted_blanket_join, SQL_SALTED_INTERVAL_JOIN),
+    "q_session_overlap_join": (q_session_overlap_join, SQL_SESSION_OVERLAP_JOIN),
     # rotated OUT of the driver window in r9 by the steady-state policy
     # (each driver-green r7+r8, shape covered by a resident or fresher
     # window row — interval condition ⊂ q_salted_interval_join, substring
