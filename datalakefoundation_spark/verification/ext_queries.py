@@ -1947,6 +1947,64 @@ FROM g c JOIN g v
 """
 
 
+def q_frontier_reconcile(spark, sf_dir):
+    """X55 end-to-end vs a FROM-SCRATCH oracle: split documents into a
+    prior corpus (doc_id % 5 != 0) and a frontier (doc_id % 5 == 0),
+    bootstrap the assignment state by clustering the prior only, feed the
+    prior survivors plus every frontier doc through
+    reconcile_survivors_frontier — and the result must equal the
+    from-scratch survivor set over the WHOLE corpus, which the DuckDB twin
+    computes directly (recursive-CTE connected components over the minhash
+    band pairs; survivors = docs that are their component's minimum or in
+    no pair). The reconcile-equality theorem (components only merge,
+    minima only decrease, new edges only touch the frontier) is what makes
+    the two computations agree; an arbitrary id split exercises it without
+    any ingest-order assumption."""
+    from datalakefoundation_spark.ext.dedup import minhash_signature
+    from datalakefoundation_spark.ext.recipes import (
+        cluster_assignment,
+        reconcile_survivors_frontier,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signature(docs, "text", "doc_id").localCheckpoint(eager=True)
+    frontier_sigs = sigs.where(F.col("doc_id") % 5 == 0)
+    prior_sigs = sigs.where(F.col("doc_id") % 5 != 0)
+    assignment = cluster_assignment(prior_sigs)
+    prior_losers = assignment.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    surv_in = (
+        docs.where(F.col("doc_id") % 5 != 0)
+        .select("doc_id")
+        .join(prior_losers, "doc_id", "left_anti")
+        .unionByName(docs.where(F.col("doc_id") % 5 == 0).select("doc_id"))
+    )
+    fr = reconcile_survivors_frontier(surv_in, sigs, frontier_sigs, assignment)
+    return fr.df.select("doc_id")
+
+
+SQL_FRONTIER_RECONCILE = f"""
+WITH RECURSIVE {_SHINGLE_CTE.strip().removeprefix("WITH ")},
+sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cand UNION SELECT doc_b, doc_a FROM cand),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+),
+losers AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING min(r) <> u)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 def q_salted_blanket_join(spark, sf_dir):
     """X52's blanket form (hot_keys=None — every key salted/replicated):
     the r8 shape, kept oracle-paired so both front-end variants stay
@@ -2028,6 +2086,9 @@ EXTRA = {
     # join) vs an identical DuckDB islands+overlap twin:
     "q_salted_blanket_join": (q_salted_blanket_join, SQL_SALTED_INTERVAL_JOIN),
     "q_session_overlap_join": (q_session_overlap_join, SQL_SESSION_OVERLAP_JOIN),
+    # X55 vs a from-scratch recursive-CTE clustering — the reconcile-
+    # equality theorem as a hash-checked gate property:
+    "q_frontier_reconcile": (q_frontier_reconcile, SQL_FRONTIER_RECONCILE),
     # rotated OUT of the driver window in r9 by the steady-state policy
     # (each driver-green r7+r8, shape covered by a resident or fresher
     # window row — interval condition ⊂ q_salted_interval_join, substring
