@@ -946,6 +946,123 @@ def stream_clean_corpus(
     return writer.start()
 
 
+def reconcile_clean_corpus(
+    spark,
+    out_path: str,
+    index_path: str,
+    checkpoint: str,
+    assignment_path: str,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Periodic X55 compaction wired to a ``stream_clean_corpus`` pipeline:
+    converge the accumulated streamed survivors to the from-scratch batch
+    set at O(churn-since-last-reconcile), maintaining the clustering state
+    in a LakeTable at ``assignment_path``.
+
+    Frontier tracking is BATCH-KEYED and crash-atomic: the signature
+    index's rows carry ``__batch_key`` (stream id : batch id), and the
+    assignment table's latest manifest records which keys have been
+    reconciled (``__reconciled_keys`` metric) — updated in the SAME
+    commit as the assignment patch, so there is no window where the
+    ledger and the state disagree. A replayed reconcile sees its keys
+    already recorded, derives an empty frontier, and no-ops (nothing is
+    committed). Batch-seeded index rows (the ``__seed__`` sentinel) are
+    reconciled like any other key.
+
+    First call bootstraps: full ``cluster_assignment`` over the index
+    (O(corpus), once). Steady state: ``reconcile_survivors_frontier``
+    over the unreconciled batches' signatures, then ``merge_patch`` of
+    the churn-sized updates (write cost ∝ churn; reads pay one small
+    anti-join per live patch until the table's auto-compaction folds it).
+    Returns the reconciled survivors — the streamed output minus every
+    newly-bridged loser — computed against the FULL post-reconcile
+    assignment, so feeding the raw accumulated ``out_path`` (which still
+    contains earlier rounds' losers) stays correct."""
+    from datalakefoundation_spark.ext.recipes import (
+        cluster_assignment,
+        reconcile_survivors_frontier,
+    )
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    survivors = read_clean_corpus_output(spark, out_path, checkpoint)
+    index = LakeTable(spark, index_path)
+    idx = index.read()
+    if "__batch_key" not in idx.columns:
+        idx = idx.withColumn("__batch_key", F.lit("__seed__"))
+    else:
+        idx = idx.withColumn(
+            "__batch_key", F.coalesce(F.col("__batch_key"), F.lit("__seed__"))
+        )
+    all_keys = {
+        r["__batch_key"] for r in idx.select("__batch_key").distinct().collect()
+    }  # bounded by the number of micro-batches, not by rows
+    table = LakeTable(spark, assignment_path)
+    if not table.exists():
+        assignment = cluster_assignment(
+            idx.drop("__batch_key"), id_col, num_hashes, band_size
+        )
+        table.overwrite(
+            assignment, metrics={"__reconciled_keys": sorted(all_keys)}
+        )
+        losers = assignment.where(F.col("node") != F.col("cluster_id")).select(
+            F.col("node").alias(id_col)
+        )
+        return survivors.join(losers, id_col, "left_anti")
+    # the ledger lives on the newest commit that CARRIES it — interleaved
+    # maintenance commits (optimize/vacuum/compaction) record no metrics,
+    # so walk back past them (same discipline as replay_key_folded)
+    done: set = set()
+    mf = table.latest_manifest()
+    v = mf.version
+    for _ in range(50):
+        if v < 0:
+            break
+        m = mf if v == mf.version else table.manifest_at(v)
+        keys = (m.metrics or {}).get("__reconciled_keys")
+        if keys is not None:
+            done = set(keys)
+            break
+        v -= 1
+    frontier_keys = sorted(all_keys - done)
+    prior = table.read().select("node", "cluster_id")
+    if not frontier_keys:  # replay or no new batches: a pure no-op
+        losers = prior.where(F.col("node") != F.col("cluster_id")).select(
+            F.col("node").alias(id_col)
+        )
+        return survivors.join(losers, id_col, "left_anti")
+    frontier_sigs = idx.where(
+        F.col("__batch_key").isin(frontier_keys)
+    ).drop("__batch_key")
+    fr = reconcile_survivors_frontier(
+        survivors,
+        idx.drop("__batch_key"),
+        frontier_sigs,
+        prior,
+        id_col,
+        num_hashes,
+        band_size,
+    )
+    new_ledger = {"__reconciled_keys": sorted(done | set(frontier_keys))}
+    patched = table.merge_patch(
+        fr.updates, keys=["node"], metrics=new_ledger,
+        operation="frontier_reconcile",
+    )
+    if patched == 0:
+        # pair-less new batches: merge_patch skips empty patches entirely,
+        # so record the ledger advance with an empty append — otherwise
+        # those batches would re-enter the frontier on every reconcile
+        table.append(fr.updates.limit(0), metrics=new_ledger)
+    # filter against the FULL assignment (prior + updates), not just this
+    # round's losers: the raw out_path still carries earlier rounds'
+    # absorbed losers
+    losers = fr.assignment.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return survivors.join(losers, id_col, "left_anti")
+
+
 def read_clean_corpus_output(spark, out_path: str, checkpoint: str) -> DataFrame:
     """Read the survivors of the CURRENT stream generation only.
 

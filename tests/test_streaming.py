@@ -1062,3 +1062,75 @@ def test_session_overlap_join_matches_batch(spark, tmp_path):
     assert got == want
     assert (1, 0, 5) in got and (1, 0, 10) in got  # incl. the touching pair
     assert not any(k == 3 or k == 4 for k, _a, _b in got)
+
+
+def test_reconcile_clean_corpus_state_maintenance(spark, tmp_path):
+    """X55 wired to the streaming pipeline: reconcile_clean_corpus
+    bootstraps the assignment LakeTable from the standing index, converges
+    the streamed survivors to the batch set across a bridge ingested in a
+    LATER stream generation, tracks reconciled batches in the same commit
+    as the assignment patch, and no-ops (no new table version) when
+    nothing new arrived."""
+    import os as _os
+    import time as _time
+
+    from datalakefoundation_spark.ext.recipes import clean_corpus
+    from datalakefoundation_spark.streaming.ops import (
+        reconcile_clean_corpus,
+        stream_clean_corpus,
+    )
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+    from tests.helpers import find_bridge_fixture
+
+    fixture = find_bridge_fixture(spark)
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    out, index = str(tmp_path / "out"), str(tmp_path / "index")
+    ckpt, assign = str(tmp_path / "ckpt"), str(tmp_path / "assign")
+    kw = dict(min_tokens=3, redact_pii=False)
+
+    def write_batch(df, order):
+        df.coalesce(1).write.mode("append").parquet(src)
+        t = _time.time() - 3600 + order * 60
+        for root, _dirs, files in _os.walk(src):
+            for f in files:
+                p = _os.path.join(root, f)
+                if _os.path.getmtime(p) > t:
+                    _os.utime(p, (t, t))
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_clean_corpus(
+            stream, out, index, ckpt, clean_kwargs=kw
+        ).awaitTermination(180)
+
+    # wave 1: the two separate clusters -> streamed survivors {1, 3}
+    write_batch(fixture.where("doc_id < 10"), 1)
+    run()
+    rec1 = {r["doc_id"] for r in reconcile_clean_corpus(
+        spark, out, index, ckpt, assign).collect()}
+    assert rec1 == {1, 3}  # nothing to bridge yet
+    t = LakeTable(spark, assign)
+    v_boot = t.latest_manifest().version
+
+    # wave 2: the bridge doc arrives in a NEW stream generation
+    write_batch(fixture.where("doc_id = 10"), 2)
+    run()
+    streamed = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert streamed == {1, 3}  # the stream cannot retract survivor 3
+    rec2 = {r["doc_id"] for r in reconcile_clean_corpus(
+        spark, out, index, ckpt, assign).collect()}
+    want = {r["doc_id"] for r in clean_corpus(fixture, **kw).df.collect()}
+    assert rec2 == want == {1}
+    v_after = t.latest_manifest().version
+    assert v_after == v_boot + 1  # one patch commit for the new batch
+
+    # replay / quiet period: no new batches -> pure no-op, same answer
+    rec3 = {r["doc_id"] for r in reconcile_clean_corpus(
+        spark, out, index, ckpt, assign).collect()}
+    assert rec3 == {1}
+    assert t.latest_manifest().version == v_after
