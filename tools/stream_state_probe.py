@@ -53,6 +53,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from datalakefoundation_spark.session import get_spark  # noqa: E402
 from datalakefoundation_spark.streaming.ops import (  # noqa: E402
     salted_stream_stream_join,
+    session_overlap_join,
     sessionize,
     stream_stream_join,
     windowed_stream_join,
@@ -191,6 +192,31 @@ def run_join(spark, src: str, ckpt: str, form: str = "plain") -> list[int]:
             key="user_id",
             window="1 minute",
         )
+    elif form == "session":
+        # exercise session_overlap_join's state eviction under the same
+        # Zipf skew: each event becomes a closed 30 s pseudo-session, so
+        # two sessions of a key overlap iff their events are within 30 s —
+        # the operator's watermark + max_session range bound is what must
+        # keep the buffered-session state at an eviction plateau
+        def mk(s):
+            return s.select(
+                "user_id",
+                (F.col("ts") - F.expr("INTERVAL 30 seconds")).alias(
+                    "session_start"
+                ),
+                F.col("ts").alias("session_end"),
+                F.lit(1).cast("long").alias("n_events"),
+                F.lit(True).alias("closed"),
+            )
+
+        joined = session_overlap_join(
+            mk(left),
+            mk(right),
+            key="user_id",
+            left_watermark="2 minutes",
+            right_watermark="2 minutes",
+            max_session="1 minute",
+        )
     else:
         raise ValueError(f"unknown join form: {form}")
     agg = joined.groupBy().count()  # tiny sink: we only want the state metrics
@@ -276,7 +302,10 @@ def main() -> None:
     legs = (
         sys.argv[3].split(",") if len(sys.argv) > 3 else ["join", "sessionize"]
     )
-    known = {"join", "join_salted", "join_salted_hot", "join_preagg", "sessionize"}
+    known = {
+        "join", "join_salted", "join_salted_hot", "join_preagg",
+        "join_session", "sessionize",
+    }
     bad = [leg for leg in legs if leg not in known]
     if bad:
         # validate BEFORE write_batches spends minutes generating data
@@ -298,7 +327,8 @@ def main() -> None:
             else:
                 form = {"join": "plain", "join_salted": "salted",
                         "join_salted_hot": "salted_hot",
-                        "join_preagg": "preagg"}[leg]
+                        "join_preagg": "preagg",
+                        "join_session": "session"}[leg]
                 series[leg] = run_join(spark, f"{tmp}/src", f"{tmp}/ck_{leg}", form)
             out[f"{leg}_wall_s"] = round(time.time() - t0, 1)
             out[f"{leg}_state_rows"] = series[leg]
@@ -326,6 +356,10 @@ def main() -> None:
                 "hot-scoped state should stay near plain level: "
                 f"hot={max(series['join_salted_hot'])} plain={max(series['join'])}"
             )
+    if "join_session" in series:
+        # closed-session buffers evict at the watermark + max_session
+        # horizon, same plateau discipline as the per-event join
+        _assert_plateau(series["join_session"], total, 0.25, batches)
     if "join_preagg" in series:
         # per-window aggregates: state ∝ live (key, window) pairs, far below
         # the per-event buffers of the pairwise forms
