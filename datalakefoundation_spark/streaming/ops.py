@@ -1063,6 +1063,83 @@ def reconcile_clean_corpus(
     return survivors.join(losers, id_col, "left_anti")
 
 
+def finalize_corpus(
+    spark,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reconcile: tuple[str, str] | None = None,
+    span_dedup_size: int | None = None,
+    min_tokens: int = 10,
+    perplexity: tuple[DataFrame, DataFrame, float] | None = None,
+    mixture: tuple[str, dict[str, float]] | None = None,
+) -> DataFrame:
+    """The batch POST-PASS companion to ``stream_clean_corpus`` — exactly
+    the stages the continuous pipeline documents as corpus-global and
+    refuses to run per-batch, packaged in the canonical order:
+
+    1. ``reconcile=(index_path, assignment_path)`` — converge the
+       accumulated survivors to the from-scratch batch set first
+       (``reconcile_clean_corpus``, O(churn-since-last-reconcile)), so
+       the global stages below never spend budget on soon-to-be-dropped
+       bridged extras;
+    2. ``span_dedup_size`` — substring-level span ownership is
+       CROSS-document and cross-batch (the reason stream_clean_corpus
+       rejects it inline): rewrite later documents to strip token spans
+       an earlier doc owns, then re-apply the ``min_tokens`` floor so
+       downstream stages never see gutted husks (same discipline as
+       clean_corpus stage 5);
+    3. ``perplexity=(uni, bi, max_ppl)`` — the CCNet-style LM gate,
+       trained on a REFERENCE corpus; per-batch it would gate against
+       the wrong distribution;
+    4. ``mixture=(strata_col, weights)`` — deterministic mixture
+       sampling; per-batch a batch can lose whole strata, which
+       mixture_sample correctly rejects.
+
+    Every stage is optional and skipped when its argument says so; the
+    result is the training-ready corpus frame (lazy — write it where the
+    trainer reads). Run this when a corpus SNAPSHOT is cut, not per
+    micro-batch; the per-document gates and index-coupled dedup already
+    ran in the continuous path."""
+    from datalakefoundation_spark.ext import dedup as _D
+    from datalakefoundation_spark.ext import text as _TX
+
+    if reconcile is not None:
+        index_path, assignment_path = reconcile
+        cur = reconcile_clean_corpus(
+            spark, out_path, index_path, checkpoint, assignment_path,
+            id_col=id_col,
+        )
+    else:
+        cur = read_clean_corpus_output(spark, out_path, checkpoint)
+    if span_dedup_size is not None:
+        rewritten = _D.span_dedup(
+            cur, text_col=text_col, id_col=id_col, span_size=span_dedup_size
+        ).select(id_col, "clean_text")
+        cur = (
+            cur.drop(text_col)
+            .join(rewritten, id_col)
+            .withColumnRenamed("clean_text", text_col)
+        )
+        cur = cur.where(_TX.token_count(text_col) >= F.lit(min_tokens))
+    if perplexity is not None:
+        from datalakefoundation_spark.ext.lm import perplexity_filter
+
+        uni, bi, max_ppl = perplexity
+        cur = perplexity_filter(
+            cur, uni, bi, max_ppl, text_col=text_col, id_col=id_col
+        )
+    if mixture is not None:
+        from datalakefoundation_spark.ext.sampling import mixture_sample
+
+        strata_col, weights = mixture
+        cur = mixture_sample(
+            cur, key_col=id_col, strata_col=strata_col, weights=weights
+        )
+    return cur
+
+
 def read_clean_corpus_output(spark, out_path: str, checkpoint: str) -> DataFrame:
     """Read the survivors of the CURRENT stream generation only.
 

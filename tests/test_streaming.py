@@ -1134,3 +1134,68 @@ def test_reconcile_clean_corpus_state_maintenance(spark, tmp_path):
         spark, out, index, ckpt, assign).collect()}
     assert rec3 == {1}
     assert t.latest_manifest().version == v_after
+
+
+def test_finalize_corpus_matches_batch_postpass(spark, tmp_path):
+    """finalize_corpus (the batch post-pass companion): reconcile + span
+    dedup over the streamed output must equal the from-scratch clean_corpus
+    run with the same span settings — the corpus-global stages land on
+    exactly the batch survivor set."""
+    import os as _os
+    import time as _time
+
+    from datalakefoundation_spark.ext.recipes import clean_corpus
+    from datalakefoundation_spark.streaming.ops import (
+        finalize_corpus,
+        stream_clean_corpus,
+    )
+    from tests.helpers import find_bridge_fixture
+
+    bridge = find_bridge_fixture(spark)
+    # doc 5: 8 tokens copied from doc 1's text + a unique remainder — span
+    # dedup strips the copied windows while doc-level dedup keeps the doc
+    a_text = bridge.where("doc_id = 1").head()["text"]
+    extra = " ".join(a_text.split()[:8] + [f"uniq{i}" for i in range(30)])
+    fixture = bridge.unionByName(
+        spark.createDataFrame([(5, extra)], "doc_id long, text string")
+    )
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    out, index = str(tmp_path / "out"), str(tmp_path / "index")
+    ckpt, assign = str(tmp_path / "ckpt"), str(tmp_path / "assign")
+    kw = dict(min_tokens=3, redact_pii=False)
+
+    def write_batch(df, order):
+        df.coalesce(1).write.mode("append").parquet(src)
+        t = _time.time() - 3600 + order * 60
+        for root, _dirs, files in _os.walk(src):
+            for f in files:
+                p = _os.path.join(root, f)
+                if _os.path.getmtime(p) > t:
+                    _os.utime(p, (t, t))
+
+    write_batch(fixture.where("doc_id < 10"), 1)
+    write_batch(fixture.where("doc_id = 10"), 2)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    stream_clean_corpus(stream, out, index, ckpt, clean_kwargs=kw).awaitTermination(
+        180
+    )
+
+    got = {
+        (r["doc_id"], r["text"])
+        for r in finalize_corpus(
+            spark, out, ckpt, reconcile=(index, assign),
+            span_dedup_size=5, min_tokens=3,
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["text"])
+        for r in clean_corpus(fixture, span_dedup_size=5, **kw).df.collect()
+    }
+    assert got == want
+    by_id = dict(got)
+    assert 1 in by_id
+    if 5 in by_id:  # span stage really rewrote the partial copy
+        assert "uniq0" in by_id[5] and len(by_id[5].split()) < 38
