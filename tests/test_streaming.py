@@ -1199,3 +1199,52 @@ def test_finalize_corpus_matches_batch_postpass(spark, tmp_path):
     assert 1 in by_id
     if 5 in by_id:  # span stage really rewrote the partial copy
         assert "uniq0" in by_id[5] and len(by_id[5].split()) < 38
+
+
+def test_salted_join_row_identity_property(spark):
+    """Batch-mode property: for RANDOM data, bucket counts, and hot lists
+    (empty-ish, partial, full, wrong), the salted join's pair set equals
+    the plain join's — the row-identity theorem over the whole knob space,
+    cheap because batch mode skips the streaming harness."""
+    import random
+
+    from datalakefoundation_spark.streaming.ops import (
+        salted_stream_stream_join,
+        stream_stream_join,
+    )
+
+    rng = random.Random(20260816)
+    for trial in range(5):
+        n = rng.randint(20, 60)
+        rows = [
+            (
+                i,
+                _ts(rng.randint(0, 9), rng.randint(0, 59)),
+                rng.randint(1, 4),  # few keys -> dense pair structure
+                "e",
+                float(i),
+            )
+            for i in range(n)
+        ]
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double"
+        )
+        left = spark.createDataFrame(rows[: n // 2], schema)
+        right = spark.createDataFrame(rows[n // 2 :], schema)
+        plain = {
+            (r["l_event_id"], r["r_event_id"])
+            for r in stream_stream_join(left, right, within="3 minutes").collect()
+        }
+        hot_opts = [None, [1], [2, 3], [1, 2, 3, 4], [999]]
+        hot = hot_opts[trial % len(hot_opts)]
+        buckets = rng.choice([2, 4, 8])
+        salted = {
+            (r["l_event_id"], r["r_event_id"])
+            for r in salted_stream_stream_join(
+                left, right, within="3 minutes",
+                salt_buckets=buckets, hot_keys=hot,
+            ).collect()
+        }
+        assert salted == plain, (trial, hot, buckets, salted ^ plain)
+        assert len(plain) > 0
