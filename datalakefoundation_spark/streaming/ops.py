@@ -1019,12 +1019,19 @@ def reconcile_clean_corpus(
     for _ in range(50):
         if v < 0:
             break
-        m = mf if v == mf.version else table.manifest_at(v)
+        try:
+            m = mf if v == mf.version else table.manifest_at(v)
+        except FileNotFoundError:  # vacuumed past: ledger lost
+            break
         keys = (m.metrics or {}).get("__reconciled_keys")
         if keys is not None:
             done = set(keys)
             break
         v -= 1
+    # a lost/exhausted ledger degrades to re-frontiering every batch —
+    # WASTEFUL but safe: re-deriving edges whose docs the assignment
+    # already covers contracts them to their existing labels, so the
+    # reduced graph's merges are idempotent and updates converge to empty
     frontier_keys = sorted(all_keys - done)
     prior = table.read().select("node", "cluster_id")
     if not frontier_keys:  # replay or no new batches: a pure no-op

@@ -2260,3 +2260,31 @@ def test_frontier_reconcile_matches_full_over_rounds(spark):
         assert got_assign == want_assign, f"wave {wave} assignment diverged"
         assignment = fr.assignment.localCheckpoint(eager=True)
         survivors = fr.df.localCheckpoint(eager=True)
+
+
+def test_frontier_reconcile_idempotent_on_covered_frontier(spark):
+    """Degraded mode (a lost reconcile ledger re-frontiers batches the
+    assignment already covers): re-deriving edges whose endpoints all
+    carry assignment rows contracts them to their existing labels, the
+    reduced graph collapses to self-edges, and the reconcile converges to
+    an EMPTY update set with survivors unchanged — wasteful, never wrong
+    (the safety property reconcile_clean_corpus's ledger walk relies on)."""
+    from datalakefoundation_spark.ext.dedup import minhash_signature
+    from datalakefoundation_spark.ext.recipes import (
+        cluster_assignment,
+        reconcile_survivors_frontier,
+    )
+    from tests.helpers import find_bridge_fixture
+
+    fixture = find_bridge_fixture(spark)
+    sigs = minhash_signature(fixture, "text", "doc_id").localCheckpoint(eager=True)
+    assignment = cluster_assignment(sigs)  # covers every doc incl. the bridge
+    survivors = fixture.where("doc_id = 1").select("doc_id")
+    fr = reconcile_survivors_frontier(
+        survivors, sigs, sigs.where("doc_id = 10"), assignment
+    )
+    assert fr.updates.count() == 0
+    assert {r["doc_id"] for r in fr.df.collect()} == {1}
+    got = {(r["node"], r["cluster_id"]) for r in fr.assignment.collect()}
+    want = {(r["node"], r["cluster_id"]) for r in assignment.collect()}
+    assert got == want
