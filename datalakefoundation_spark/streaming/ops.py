@@ -998,14 +998,51 @@ def reconcile_clean_corpus(
     all_keys = {
         r["__batch_key"] for r in idx.select("__batch_key").distinct().collect()
     }  # bounded by the number of micro-batches, not by rows
+
+    # The ledger is stored COMPACTED: batch ids are sequential per stream
+    # generation and a reconcile always drains every unprocessed key, so
+    # "done" per generation is a prefix — one watermark per stream id
+    # (plus a seed flag) instead of an ever-growing key list. A stream
+    # that runs for years of micro-batches keeps the ledger at
+    # O(generations), not O(batches), in every manifest. An id gap (an
+    # empty micro-batch appends no index rows) is safely covered by the
+    # watermark: a key with no index rows has nothing to reconcile.
+    def _ledger_done(metrics: dict) -> "callable":
+        wm = dict(metrics.get("__reconciled_watermarks", {}))
+        seed_done = bool(metrics.get("__seed_reconciled", False))
+        legacy = set(metrics.get("__reconciled_keys", []))  # pre-compaction
+
+        def done(key: str) -> bool:
+            if key in legacy:
+                return True
+            if key == "__seed__":
+                return seed_done
+            sid, _, bid = key.rpartition(":")
+            return sid in wm and bid.isdigit() and int(bid) <= int(wm[sid])
+
+        return done
+
+    def _compact(keys: set) -> dict:
+        wm: dict[str, int] = {}
+        seed = False
+        for key in keys:
+            if key == "__seed__":
+                seed = True
+                continue
+            sid, _, bid = key.rpartition(":")
+            if bid.isdigit():
+                wm[sid] = max(wm.get(sid, -1), int(bid))
+        out: dict = {"__reconciled_watermarks": wm}
+        if seed:
+            out["__seed_reconciled"] = True
+        return out
+
     table = LakeTable(spark, assignment_path)
     if not table.exists():
         assignment = cluster_assignment(
             idx.drop("__batch_key"), id_col, num_hashes, band_size
         )
-        table.overwrite(
-            assignment, metrics={"__reconciled_keys": sorted(all_keys)}
-        )
+        table.overwrite(assignment, metrics=_compact(all_keys))
         losers = assignment.where(F.col("node") != F.col("cluster_id")).select(
             F.col("node").alias(id_col)
         )
@@ -1013,7 +1050,7 @@ def reconcile_clean_corpus(
     # the ledger lives on the newest commit that CARRIES it — interleaved
     # maintenance commits (optimize/vacuum/compaction) record no metrics,
     # so walk back past them (same discipline as replay_key_folded)
-    done: set = set()
+    is_done = _ledger_done({})
     mf = table.latest_manifest()
     v = mf.version
     for _ in range(50):
@@ -1023,16 +1060,19 @@ def reconcile_clean_corpus(
             m = mf if v == mf.version else table.manifest_at(v)
         except FileNotFoundError:  # vacuumed past: ledger lost
             break
-        keys = (m.metrics or {}).get("__reconciled_keys")
-        if keys is not None:
-            done = set(keys)
+        mm = m.metrics or {}
+        if (
+            "__reconciled_watermarks" in mm
+            or "__reconciled_keys" in mm  # pre-compaction format, still read
+        ):
+            is_done = _ledger_done(mm)
             break
         v -= 1
     # a lost/exhausted ledger degrades to re-frontiering every batch —
     # WASTEFUL but safe: re-deriving edges whose docs the assignment
     # already covers contracts them to their existing labels, so the
     # reduced graph's merges are idempotent and updates converge to empty
-    frontier_keys = sorted(all_keys - done)
+    frontier_keys = sorted(k for k in all_keys if not is_done(k))
     prior = table.read().select("node", "cluster_id")
     if not frontier_keys:  # replay or no new batches: a pure no-op
         losers = prior.where(F.col("node") != F.col("cluster_id")).select(
@@ -1051,7 +1091,10 @@ def reconcile_clean_corpus(
         num_hashes,
         band_size,
     )
-    new_ledger = {"__reconciled_keys": sorted(done | set(frontier_keys))}
+    # compact over EVERYTHING now processed (all index keys are either
+    # previously done or in this frontier) — the new ledger supersedes any
+    # legacy list format it may have been read from
+    new_ledger = _compact(all_keys)
     patched = table.merge_patch(
         fr.updates, keys=["node"], metrics=new_ledger,
         operation="frontier_reconcile",

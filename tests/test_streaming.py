@@ -1135,6 +1135,28 @@ def test_reconcile_clean_corpus_state_maintenance(spark, tmp_path):
     assert rec3 == {1}
     assert t.latest_manifest().version == v_after
 
+    # ledger is COMPACTED: one watermark per stream generation, not an
+    # ever-growing key list (O(generations) manifest metrics forever)
+    mm = t.latest_manifest().metrics
+    wm = mm["__reconciled_watermarks"]
+    assert len(wm) >= 1 and all(int(v) >= 0 for v in wm.values())
+    assert "__reconciled_keys" not in mm
+
+    # legacy-format migration: a pre-compaction ledger (key list) written
+    # by an older build must still be read as done -> next call no-ops
+    idx_keys = sorted(
+        r["__batch_key"]
+        for r in LakeTable(spark, index).read().select("__batch_key")
+        .distinct().collect()
+    )
+    empty = LakeTable(spark, assign).read().limit(0)
+    t.append(empty, metrics={"__reconciled_keys": idx_keys})
+    v_legacy = t.latest_manifest().version
+    rec4 = {r["doc_id"] for r in reconcile_clean_corpus(
+        spark, out, index, ckpt, assign).collect()}
+    assert rec4 == {1}
+    assert t.latest_manifest().version == v_legacy
+
 
 def test_finalize_corpus_matches_batch_postpass(spark, tmp_path):
     """finalize_corpus (the batch post-pass companion): reconcile + span
