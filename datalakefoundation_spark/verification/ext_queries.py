@@ -1947,6 +1947,50 @@ FROM g c JOIN g v
 """
 
 
+def q_sliding_window_join(spark, sf_dir):
+    """X53's r9 sliding form in batch mode, oracle-paired: per-(user,
+    2-day window sliding by 1 day) aggregates from clicks and views,
+    equi-joined on (key, window). Spark's sliding windows are
+    epoch-aligned with starts at slide multiples covering each event —
+    the DuckDB twin enumerates exactly those starts (k ∈ 0..overlap-1
+    back-steps from the event's day), so every event lands in 2 windows
+    on both engines."""
+    from datalakefoundation_spark.streaming.ops import windowed_stream_join
+
+    ev = _ts_events(spark, sf_dir)
+    j = windowed_stream_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "view"),
+        key="user_id",
+        window="2 days",
+        slide="1 day",
+        left_aggs=[F.count(F.lit(1)).alias("n_clicks")],
+        right_aggs=[F.count(F.lit(1)).alias("n_views")],
+    )
+    return j.select(
+        "user_id",
+        F.unix_micros("window_start").alias("w_start_us"),
+        "n_clicks",
+        "n_views",
+    )
+
+
+SQL_SLIDING_WINDOW_JOIN = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+           WHERE event_type IN ('click', 'view')),
+w AS (
+  SELECT user_id, event_type,
+         (tus // 86400000000 - k) * 86400000000 AS ws
+  FROM e, unnest(generate_series(0, 1)) AS t(k)),
+c AS (SELECT user_id, ws, count(*) AS n_clicks FROM w
+      WHERE event_type = 'click' GROUP BY user_id, ws),
+v AS (SELECT user_id, ws, count(*) AS n_views FROM w
+      WHERE event_type = 'view' GROUP BY user_id, ws)
+SELECT c.user_id, c.ws AS w_start_us, n_clicks, n_views
+FROM c JOIN v USING (user_id, ws)
+"""
+
+
 def q_frontier_reconcile(spark, sf_dir):
     """X55 end-to-end vs a FROM-SCRATCH oracle: split documents into a
     prior corpus (doc_id % 5 != 0) and a frontier (doc_id % 5 == 0),
@@ -2089,6 +2133,8 @@ EXTRA = {
     # X55 vs a from-scratch recursive-CTE clustering — the reconcile-
     # equality theorem as a hash-checked gate property:
     "q_frontier_reconcile": (q_frontier_reconcile, SQL_FRONTIER_RECONCILE),
+    # X53's r9 sliding-window form vs an explicit window-enumeration twin:
+    "q_sliding_window_join": (q_sliding_window_join, SQL_SLIDING_WINDOW_JOIN),
     # rotated OUT of the driver window in r9 by the steady-state policy
     # (each driver-green r7+r8, shape covered by a resident or fresher
     # window row — interval condition ⊂ q_salted_interval_join, substring
