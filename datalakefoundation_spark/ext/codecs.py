@@ -704,7 +704,20 @@ def _extend(v: int, t: int) -> int:
 
 def jpeg_decode(content: bytes) -> np.ndarray:
     """Decode a baseline-sequential JFIF payload to HxWxC uint8 (C=1 grey,
-    C=3 RGB via BT.601 full-range YCbCr)."""
+    C=3 RGB via BT.601 full-range YCbCr). Corrupt/truncated payloads of
+    any shape raise ``UnsupportedMedia`` — a web-corpus decoder sees
+    garbage constantly, and leaking struct/index errors would crash the
+    strict-mode Arrow stage with undiagnosable tracebacks (fuzzed in
+    tests/test_codecs.py)."""
+    try:
+        return _jpeg_decode_impl(content)
+    except UnsupportedMedia:
+        raise
+    except (struct.error, ValueError, IndexError, KeyError, TypeError) as exc:
+        raise UnsupportedMedia(f"corrupt JPEG: {type(exc).__name__}: {exc}") from exc
+
+
+def _jpeg_decode_impl(content: bytes) -> np.ndarray:
     if content[:2] != b"\xff\xd8":
         raise UnsupportedMedia("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}

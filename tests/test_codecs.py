@@ -704,3 +704,28 @@ def test_resize_images_jpeg_in_spark(spark):
     assert px.shape == (8, 6, 3)
     assert int(np.abs(px.astype(int) - np.array([30, 90, 210])).max()) <= 2
     assert row["meta"]["width"] == 6 and row["meta"]["height"] == 8
+
+
+def test_jpeg_decode_never_leaks_parse_errors():
+    """Fuzz: garbage after a JPEG magic and truncations of a valid file
+    must ALWAYS raise UnsupportedMedia — never struct.error / IndexError /
+    raw ValueError (a web corpus feeds the decoder garbage constantly;
+    strict-mode mapInPandas stages rely on the typed error)."""
+    import random
+
+    rng = random.Random(1)
+    for _ in range(600):
+        payload = b"\xff\xd8\xff" + bytes(
+            rng.randrange(256) for _ in range(rng.randint(0, 200))
+        )
+        try:
+            codecs.jpeg_decode(payload)
+        except codecs.UnsupportedMedia:
+            pass
+    img = np.full((16, 16, 3), (10, 200, 90), dtype=np.uint8)
+    enc = codecs.jpeg_encode(img, 90)
+    for cut in range(2, len(enc), 5):
+        try:
+            codecs.jpeg_decode(enc[:cut])
+        except codecs.UnsupportedMedia:
+            pass
