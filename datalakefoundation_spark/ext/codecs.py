@@ -41,6 +41,32 @@ class UnsupportedMedia(ValueError):
     """Payload is not a format the built-in codec tier supports."""
 
 
+def _corrupt_guard(fn):
+    """Decode entry points face web-corpus garbage constantly: any parse
+    failure (truncation, bogus lengths, impossible headers) must surface
+    as the TYPED ``UnsupportedMedia``, never a raw struct/index/zlib
+    error — strict-mode Arrow stages and callers' error routing rely on
+    it (fuzzed in tests/test_codecs.py)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(content, *a, **kw):
+        try:
+            return fn(content, *a, **kw)
+        except UnsupportedMedia:
+            raise
+        except (
+            struct.error, zlib.error, ValueError, IndexError, KeyError,
+            TypeError, EOFError,
+        ) as exc:
+            raise UnsupportedMedia(
+                f"corrupt {fn.__name__.split('_')[0]} payload: "
+                f"{type(exc).__name__}: {exc}"
+            ) from exc
+
+    return wrapped
+
+
 try:  # optional fast path — absent in this container, present in prod
     from PIL import Image as _PILImage  # type: ignore
 
@@ -84,6 +110,7 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+@_corrupt_guard
 def png_decode(content: bytes) -> np.ndarray:
     """Decode a PNG payload to a HxWxC uint8 array (C=1/2/3/4).
 
@@ -182,6 +209,7 @@ def png_encode(pixels: np.ndarray) -> bytes:
 
 # --------------------------------------------------------------- PPM
 
+@_corrupt_guard
 def ppm_decode(content: bytes) -> np.ndarray:
     """Binary P6 PPM -> HxWx3 uint8."""
     if content[:2] != b"P6":
@@ -214,6 +242,7 @@ def ppm_encode(pixels: np.ndarray) -> bytes:
 
 # --------------------------------------------------------------- WAV
 
+@_corrupt_guard
 def wav_decode(content: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV -> (float32 samples in [-1, 1] shaped (n, channels), rate).
     8-bit unsigned and 16-bit signed PCM supported."""
@@ -423,6 +452,7 @@ def _lzw_encode_literal(min_code_size: int, indices: list[int]) -> bytes:
     return bytes(out)
 
 
+@_corrupt_guard
 def gif_decode_frames(content: bytes) -> tuple[list["np.ndarray"], list[int]]:
     """Decode an (animated) GIF into RGB frames + per-frame delays (ms).
 

@@ -729,3 +729,37 @@ def test_jpeg_decode_never_leaks_parse_errors():
             codecs.jpeg_decode(enc[:cut])
         except codecs.UnsupportedMedia:
             pass
+
+
+@pytest.mark.parametrize("kind", ["png", "ppm", "wav", "gif"])
+def test_decoders_never_leak_parse_errors(kind):
+    """Same fuzz contract as JPEG for every built-in decoder: garbage after
+    the container magic and truncations of a valid payload always raise
+    the typed UnsupportedMedia."""
+    import random
+
+    rng = random.Random(3)
+    img = np.full((8, 8, 3), (1, 2, 3), dtype=np.uint8)
+    magic, fn, valid = {
+        "png": (codecs.PNG_SIG, codecs.png_decode, codecs.png_encode(img)),
+        "ppm": (b"P6", codecs.ppm_decode, codecs.ppm_encode(img)),
+        "wav": (
+            b"RIFF\x00\x00\x00\x00WAVE",
+            codecs.wav_decode,
+            codecs.wav_encode(0.1 * np.sin(np.linspace(0, 9, 200, dtype=np.float32))),
+        ),
+        "gif": (b"GIF89a", lambda b: codecs.gif_decode_frames(b), codecs.gif_encode([img])),
+    }[kind]
+    for _ in range(400):
+        payload = magic + bytes(
+            rng.randrange(256) for _ in range(rng.randint(0, 150))
+        )
+        try:
+            fn(payload)
+        except codecs.UnsupportedMedia:
+            pass
+    for cut in range(2, len(valid), 5):
+        try:
+            fn(valid[:cut])
+        except codecs.UnsupportedMedia:
+            pass
