@@ -256,7 +256,90 @@ def run_probe(spark, replicas: int, batches: int) -> dict:
         ).count()
         rec["reconcile_wall_s"] = round(time.time() - t0, 1)
         reconciled.unpersist()
+
+        # X55 PACKAGED path, end to end (r9): reconcile_clean_corpus
+        # bootstraps the assignment LakeTable from the standing index
+        # (full clustering, once), then one more streamed wave lands and
+        # the second call reconciles at batch-sized cost via the
+        # watermark ledger. Both calls must converge to their respective
+        # batch twins exactly.
+        from datalakefoundation_spark.streaming.ops import reconcile_clean_corpus
+
+        assign = f"{tmp}/assign"
+        t0 = time.time()
+        pkg = reconcile_clean_corpus(spark, out, index, ckpt, assign).select(
+            "doc_id"
+        ).persist()
+        rec["pkg_bootstrap_survivors"] = pkg.count()
+        rec["pkg_bootstrap_wall_s"] = round(time.time() - t0, 1)
+        rec["pkg_bootstrap_minus_batch"] = pkg.join(
+            batch_ids, "doc_id", "left_anti"
+        ).count()
+        rec["batch_minus_pkg_bootstrap"] = batch_ids.join(
+            pkg, "doc_id", "left_anti"
+        ).count()
+        pkg.unpersist()
         batch_ids.unpersist()
+
+        # one more wave: fresh docs (ids above everything ingested) with
+        # planted near-dups of each other — streamed in, then reconciled
+        # at churn cost through the SAME checkpoint/index/ledger
+        base_max = n_docs  # ids so far are < n_base * replicas
+        extra = (
+            spark.range(per_wave := max(1000, n_base // 5))
+            .select(
+                (F.col("id") + base_max).alias("doc_id"),
+                F.concat(
+                    F.lit("wave doc "),
+                    ((F.col("id") / 2).cast("long")).cast("string"),
+                    F.lit(" body "),
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.concat(
+                                F.lit(f"xw{j}g"),
+                                ((F.col("id") / 2).cast("long")).cast("string"),
+                            )
+                            for j in range(30)
+                        ],
+                    ),
+                    F.lit(" m"),
+                    F.col("id").cast("string"),
+                ).alias("text"),
+                F.lit("en").alias("lang"),
+            )
+        )
+        extra.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_clean_corpus(
+            stream, out, index, ckpt,
+            clean_kwargs=dict(min_tokens=5, redact_pii=False),
+        )
+        q.awaitTermination()
+        t0 = time.time()
+        pkg2 = reconcile_clean_corpus(spark, out, index, ckpt, assign).select(
+            "doc_id"
+        ).persist()
+        rec["pkg_incremental_survivors"] = pkg2.count()
+        rec["pkg_incremental_wall_s"] = round(time.time() - t0, 1)
+        all_docs2 = spark.read.parquet(src)
+        batch2 = clean_corpus(
+            all_docs2, near_dedup=True, min_tokens=5, redact_pii=False
+        )
+        b2 = batch2.df.select("doc_id").persist()
+        rec["pkg_incremental_minus_batch"] = pkg2.join(
+            b2, "doc_id", "left_anti"
+        ).count()
+        rec["batch_minus_pkg_incremental"] = b2.join(
+            pkg2, "doc_id", "left_anti"
+        ).count()
+        batch2.unpersist()
+        b2.unpersist()
+        pkg2.unpersist()
         return rec
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -283,6 +366,17 @@ def assert_identities(rec: dict) -> None:
         "reconcile_survivors must converge to the batch set exactly: "
         f"{rec['reconciled_minus_batch']} extra, "
         f"{rec['batch_minus_reconciled']} missing"
+    )
+    assert (
+        rec["pkg_bootstrap_minus_batch"] == 0 == rec["batch_minus_pkg_bootstrap"]
+    ), "packaged reconcile_clean_corpus bootstrap must equal the batch set"
+    assert (
+        rec["pkg_incremental_minus_batch"]
+        == 0
+        == rec["batch_minus_pkg_incremental"]
+    ), (
+        "packaged reconcile after one more streamed wave must equal the "
+        "batch twin over the extended corpus"
     )
 
 
