@@ -955,6 +955,7 @@ def reconcile_clean_corpus(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    auto_compact_segments: int = 16,
 ) -> DataFrame:
     """Periodic X55 compaction wired to a ``stream_clean_corpus`` pipeline:
     converge the accumulated streamed survivors to the from-scratch batch
@@ -1104,6 +1105,18 @@ def reconcile_clean_corpus(
         # so record the ledger advance with an empty append — otherwise
         # those batches would re-enter the frontier on every reconcile
         table.append(fr.updates.limit(0), metrics=new_ledger)
+    elif (
+        auto_compact_segments
+        and len(table.latest_manifest().segments) > auto_compact_segments
+    ):
+        # the assignment table is maintained OUTSIDE the Processing loop,
+        # so it needs its own patch-tail fold: every reconcile appends one
+        # churn-sized patch, and reads pay one anti-join per live patch —
+        # fold the small-segment tail once it outgrows the threshold (the
+        # same incremental compaction the batch pipeline auto-runs). The
+        # compaction commit carries no ledger metrics; the walk-back
+        # ledger read skips past it by design.
+        table.compact_small_segments()
     # filter against the FULL assignment (prior + updates), not just this
     # round's losers: the raw out_path still carries earlier rounds'
     # absorbed losers

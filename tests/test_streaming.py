@@ -1157,6 +1157,34 @@ def test_reconcile_clean_corpus_state_maintenance(spark, tmp_path):
     assert rec4 == {1}
     assert t.latest_manifest().version == v_legacy
 
+    # patch-tail maintenance: a third stream wave + a tiny
+    # auto_compact_segments threshold folds the assignment patches; the
+    # ledger walk reads past the metric-less compaction commit, so a
+    # fourth call is still a version-stable no-op with the same answer
+    zz = [f"zz{i}" for i in range(30)]
+    extra = spark.createDataFrame(
+        [(40, " ".join(zz)), (41, " ".join(zz[:-1] + ["yy"]))],  # near-dup pair
+        "doc_id long, text string",
+    )
+    write_batch(extra, 3)
+    run()
+    rec5 = {r["doc_id"] for r in reconcile_clean_corpus(
+        spark, out, index, ckpt, assign, auto_compact_segments=1).collect()}
+    assert rec5 == {1, 40}
+    ops = [m.operation for m in t.history()]
+    assert any("compact" in op for op in ops), ops
+    v5 = t.latest_manifest().version
+    rec6 = {r["doc_id"] for r in reconcile_clean_corpus(
+        spark, out, index, ckpt, assign).collect()}
+    assert rec6 == {1, 40}
+    assert t.latest_manifest().version == v5
+    # the within-wave near-dup was absorbed by the stream; the reconcile
+    # assignment must also know it
+    assign_rows = {
+        (r["node"], r["cluster_id"]) for r in t.read().collect()
+    }
+    assert (41, 40) in assign_rows
+
 
 def test_finalize_corpus_matches_batch_postpass(spark, tmp_path):
     """finalize_corpus (the batch post-pass companion): reconcile + span
