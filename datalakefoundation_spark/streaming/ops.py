@@ -33,17 +33,60 @@ def _stream_id(checkpoint: str) -> str:
     ``stream=<id>`` subtree (or, worse, scope to a different generation).
     Remote scheme URIs (s3a://, hdfs://...) are kept verbatim apart from
     the trailing-slash strip: there is no local filesystem to resolve
-    against, and scheme+authority are already canonical."""
-    import hashlib
+    against, and scheme+authority are already canonical.
+
+    A ``file://`` URI with a non-empty, non-localhost authority
+    (``file://host/path``) is REJECTED: stripping the scheme would fold
+    the host into a CWD-relative path and silently scope to the wrong
+    generation; Hadoop's LocalFileSystem does not address remote hosts
+    either.
+
+    MIGRATION (checkpoints created before normalization landed): the old
+    derivation hashed the RAW string, so a deployment that spelled its
+    checkpoint non-canonically (trailing slash, relative path, file://
+    URI) owns ``stream=<legacy id>`` subtrees and ledger entries under a
+    DIFFERENT id. Readers probe the legacy id as a fallback
+    (``_stream_id_candidates`` + ``read_clean_corpus_output``); writers
+    switch to the normalized id at upgrade, which the reader's
+    batch-id-deduplicated union bridges. The batch-keyed reconcile ledger
+    needs no migration: legacy keys are opaque ``sid:bid`` strings and
+    keep their own per-sid watermark."""
     import os
 
     c = checkpoint
     if c.startswith("file://"):
-        c = c[len("file://"):] or "/"
+        rest = c[len("file://"):]
+        authority, _, _path = rest.partition("/")
+        if authority not in ("", "localhost"):
+            raise ValueError(
+                f"_stream_id: file:// URI with non-empty authority "
+                f"{authority!r} — a remote-host file URI has no local "
+                "filesystem to resolve against; use the plain path or a "
+                "real remote scheme (hdfs://, s3a://)"
+            )
+        c = rest[len(authority):] or "/"
     if "://" not in c:
         c = os.path.abspath(c)
     c = c.rstrip("/") or "/"
-    return hashlib.sha256(c.encode()).hexdigest()[:16]
+    return _raw_stream_id(c)
+
+
+def _raw_stream_id(s: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
+def _stream_id_candidates(checkpoint: str) -> list[str]:
+    """Normalized id first, then the LEGACY raw-string id when the spelling
+    was non-canonical — readers probe in this order so deployments whose
+    ``stream=<id>`` subtrees were written before spelling normalization
+    keep resolving (see the migration note on ``_stream_id``)."""
+    ids = [_stream_id(checkpoint)]
+    legacy = _raw_stream_id(checkpoint)
+    if legacy not in ids:
+        ids.append(legacy)
+    return ids
 
 
 EVENT_SCHEMA = T.StructType(
@@ -408,20 +451,32 @@ def windowed_stream_join(
     from each stream's own event gaps, so the "same" session on the two
     sides generally has different (start, end) — window equality would
     silently join only sessions that happen to align exactly. Sessionize
-    each stream separately (``sessionize``) and join on overlap instead."""
+    each stream separately (``sessionize``), persist the closed sessions
+    to a sink, and re-read them as a stream into ``session_overlap_join``
+    — NOT in one query; see that function's docstring for why the
+    persistence boundary is mandatory."""
     import re as _re
 
     if slide is not None and _re.fullmatch(r"\s*", slide):
         raise ValueError("windowed_stream_join: slide must be a duration string")
 
-    def _alias_of(col) -> str:
-        # Column carries no public name accessor pre-analysis; the repr is
-        # stable ("Column<'count(1) AS l_n'>") and aggs are flat AS-aliases
-        s = str(col)
-        m = _re.search(r" AS (\w+)'?>?$", s)
-        return m.group(1) if m else s
-
-    names = [_alias_of(c) for c in left_aggs] + [_alias_of(c) for c in right_aggs]
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    lagg = (
+        left.withWatermark("ts", watermark)
+        .groupBy(w.alias("__w"), F.col(key).alias("l_key"))
+        .agg(*left_aggs)
+    )
+    ragg = (
+        right.withWatermark("ts", watermark)
+        .groupBy(w.alias("__w"), F.col(key).alias("r_key"))
+        .agg(*right_aggs)
+    )
+    # validate agg names from the ANALYZED schemas (the first 2 columns of
+    # each agg frame are the grouping keys, the rest are the aggs) — a
+    # Column's repr is not a stable API across Spark versions / Connect,
+    # so parsing it could fail open and resurface the collision only at
+    # the sink as an ambiguous-reference error
+    names = list(lagg.columns[2:]) + list(ragg.columns[2:])
     reserved = {key, "window_start", "window_end", "l_key", "r_key", "__w"}
     seen: set[str] = set()
     for n in names:
@@ -436,17 +491,6 @@ def windowed_stream_join(
                 "left_aggs/right_aggs — alias every aggregate uniquely"
             )
         seen.add(n)
-    w = F.window("ts", window, slide) if slide else F.window("ts", window)
-    lagg = (
-        left.withWatermark("ts", watermark)
-        .groupBy(w.alias("__w"), F.col(key).alias("l_key"))
-        .agg(*left_aggs)
-    )
-    ragg = (
-        right.withWatermark("ts", watermark)
-        .groupBy(w.alias("__w"), F.col(key).alias("r_key"))
-        .agg(*right_aggs)
-    )
     j = lagg.join(
         ragg,
         (F.col("l_key") == F.col("r_key")) & (lagg["__w"] == ragg["__w"]),
@@ -467,19 +511,40 @@ def session_overlap_join(
     left_watermark: str = "2 hours",
     right_watermark: str = "2 hours",
     max_session: str = "2 hours",
+    hot_keys: list | None = None,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Join two SESSIONIZED streams on per-key session OVERLAP — the
     correct composition ``windowed_stream_join`` refuses to fake with
     window equality (session bounds derive from each stream's own gaps,
     so the "same" session rarely has equal (start, end) on both sides).
 
-    Inputs are ``sessionize`` outputs (or any frame with ``key``,
-    ``session_start``, ``session_end``, an event-time column on
-    ``session_end``); only CLOSED sessions join (an open session's end
-    still moves — joining it would emit retractable rows, which a stream
-    cannot retract). Two sessions of the same key match iff their
-    [start, end] intervals intersect:
+    Inputs are ``sessionize`` OUTPUT ROWS — but NOT in the same streaming
+    query: Spark rejects ``applyInPandasWithState`` composed with any
+    other stateful operator in one query (the rejection is pinned in
+    tests/test_streaming.py), so the production composition crosses a
+    PERSISTENCE BOUNDARY: ``sessionize`` → parquet/Lake sink → re-read
+    the closed sessions as a file-source stream → this join. Any frame
+    with ``key``, ``session_start``, ``session_end``, an event-time
+    column on ``session_end`` works; only CLOSED sessions join (an open
+    session's end still moves — joining it would emit retractable rows,
+    which a stream cannot retract). Two sessions of the same key match
+    iff their [start, end] intervals intersect:
     ``l_start <= r_end AND r_start <= l_end``.
+
+    ``hot_keys`` — hot-key-scoped salting, the same front-end
+    ``salted_stream_stream_join`` grew for the per-event join: a rank-1
+    key's session pairs otherwise all flow through ONE state partition
+    (the r9 probe leg measured the wall). Listed keys' LEFT sessions get
+    a deterministic per-row salt, their RIGHT sessions replicate across
+    ``salt_buckets`` (right-side state ×(1 + (salt_buckets−1)·hot_share),
+    not a blanket ×buckets), every other key takes salt 0 on both sides,
+    and the join adds ``l_salt == r_salt`` — each session pair meets in
+    exactly one bucket, so the result is ROW-IDENTICAL to the unsalted
+    form for ANY list (stale calibration degrades the spread, never
+    correctness; asserted in tests). Salting spreads the hot key's pair
+    product and state, it does not shrink them — when per-pair output
+    isn't needed, pre-aggregate instead.
 
     State boundedness is the usual stream-stream discipline: both sides
     carry watermarks on ``session_end``, and ``max_session`` bounds the
@@ -489,36 +554,68 @@ def session_overlap_join(
     gap + the longest session you accept; sessions longer than
     ``max_session`` are dropped (counted against no one) rather than
     silently half-joined — filter them upstream if they matter."""
+    if hot_keys is not None and len(hot_keys) == 0:
+        raise ValueError(
+            "session_overlap_join: hot_keys=[] — nothing to salt; pass "
+            "hot_keys=None for the plain (unsalted) form"
+        )
+    if hot_keys is not None and salt_buckets < 2:
+        raise ValueError("session_overlap_join: salt_buckets must be >= 2")
     horizon = F.expr(f"INTERVAL {max_session}")
+    lcols = [
+        F.col(key).alias("l_key"),
+        F.col("session_start").alias("l_start"),
+        F.col("session_end").alias("l_end"),
+        *[
+            F.col(c).alias(f"l_{c}")
+            for c in left_sessions.columns
+            if c not in (key, "session_start", "session_end", "closed")
+        ],
+    ]
+    rcols = [
+        F.col(key).alias("r_key"),
+        F.col("session_start").alias("r_start"),
+        F.col("session_end").alias("r_end"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right_sessions.columns
+            if c not in (key, "session_start", "session_end", "closed")
+        ],
+    ]
+    if hot_keys is not None:
+        # same salt discipline as salted_stream_stream_join: deterministic
+        # row salt (replay-stable) from the hashable columns; NULL keys
+        # fall to the otherwise-branch (isin is NULL on NULL) — harmless,
+        # NULL never equi-joins
+        salt_cols = [c for c, t in left_sessions.dtypes if "map<" not in t]
+        row_salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets)
+        ).cast("long")
+        is_hot = F.col(key).isin(list(hot_keys))
+        all_salts = F.array(*[F.lit(i).cast("long") for i in range(salt_buckets)])
+        lcols.append(
+            F.when(is_hot, row_salt).otherwise(F.lit(0).cast("long")).alias(
+                "__l_salt"
+            )
+        )
+        rcols.append(
+            F.explode(
+                F.when(is_hot, all_salts).otherwise(
+                    F.array(F.lit(0).cast("long"))
+                )
+            ).alias("__r_salt")
+        )
     li = (
         left_sessions.where(F.col("closed"))
         .where(F.col("session_end") <= F.col("session_start") + horizon)
         .withWatermark("session_end", left_watermark)
-        .select(
-            F.col(key).alias("l_key"),
-            F.col("session_start").alias("l_start"),
-            F.col("session_end").alias("l_end"),
-            *[
-                F.col(c).alias(f"l_{c}")
-                for c in left_sessions.columns
-                if c not in (key, "session_start", "session_end", "closed")
-            ],
-        )
+        .select(*lcols)
     )
     ri = (
         right_sessions.where(F.col("closed"))
         .where(F.col("session_end") <= F.col("session_start") + horizon)
         .withWatermark("session_end", right_watermark)
-        .select(
-            F.col(key).alias("r_key"),
-            F.col("session_start").alias("r_start"),
-            F.col("session_end").alias("r_end"),
-            *[
-                F.col(c).alias(f"r_{c}")
-                for c in right_sessions.columns
-                if c not in (key, "session_start", "session_end", "closed")
-            ],
-        )
+        .select(*rcols)
     )
     cond = (
         (F.col("l_key") == F.col("r_key"))
@@ -530,7 +627,10 @@ def session_overlap_join(
         & (F.col("r_end") >= F.col("l_end") - horizon)
         & (F.col("r_end") <= F.col("l_end") + horizon)
     )
-    return li.join(ri, cond, "inner")
+    if hot_keys is not None:
+        cond = cond & (F.col("__l_salt") == F.col("__r_salt"))
+    j = li.join(ri, cond, "inner")
+    return j.drop("__l_salt", "__r_salt") if hot_keys is not None else j
 
 
 def stream_merge_to_silver(
@@ -1214,6 +1314,33 @@ def read_clean_corpus_output(spark, out_path: str, checkpoint: str) -> DataFrame
     generations' directories in place, so a plain ``read.parquet(out_path)``
     would double-count documents across generations. Always scope reads to
     the generation, i.e. use this helper (or clean up retired ``stream=``
-    subdirectories when retiring their checkpoints)."""
-    stream_id = _stream_id(checkpoint)
-    return spark.read.parquet(f"{out_path}/stream={stream_id}")
+    subdirectories when retiring their checkpoints).
+
+    Pre-normalization checkpoints (see the migration note on
+    ``_stream_id``): when the spelling was non-canonical the old id hashed
+    the raw string, so this probes the legacy ``stream=<id>`` subtree as a
+    fallback. A deployment upgraded MID-STREAM owns both subtrees (old
+    batches under the legacy id, new ones under the normalized id); the
+    union drops legacy batch ids that the normalized subtree also carries,
+    because a post-upgrade replay of a pre-upgrade batch rewrites that
+    batch under the NEW id — keeping both copies would double-count it."""
+    candidates = _stream_id_candidates(checkpoint)
+    dirs = [f"{out_path}/stream={sid}" for sid in candidates]
+    existing = [d for d in dirs if _hadoop_path_exists(spark, d)]
+    if len(existing) != 2:
+        # none → read the primary path so the caller sees the standard
+        # path-not-found AnalysisException naming the CURRENT id
+        return spark.read.parquet(existing[0] if existing else dirs[0])
+    cur = spark.read.parquet(existing[0])
+    legacy = spark.read.parquet(existing[1])
+    replayed = cur.select("batch_id").distinct()
+    return cur.unionByName(legacy.join(replayed, "batch_id", "left_anti"))
+
+
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Scheme-aware existence probe (local paths AND remote URIs) via the
+    session's Hadoop FileSystem — os.path only answers for local paths."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))

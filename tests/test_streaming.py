@@ -1298,3 +1298,176 @@ def test_salted_join_row_identity_property(spark):
         }
         assert salted == plain, (trial, hot, buckets, salted ^ plain)
         assert len(plain) > 0
+
+
+def test_session_overlap_join_hot_keys_row_identity(spark, tmp_path):
+    """Hot-key-scoped salting must be invisible in the RESULT — identical
+    rows for any hot list (the real hot key, a partial list, a stale/wrong
+    list) and any bucket count; only the state spread changes (r9 ADVICE /
+    r10 directive #4). Also pins the empty-list rejection."""
+    import datetime as _dt
+    import random
+
+    from datalakefoundation_spark.streaming.ops import session_overlap_join
+
+    rng = random.Random(10)
+
+    def ts(minute):
+        return _dt.datetime(2026, 8, 2, 9, 0, 0) + _dt.timedelta(minutes=minute)
+
+    schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, closed boolean"
+    )
+    # Zipf-ish: user 1 is hot, plus open/over-long rows that must drop
+    rows = []
+    for i in range(120):
+        uid = 1 if rng.random() < 0.5 else rng.randrange(2, 12)
+        start = rng.randrange(0, 50)
+        rows.append(
+            (uid, ts(start), ts(start + rng.randrange(1, 8)),
+             i, rng.random() > 0.1)
+        )
+    rows.append((1, ts(0), ts(500), 999, True))  # > max_session: excluded
+    lsrc, rsrc = str(tmp_path / "ls"), str(tmp_path / "rs")
+    spark.createDataFrame(rows[:60], schema).coalesce(1).write.parquet(lsrc)
+    spark.createDataFrame(rows[60:], schema).coalesce(1).write.parquet(rsrc)
+
+    def run(name, **kw):
+        j = session_overlap_join(
+            spark.readStream.schema(schema).parquet(lsrc),
+            spark.readStream.schema(schema).parquet(rsrc),
+            max_session="1 hour",
+            **kw,
+        )
+        q = (
+            j.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        out = {
+            (r["l_key"], r["l_n_events"], r["r_n_events"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        # salt plumbing must not leak into the output schema
+        assert not any(
+            c.startswith("__") for c in spark.table(name).columns
+        )
+        return out
+
+    plain = run("soj_plain")
+    assert len(plain) > 50  # the fixture must actually exercise overlap
+    assert run("soj_hot", hot_keys=[1]) == plain
+    assert run("soj_hot4", hot_keys=[1, 2, 3], salt_buckets=4) == plain
+    assert run("soj_stale", hot_keys=[999], salt_buckets=2) == plain
+
+    with pytest.raises(ValueError, match="hot_keys"):
+        session_overlap_join(
+            spark.readStream.schema(schema).parquet(lsrc),
+            spark.readStream.schema(schema).parquet(rsrc),
+            hot_keys=[],
+        )
+    with pytest.raises(ValueError, match="salt_buckets"):
+        session_overlap_join(
+            spark.readStream.schema(schema).parquet(lsrc),
+            spark.readStream.schema(schema).parquet(rsrc),
+            hot_keys=[1],
+            salt_buckets=1,
+        )
+
+
+def test_sessionize_cannot_feed_stream_join_in_one_query(spark, tmp_path):
+    """PIN the Spark restriction the docstrings now document (r9 ADVICE):
+    applyInPandasWithState composed with another stateful operator in ONE
+    streaming query is rejected at analysis/start time — the production
+    composition must cross a persistence boundary (sessionize -> sink ->
+    re-read closed sessions -> session_overlap_join), which is exactly what
+    the other session tests exercise. If a future Spark lifts the
+    restriction this test will fail loudly and the docs should be revised."""
+    from pyspark.errors import AnalysisException
+
+    from datalakefoundation_spark.streaming.ops import (
+        session_overlap_join,
+        sessionize,
+    )
+
+    src = str(tmp_path / "ev")
+    _write_events(spark, src, [(1, _ts(0, 10), 1, "view", 1.0)])
+    left = sessionize(read_event_stream(spark, src))
+    right = sessionize(read_event_stream(spark, src))
+    j = session_overlap_join(left, right)
+    with pytest.raises((AnalysisException, Exception)) as exc:
+        q = (
+            j.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(60)
+        finally:
+            q.stop()
+    msg = str(exc.value)
+    assert (
+        "applyInPandasWithState" in msg
+        or "flatMapGroupsWithState" in msg
+        or "Multiple" in msg
+        or "stateful" in msg.lower()
+    ), msg
+
+
+def test_stream_id_rejects_remote_file_authority():
+    """file://host/path has no local filesystem to resolve against — the
+    old code folded the host into a CWD-relative path (r9 ADVICE)."""
+    from datalakefoundation_spark.streaming.ops import _stream_id
+
+    with pytest.raises(ValueError, match="authority"):
+        _stream_id("file://remotehost/data/ck")
+    # empty and localhost authorities stay accepted (both mean local)
+    assert _stream_id("file:///data/ck") == _stream_id("/data/ck")
+    assert _stream_id("file://localhost/data/ck") == _stream_id("/data/ck")
+
+
+def test_read_clean_corpus_output_probes_legacy_stream_id(spark, tmp_path):
+    """Checkpoints created BEFORE id normalization own stream=<raw-hash>
+    subtrees; the reader must fall back to them, and when an upgrade split
+    one generation across both ids it must drop legacy batch ids the new
+    subtree also carries (a post-upgrade replay rewrites that batch under
+    the new id — keeping both copies would double-count it)."""
+    from datalakefoundation_spark.streaming.ops import (
+        _raw_stream_id,
+        _stream_id,
+        read_clean_corpus_output,
+    )
+
+    ck = str(tmp_path / "ck") + "/"  # non-canonical spelling: ids differ
+    legacy, current = _raw_stream_id(ck), _stream_id(ck)
+    assert legacy != current
+    out = str(tmp_path / "out")
+
+    def write(sid, bid, ids):
+        spark.createDataFrame(
+            [(i, f"d{i}") for i in ids], "doc_id long, text string"
+        ).coalesce(1).write.parquet(f"{out}/stream={sid}/batch_id={bid:012d}")
+
+    # legacy-only generation: fallback must find it
+    write(legacy, 0, [1, 2])
+    got = {r["doc_id"] for r in read_clean_corpus_output(spark, out, ck).collect()}
+    assert got == {1, 2}
+
+    # upgrade seam: batch 1 exists under BOTH ids (post-upgrade replay of a
+    # pre-upgrade batch, possibly with different survivors); batch 2 is new
+    write(legacy, 1, [3, 4])
+    write(current, 1, [3])
+    write(current, 2, [5])
+    rows = read_clean_corpus_output(spark, out, ck).collect()
+    got = sorted(r["doc_id"] for r in rows)
+    assert got == [1, 2, 3, 5], got  # 4 dropped with the superseded batch
+
+    # canonical spelling: single id, no fallback path taken
+    ck2 = str(tmp_path / "ck2")
+    out2 = str(tmp_path / "out2")
+    spark.createDataFrame([(9, "x")], "doc_id long, text string").write.parquet(
+        f"{out2}/stream={_stream_id(ck2)}/batch_id={0:012d}"
+    )
+    assert read_clean_corpus_output(spark, out2, ck2).count() == 1
