@@ -89,6 +89,68 @@ def _force(df) -> None:
 TIMED_RUNS = 3  # min-of-3 (VERDICT r4 #9); spread recorded per query
 SPREADS: dict[str, float] = {}
 
+# --- self-certifying canary (VERDICT r9 directive #2) -----------------------
+# A pinned, SF-INDEPENDENT pure-CPU probe (no I/O, no page-cache or data-size
+# dependence): bit_xor of depth-16-nested xxhash64 over a fixed 268M-row
+# range, min-of-3 after one untimed JIT pass. Its quiet value is below and in
+# BASELINE.md; the payload carries canary_sec / canary_ratio so every BENCH
+# artifact carries its OWN host-state control — r9 recorded 21.78 s under a
+# load-gate-green-but-drifted host that read 14.4 s when genuinely quiet.
+# Reading rule (BASELINE.md "Bench canary"): trust per-query comparisons only
+# when canary_ratio <= CANARY_DRIFT_RATIO; above it host_state says "drifted"
+# and any mover should be re-pinned on a quiet host before being believed.
+CANARY_QUIET_SEC = 1.12  # quiet-host min (r10 pin; repeated mins 1.12-1.19)
+CANARY_DRIFT_RATIO = 1.2
+REBENCH_RATIO = 1.3  # movers vs the prior round re-run only on a clean canary
+
+
+def _canary(spark) -> float:
+    from pyspark.sql import functions as F
+
+    # depth-16 nested hashing keeps the probe COMPUTE-bound (~1.1 s quiet):
+    # a single hash over the same range is ~0.1 s of mostly job-scheduling
+    # overhead, whose 2x invocation jitter would swamp a 1.2x threshold.
+    # bit_xor, not sum: summing 268M hashes overflows long under ANSI mode.
+    expr = F.col("id")
+    for _ in range(16):
+        expr = F.xxhash64(expr)
+    df = spark.range(0, 1 << 28, 1, 64).select(F.bit_xor(expr).alias("h"))
+    _force(df)  # untimed: JIT the probe's own codegen path
+    samples = []
+    for _ in range(3):
+        start = time.time()
+        _force(df)
+        samples.append(time.time() - start)
+    return min(samples)
+
+
+def _prior_bench(sf) -> dict[str, float]:
+    """Per-query minima from the newest recorded BENCH_r*.json at the same
+    SF (empty when none parse) — the comparison base for the selective
+    re-run of >REBENCH_RATIO movers."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        reverse=True,
+    ):
+        try:
+            rec = json.load(open(path))
+            line = next(
+                ln
+                for ln in str(rec.get("tail", "")).splitlines()
+                if ln.startswith('{"metric"')
+            )
+            payload = json.loads(line)
+            if payload.get("sf") == sf:
+                return dict(payload.get("queries", {}))
+        except (StopIteration, ValueError, OSError):
+            continue
+    return {}
+
 
 def _idle_host_gate(max_wait: float = 60.0) -> float:
     """Wait (bounded) for the 1-minute load average to settle below half
@@ -237,6 +299,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     errors: dict[str, str] = {}
     queries: dict[str, float] = {}
+    # canary runs BEFORE and AFTER the timed sections: drift that arrives
+    # mid-bench inflates the later keys, so the payload's verdict takes the
+    # worse of the two readings
+    try:
+        canary_pre = _canary(spark)
+    except Exception as exc:  # noqa: BLE001 — never lose the JSON line
+        errors["canary"] = f"{type(exc).__name__}: {exc}"[:500]
+        canary_pre = -1.0
     try:
         queries.update(bench_queries(spark, sf_dir, errors))
     except Exception as exc:  # noqa: BLE001 — never lose the JSON line
@@ -245,13 +315,53 @@ def main() -> None:
         queries.update(bench_loads(spark, sf_dir, errors))
     except Exception as exc:  # noqa: BLE001
         errors["bench_loads"] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
+        canary_post = _canary(spark) if canary_pre >= 0 else -1.0
+    except Exception as exc:  # noqa: BLE001
+        errors["canary"] = f"{type(exc).__name__}: {exc}"[:500]
+        canary_post = -1.0
+    canary_sec = max(canary_pre, canary_post)
+    canary_ratio = (
+        round(canary_sec / CANARY_QUIET_SEC, 3)
+        if canary_sec > 0 and CANARY_QUIET_SEC > 0
+        else -1.0
+    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    rebenched: dict[str, float] = {}
+    if 0 < canary_ratio <= CANARY_DRIFT_RATIO:
+        # clean canary: a >REBENCH_RATIO mover vs the prior round is NOT
+        # host noise by construction, but single-key jitter still exists —
+        # fold in TIMED_RUNS more samples so a flagged regression is
+        # min-of-6 before anyone reads it as real
+        prior = _prior_bench(sf_val)
+        registry = all_queries()
+        for name, prev in prior.items():
+            cur = queries.get(name)
+            fn = registry.get(name, (None,))[0] or EXTRA_BENCH_QUERIES.get(name)
+            if cur is None or fn is None or prev <= 0 or cur <= REBENCH_RATIO * prev:
+                continue
+            try:
+                samples = []
+                for _ in range(TIMED_RUNS):
+                    start = time.time()
+                    _force(fn(spark, sf_dir))
+                    samples.append(time.time() - start)
+                rebenched[name] = cur
+                queries[name] = round(min(cur, *samples), 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[f"rebench_{name}"] = f"{type(exc).__name__}: {exc}"[:500]
     total = round(sum(queries.values()), 3)
+    if host_state == "quiet" and canary_ratio > CANARY_DRIFT_RATIO:
+        # the load gate passed but the pinned probe ran slow: background
+        # pressure the 1-minute average missed (r9's 21.78 s-vs-14.4 s
+        # shape) — downgrade so the artifact self-reports
+        host_state = "drifted"
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": queries,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         # variance context: per-query max-min across the 3 timed runs and
         # the host load at gate exit — a regression reading should be
         # judged against these, not assumed reproducible
@@ -259,7 +369,16 @@ def main() -> None:
         "host_load_1m": load,
         "host_state": host_state,
         "timed_runs": TIMED_RUNS,
+        # self-certification: pinned pure-CPU probe vs its quiet-host value
+        # (BASELINE.md "Bench canary"); worse of the pre/post readings
+        "canary_sec": round(canary_sec, 3),
+        "canary_quiet_sec": CANARY_QUIET_SEC,
+        "canary_ratio": canary_ratio,
     }
+    if rebenched:
+        # keys that moved >REBENCH_RATIO vs the prior round under a CLEAN
+        # canary, re-run min-of-6; value = the pre-re-run reading
+        payload["rebenched"] = rebenched
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
