@@ -862,6 +862,17 @@ QUERIES = {
     "q_source_hash": (q_source_hash, SQL_SOURCE_HASH),
     "q_business_pk": (q_business_pk, SQL_BUSINESS_PK),
     "q_duplicate_guard": (q_duplicate_guard, SQL_DUPLICATE_GUARD),
+    # rotated IN for r10 (stalest cohort: last driver-green r2 — the
+    # least-recently-driver-verified oracle-paired rows per the window
+    # policy; 11 two-round-green rotating rows moved out, see
+    # ext_queries.EXTRA r10):
+    "q_cast_columns": (q_cast_columns, SQL_CAST_COLUMNS),
+    "q_rename_project": (q_rename_project, SQL_RENAME_PROJECT),
+    "q_watermark_max": (q_watermark_max, SQL_WATERMARK_MAX),
+    "q_count_filter": (q_count_filter, SQL_COUNT_FILTER),
+    "q_rollup_sales": (q_rollup_sales, SQL_ROLLUP_SALES),
+    "q_top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "q_running_total": (q_running_total, SQL_RUNNING_TOTAL),
 }
 
 # Oracle-paired queries kept OUT of the driver registry (window is 50 rows).
@@ -893,13 +904,6 @@ EXTRA = {
     "q_distinct_partitions": (q_distinct_partitions, SQL_DISTINCT_PARTITIONS),
     "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
     "q_order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
-    "q_cast_columns": (q_cast_columns, SQL_CAST_COLUMNS),
-    "q_rename_project": (q_rename_project, SQL_RENAME_PROJECT),
-    "q_watermark_max": (q_watermark_max, SQL_WATERMARK_MAX),
-    "q_count_filter": (q_count_filter, SQL_COUNT_FILTER),
-    "q_rollup_sales": (q_rollup_sales, SQL_ROLLUP_SALES),
-    "q_top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
-    "q_running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "q_scd2_initial": (q_scd2_initial, SQL_SCD2_INITIAL),
     "q_shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "q_region_volume": (q_region_volume, SQL_REGION_VOLUME),

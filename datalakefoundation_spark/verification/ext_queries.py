@@ -2124,17 +2124,30 @@ FROM c JOIN v USING (user_id, w)
 
 
 EXTRA = {
-    # r9: the blanket (hot_keys=None) X52 form, oracle-paired against the
-    # same unsalted join as the hot-scoped window row; and the session-
-    # overlap composition (gap-island sessionize -> interval-intersection
-    # join) vs an identical DuckDB islands+overlap twin:
-    "q_salted_blanket_join": (q_salted_blanket_join, SQL_SALTED_INTERVAL_JOIN),
-    "q_session_overlap_join": (q_session_overlap_join, SQL_SESSION_OVERLAP_JOIN),
-    # X55 vs a from-scratch recursive-CTE clustering — the reconcile-
-    # equality theorem as a hash-checked gate property:
-    "q_frontier_reconcile": (q_frontier_reconcile, SQL_FRONTIER_RECONCILE),
-    # X53's r9 sliding-window form vs an explicit window-enumeration twin:
-    "q_sliding_window_join": (q_sliding_window_join, SQL_SLIDING_WINDOW_JOIN),
+    # rotated OUT of the driver window in r10 by the steady-state policy
+    # (each driver-green r8+r9; shapes covered by residents or fresher
+    # rows — as-of/backward join ⊂ q_salted_interval_join +
+    # q_session_overlap_join's interval predicates, per-group top-k ⊂
+    # q_histogram_percentiles' windowed ranks, tf-idf/log-weighting ⊂
+    # q_trigram_lm + q_hashed_features_ngram, regex scrub ⊂
+    # q_gopher_quality's regex stats, column profiling ⊂
+    # q_histogram_percentiles, deterministic reshard ⊂ q_mixture/source
+    # hash shapes, embedding near-dup ⊂ q_knn_topk + q_novelty,
+    # hash-threshold sampling ⊂ q_source_cap, BPE vocab ⊂ q_bpe_encode
+    # (encode exercises the trained table), ladder anomalies ⊂
+    # q_time_weighted_avg + q_histogram_percentiles, all-pairs near-dup
+    # baseline ⊂ q_dedup_minhash_vocab + q_ngram_jaccard):
+    "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "q_grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
+    "q_tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
+    "q_pii_scrub": (q_pii_scrub, _pii_oracle_sql()),
+    "q_profile_columns": (q_profile_columns, _profile_oracle_sql()),
+    "q_reshard_shuffle": (q_reshard_shuffle, SQL_RESHARD_SHUFFLE),
+    "q_semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "q_mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "q_bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
+    "q_rollup_anomalies": (q_rollup_anomalies, SQL_ROLLUP_ANOMALIES),
+    "q_text_near_dup": (q_text_near_dup, SQL_TEXT_NEAR_DUP),
     # rotated OUT of the driver window in r9 by the steady-state policy
     # (each driver-green r7+r8, shape covered by a resident or fresher
     # window row — interval condition ⊂ q_salted_interval_join, substring
@@ -2202,15 +2215,16 @@ EXTRA = {
 
 
 QUERIES = {
-    "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "q_grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
-    "q_tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
-    "q_pii_scrub": (q_pii_scrub, _pii_oracle_sql()),
+    # rotated IN for r10 (never driver-seated: the r9-new oracle-paired
+    # rows — X55 frontier reconcile, X56 session-overlap join, the
+    # blanket X52 form, X53's sliding windows; q_session_overlap_join's
+    # code grew the hot-key front-end THIS round, so the seat also
+    # covers the change):
+    "q_salted_blanket_join": (q_salted_blanket_join, SQL_SALTED_INTERVAL_JOIN),
+    "q_session_overlap_join": (q_session_overlap_join, SQL_SESSION_OVERLAP_JOIN),
+    "q_frontier_reconcile": (q_frontier_reconcile, SQL_FRONTIER_RECONCILE),
+    "q_sliding_window_join": (q_sliding_window_join, SQL_SLIDING_WINDOW_JOIN),
     "q_span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
-    "q_profile_columns": (q_profile_columns, _profile_oracle_sql()),
-    "q_reshard_shuffle": (q_reshard_shuffle, SQL_RESHARD_SHUFFLE),
-    "q_semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
-    "q_mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     # rotated IN for r9 — the X52/X53 streaming front-ends, never driver-
     # verified (added r8 as EXTRA); the hot-key-scoped salted join is the
     # r9 directive-#1 code path:
@@ -2242,9 +2256,6 @@ QUERIES = {
     # had a driver CORRECTNESS row (VERDICT r5 directive #1); LM/feature/
     # near-dup family first, then the decontamination/quality knobs:
     "q_trigram_lm": (q_trigram_lm, SQL_TRIGRAM_LM),
-    "q_text_near_dup": (q_text_near_dup, SQL_TEXT_NEAR_DUP),
-    "q_bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
-    "q_rollup_anomalies": (q_rollup_anomalies, SQL_ROLLUP_ANOMALIES),
     "q_decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE),
     # vocabulary-hashing variants: the SAME oracles as the direct paths —
     # hash_distinct must be bit-identical, so oracle-pairing it makes the

@@ -117,3 +117,51 @@ def test_every_extra_row_is_exercised_by_this_gate():
     source of test_oracle_parity must be exactly window ∪ EXTRA, so a
     future rotation can't orphan an EXTRA row from the local gate."""
     assert set(_registry()) == set(all_queries()) | set(extra_queries())
+
+
+def test_rotation_policy_no_query_starves():
+    """Mechanical pin of the window-rotation policy (VERDICT r9 directive
+    #7): reading the recorded CORRECTNESS_r*.json ledger, every
+    oracle-paired query must either have held a driver seat within the
+    last MAX_STALE_ROUNDS recorded rounds, or hold one NOW (i.e. sit in
+    the current 50-row window, scheduled for the next driver run). A
+    never-seated oracle-paired query must be in the window — new rows
+    take a seat in their debut round. A policy slip therefore fails CI
+    in the round it happens instead of surfacing as a stale-verification
+    note in a later verdict."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not files:
+        pytest.skip("no CORRECTNESS history recorded yet")
+    last_seen: dict[str, int] = {}
+    latest = 0
+    for path in files:
+        n = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        latest = max(latest, n)
+        for key in json.load(open(path)):
+            last_seen[key] = max(last_seen.get(key, 0), n)
+
+    # ceil(extras / seats-rotated-per-round) bounds the full cycle; the
+    # observed cadence is ~11 seats/round over ~63 extras => <= 6 rounds
+    MAX_STALE_ROUNDS = 6
+    window = set(all_queries())
+    starving = []
+    for name, (_fn, sql) in _registry().items():
+        if sql is None:
+            continue  # rows-only: structurally ineligible for a seat
+        stale = latest - last_seen.get(name, -10**6)
+        if stale > MAX_STALE_ROUNDS and name not in window:
+            starving.append((name, last_seen.get(name, None)))
+    assert not starving, (
+        f"oracle-paired queries starving past {MAX_STALE_ROUNDS} rounds and "
+        f"not scheduled in the current window (latest ledger r{latest}): "
+        f"{sorted(starving)} — rotate them into QUERIES per "
+        "verification/__init__.py"
+    )
