@@ -276,8 +276,18 @@ def detect_hot_keys(
     bounded by ``max_keys`` (each hot key costs ×salt_buckets right-state
     replication downstream, so a long list is a config smell — raise
     rather than silently salt half the key universe). Returns a plain list
-    suitable for an IN-literal (broadcast with the plan, no join)."""
-    counts = calibration.groupBy(key).agg(F.count(F.lit(1)).alias("__n")).persist()
+    suitable for an IN-literal (broadcast with the plan, no join).
+
+    For calibrating FROM THE STREAM ITSELF (the production shape: "the
+    last N minutes of the same stream"), pair
+    ``stream_hot_key_calibration`` (a foreachBatch sampler maintaining a
+    bounded rolling count table) with ``detect_hot_keys_rolling``."""
+    counts = calibration.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    return _hot_keys_from_counts(counts, key, min_share, max_keys)
+
+
+def _hot_keys_from_counts(counts, key: str, min_share: float, max_keys: int) -> list:
+    counts = counts.persist()
     try:
         total = counts.agg(F.sum("__n")).first()[0] or 0
         if total == 0:
@@ -298,6 +308,123 @@ def detect_hot_keys(
             "max_keys deliberately"
         )
     return [r[key] for r in rows]
+
+
+def stream_hot_key_calibration(
+    events: DataFrame,
+    counts_path: str,
+    checkpoint: str,
+    key: str = "user_id",
+    window: str = "5 minutes",
+    retention_windows: int = 6,
+    trigger_available_now: bool = True,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """foreachBatch sampler maintaining the ROLLING per-key count table
+    that ``detect_hot_keys_rolling`` reads — the streaming calibration
+    source for the salted-join hot lists (r9 directive #6: "calibrate
+    from the last N minutes of the same stream").
+
+    Each micro-batch folds ONE partial aggregate row per
+    (tumbling event-time window, key) into a LakeTable — batch-sized
+    work, never a source rescan, same discipline as the signature-index
+    and rollup sinks. The table stays BOUNDED: whenever stored rows fall
+    behind the newest window by more than ``retention_windows``, the fold
+    rewrites the (already small) table without them; between prunes it
+    grows only by the per-batch distinct (window, key) pairs. Replays are
+    exactly-once by the (stream id, batch id) key: a replayed batch sees
+    its own key already stored and no-ops, and the prune+fold lands as
+    ONE CAS commit so a crash between them cannot split the state.
+
+    Correctness never depends on this table: a stale or wrong hot list
+    degrades the salted join's SPREAD, not its rows (asserted in
+    tests/test_streaming.py), so the sampler can lag, restart, or lose
+    retention without a data bug — it is pure steering."""
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    stream_id = _stream_id(checkpoint)
+    horizon = F.expr(f"INTERVAL {window}") * F.lit(int(retention_windows))
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        replay_key = f"{stream_id}:{batch_id}"
+        part = (
+            batch_df.groupBy(
+                F.window("ts", window).getField("start").alias("window_start"),
+                F.col(key),
+            )
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .withColumn("__batch_key", F.lit(replay_key))
+        )
+        table = LakeTable(spark, counts_path)
+        if not table.exists():
+            table.overwrite(part, operation="calibration_bootstrap")
+            return
+        stored = table.read()
+        if not stored.where(F.col("__batch_key") == F.lit(replay_key)).isEmpty():
+            return  # replayed batch: already folded, exactly-once no-op
+        newest_row = part.agg(F.max("window_start")).first()
+        newest = newest_row[0] if newest_row else None
+        cutoff = F.lit(newest) - horizon
+        if newest is None or stored.where(
+            F.col("window_start") < cutoff
+        ).isEmpty():
+            table.append(part)
+        else:
+            # prune + fold in one atomic commit; the rewrite is small by
+            # construction (the kept slice is <= retention_windows wide)
+            keep = stored.where(F.col("window_start") >= cutoff)
+            table.overwrite(
+                keep.unionByName(part), operation="calibration_prune"
+            )
+
+    writer = events.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def detect_hot_keys_rolling(
+    spark,
+    counts_path: str,
+    key: str = "user_id",
+    last_windows: int = 3,
+    min_share: float = 0.01,
+    max_keys: int = 64,
+) -> list:
+    """Heavy-hitter list from the last ``last_windows`` event-time windows
+    of a ``stream_hot_key_calibration`` count table — the same share
+    threshold and cap as ``detect_hot_keys``, fed by the stream itself.
+
+    The recent-window pick is a bounded collect (distinct window starts,
+    newest first); the share is computed over partial counts summed per
+    key within those windows. Returns [] when the table doesn't exist yet
+    — callers start unsalted and re-calibrate on their own cadence."""
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    table = LakeTable(spark, counts_path)
+    if not table.exists():
+        return []
+    stored = table.read()
+    recent = [
+        r["window_start"]
+        for r in stored.select("window_start")
+        .distinct()
+        .orderBy(F.desc("window_start"))
+        .limit(last_windows)
+        .collect()
+    ]
+    if not recent:
+        return []
+    counts = (
+        stored.where(F.col("window_start").isin(recent))
+        .groupBy(key)
+        .agg(F.sum("__n").alias("__n"))
+    )
+    return _hot_keys_from_counts(counts, key, min_share, max_keys)
 
 
 def salted_stream_stream_join(

@@ -1471,3 +1471,81 @@ def test_read_clean_corpus_output_probes_legacy_stream_id(spark, tmp_path):
         f"{out2}/stream={_stream_id(ck2)}/batch_id={0:012d}"
     )
     assert read_clean_corpus_output(spark, out2, ck2).count() == 1
+
+
+def test_stream_hot_key_calibration_rolling_detector(spark, tmp_path):
+    """r9 directive #6: the hot list derives from a rolling window of the
+    SAME stream via a foreachBatch sampler. Asserts (a) the rolling
+    detector sees only the retained recent windows — a key that was hot
+    long ago but went quiet is NOT detected, while the currently-hot key
+    is; (b) the count table stays bounded (old windows pruned); (c) a
+    restarted/replayed stream folds nothing twice; (d) the derived list —
+    and a deliberately STALE one — leave the salted join row-identical,
+    with only the spread degraded."""
+    from datalakefoundation_spark.streaming.ops import (
+        detect_hot_keys_rolling,
+        salted_stream_stream_join,
+        stream_hot_key_calibration,
+        stream_stream_join,
+    )
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    src = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    counts = str(tmp_path / "counts")
+
+    # phase 1 (old windows, minutes 0-9): user 7 is the heavy hitter
+    batch1 = [(i, _ts(i % 10, i % 50), 7 if i % 2 == 0 else 20 + i % 9, "view", 1.0)
+              for i in range(200)]
+    # phase 2 (recent windows, minutes 30-39): user 3 takes over, 7 goes quiet
+    batch2 = [(1000 + i, _ts(30 + i % 10, i % 50), 3 if i % 2 == 0 else 40 + i % 9, "view", 1.0)
+              for i in range(200)]
+    _write_events(spark, src, batch1)
+    q = stream_hot_key_calibration(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        counts, ck, window="5 minutes", retention_windows=2,
+    )
+    q.awaitTermination(120)
+    assert 7 in detect_hot_keys_rolling(
+        spark, counts, last_windows=2, min_share=0.2
+    )
+
+    _write_events(spark, src, batch2)
+    q = stream_hot_key_calibration(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        counts, ck, window="5 minutes", retention_windows=2,
+    )
+    q.awaitTermination(120)
+    hot = detect_hot_keys_rolling(spark, counts, last_windows=2, min_share=0.2)
+    assert 3 in hot and 7 not in hot, hot
+
+    # (b) bounded: phase-1 windows (minute 0-9) pruned past the retention
+    # horizon of the newest window (minute 35)
+    stored = LakeTable(spark, counts).read()
+    starts = {r["window_start"].minute for r in stored.select("window_start").distinct().collect()}
+    assert starts <= {25, 30, 35}, starts
+
+    # (c) replay/restart with the same checkpoint folds nothing twice
+    before = stored.count()
+    q = stream_hot_key_calibration(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        counts, ck, window="5 minutes", retention_windows=2,
+    )
+    q.awaitTermination(120)
+    assert LakeTable(spark, counts).read().count() == before
+
+    # (d) calibrated AND stale lists are result-invisible on the join
+    left = spark.read.parquet(src)
+    plain = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in stream_stream_join(left, left, within="2 minutes").collect()
+    }
+    for lst in (hot, [7]):  # current calibration and the stale phase-1 list
+        salted = {
+            (r["l_event_id"], r["r_event_id"])
+            for r in salted_stream_stream_join(
+                left, left, within="2 minutes", hot_keys=lst
+            ).collect()
+        }
+        assert salted == plain
+    assert len(plain) > 0
