@@ -488,6 +488,7 @@ def reconcile_survivors_frontier(
     num_hashes: int = 8,
     band_size: int = 2,
     driver_cc_threshold: int = 1_000_000,
+    prior_banded: DataFrame | None = None,
 ) -> FrontierReconcile:
     """Frontier-bounded X54: converge streamed near-dedup output to the
     from-scratch survivor set at a cost ∝ CHURN, not corpus.
@@ -529,26 +530,49 @@ def reconcile_survivors_frontier(
     docs ingested since that reconcile. Cost: one frontier band join (the
     index side streams through at scan speed — the frontier side
     broadcasts), a reduced-graph CC, and two broadcast-pruned passes over
-    the assignment table (column-pruned scans, no corpus-wide shuffle)."""
+    the assignment table (column-pruned scans, no corpus-wide shuffle).
+
+    ``prior_banded`` (r10) — the stored band-exploded rows of the PRIOR
+    index ((id, band_idx, band_key), i.e. ``band_explode`` of the index
+    minus the frontier), typically a band-key-clustered LakeTable read
+    PRUNED to the files containing at least one frontier band key
+    (prune_spec_isin). When given, the frontier band join consumes it
+    directly instead of re-deriving bands from ``index_sigs`` — the one
+    corpus-proportional scan in this function becomes a file-skipped
+    partial read. Result-identical either way (banded_incremental_
+    candidates docstring has the argument); ``index_sigs`` is then only
+    used for its contract role and may be passed as the same frame."""
     from datalakefoundation_spark.ext.cluster import connected_components
-    from datalakefoundation_spark.ext.dedup import incremental_lsh_candidates
+    from datalakefoundation_spark.ext.dedup import (
+        banded_incremental_candidates,
+        incremental_lsh_candidates,
+    )
 
     sig_cols = [id_col, *[f"h{i}" for i in range(num_hashes)]]
     frontier_ids = frontier_sigs.select(id_col)
-    prior_index = index_sigs.select(*sig_cols).join(
-        F.broadcast(frontier_ids), id_col, "left_anti"
-    )
     # churn-sized intermediates are localCheckpointed (eager): lineage is
     # cut once, the stored partitions are tiny, and the returned lazy
     # frames never re-pay the frontier band join — no persist lifecycle
     # for the caller to manage
-    pairs = incremental_lsh_candidates(
-        prior_index,
-        frontier_sigs.select(*sig_cols),
-        id_col,
-        num_hashes,
-        band_size,
-    ).localCheckpoint(eager=True)
+    if prior_banded is not None:
+        pairs = banded_incremental_candidates(
+            prior_banded.select(id_col, "band_idx", "band_key"),
+            frontier_sigs.select(*sig_cols),
+            id_col,
+            num_hashes,
+            band_size,
+        ).localCheckpoint(eager=True)
+    else:
+        prior_index = index_sigs.select(*sig_cols).join(
+            F.broadcast(frontier_ids), id_col, "left_anti"
+        )
+        pairs = incremental_lsh_candidates(
+            prior_index,
+            frontier_sigs.select(*sig_cols),
+            id_col,
+            num_hashes,
+            band_size,
+        ).localCheckpoint(eager=True)
     endpoints = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionByName(pairs.select(F.col("doc_b").alias("node")))

@@ -1183,6 +1183,10 @@ def reconcile_clean_corpus(
     num_hashes: int = 8,
     band_size: int = 2,
     auto_compact_segments: int = 16,
+    banded_index_path: str | None = None,
+    band_cluster_files: int = 128,
+    recluster_segments: int = 32,
+    max_prune_keys: int = 1 << 20,
 ) -> DataFrame:
     """Periodic X55 compaction wired to a ``stream_clean_corpus`` pipeline:
     converge the accumulated streamed survivors to the from-scratch batch
@@ -1207,12 +1211,80 @@ def reconcile_clean_corpus(
     Returns the reconciled survivors — the streamed output minus every
     newly-bridged loser — computed against the FULL post-reconcile
     assignment, so feeding the raw accumulated ``out_path`` (which still
-    contains earlier rounds' losers) stays correct."""
+    contains earlier rounds' losers) stays correct.
+
+    ``banded_index_path`` (r10 directive #1) — maintain a band-exploded
+    COMPANION LakeTable ((id, band_idx, band_key, __batch_key) rows)
+    range-CLUSTERED on ``band_key`` (``band_cluster_files`` files, per-file
+    stats on the key), and feed the frontier band join from it with a
+    ``prune_spec_isin`` on the frontier's distinct band keys: files whose
+    key range contains no frontier key are never read. The steady-state
+    maintenance is churn-sized (append the frontier's band rows each
+    reconcile; re-cluster only when the unclustered tail outgrows
+    ``recluster_segments``); the one-time build rides whichever O(corpus)
+    event happens anyway (bootstrap, or enablement on an existing
+    deployment). Skipping effectiveness is GEOMETRY-dependent: it needs
+    file count >> the churn's distinct band keys (the 100 TB shape:
+    ~1e6 files vs ~2e5 keys; measured in tools/frontier_reconcile_probe
+    --banded), so at small file counts this is a no-worse fallback, not a
+    win. Crash ordering: companion append lands BEFORE the assignment/
+    ledger commit; on replay the companion read filters the frontier's
+    own batch keys, so a half-done cycle converges exactly. Results are
+    row-identical with and without the companion (asserted in tests).
+    Frontiers with more than ``max_prune_keys`` distinct band keys skip
+    the prune (the spec would not skip anything at that density)."""
+    from datalakefoundation_spark.ext.dedup import band_explode
     from datalakefoundation_spark.ext.recipes import (
         cluster_assignment,
         reconcile_survivors_frontier,
     )
-    from datalakefoundation_spark.tables.lake_table import LakeTable
+    from datalakefoundation_spark.tables.lake_table import (
+        LakeTable,
+        prune_spec_isin,
+    )
+
+    def _banded_table() -> "LakeTable | None":
+        if banded_index_path is None:
+            return None
+        t = LakeTable(spark, banded_index_path, stats_columns=("band_key",))
+        t.file_stats_max_files = max(t.file_stats_max_files, band_cluster_files)
+        return t
+
+    def _banded_write_all(t: "LakeTable", keys: "set[str]", src) -> None:
+        """(Re)build the companion from the index rows of ``keys`` and
+        cluster it — the O(corpus) enablement/bootstrap path."""
+        rows = src.where(F.col("__batch_key").isin(sorted(keys)))
+        bands = (
+            band_explode(rows, id_col, num_hashes, band_size)
+            .join(rows.select(id_col, "__batch_key"), id_col)
+            # write pre-clustered (what optimize(cluster_by=...) would do,
+            # minus the second full write): range partitioning + in-file
+            # sort give each file a narrow band_key range for the stats
+            .repartitionByRange(band_cluster_files, "band_key")
+            .sortWithinPartitions("band_key")
+        )
+        t.overwrite(bands, operation="band_index_build")
+
+    def _banded_append_frontier(t: "LakeTable", fkeys: "list[str]") -> None:
+        """Churn-sized companion maintenance, idempotent by batch key."""
+        if not t.read().where(F.col("__batch_key").isin(fkeys)).isEmpty():
+            return  # replayed cycle: bands already landed
+        bands = band_explode(
+            frontier_sigs, id_col, num_hashes, band_size
+        ).join(
+            idx.where(F.col("__batch_key").isin(fkeys)).select(
+                id_col, "__batch_key"
+            ),
+            id_col,
+        )
+        t.append(bands)
+        if len(t.latest_manifest().segments) > recluster_segments:
+            # the unclustered tail outgrew the threshold: one O(corpus)
+            # re-sort restores the skipping geometry (amortized — the
+            # tail between re-clusters is bounded by the threshold)
+            t.optimize(
+                cluster_by=["band_key"], target_partitions=band_cluster_files
+            )
 
     survivors = read_clean_corpus_output(spark, out_path, checkpoint)
     index = LakeTable(spark, index_path)
@@ -1265,11 +1337,16 @@ def reconcile_clean_corpus(
             out["__seed_reconciled"] = True
         return out
 
+    banded = _banded_table()
     table = LakeTable(spark, assignment_path)
     if not table.exists():
         assignment = cluster_assignment(
             idx.drop("__batch_key"), id_col, num_hashes, band_size
         )
+        if banded is not None:
+            # companion BEFORE the ledger-bearing commit: a crash between
+            # the two replays the bootstrap, whose overwrite is idempotent
+            _banded_write_all(banded, all_keys, idx)
         table.overwrite(assignment, metrics=_compact(all_keys))
         losers = assignment.where(F.col("node") != F.col("cluster_id")).select(
             F.col("node").alias(id_col)
@@ -1310,6 +1387,27 @@ def reconcile_clean_corpus(
     frontier_sigs = idx.where(
         F.col("__batch_key").isin(frontier_keys)
     ).drop("__batch_key")
+    prior_banded = None
+    if banded is not None:
+        if not banded.exists():
+            done_keys = set(all_keys) - set(frontier_keys)
+            if done_keys:  # enablement on an existing deployment: one
+                # O(corpus) build of the already-reconciled batches' bands
+                _banded_write_all(banded, done_keys, idx)
+        if banded.exists():
+            fb = band_explode(
+                frontier_sigs, id_col, num_hashes, band_size
+            ).select("band_key").distinct()
+            spec = None
+            if fb.count() <= max_prune_keys:
+                spec = prune_spec_isin(
+                    "band_key", [r["band_key"] for r in fb.collect()]
+                )
+            prior_banded = (
+                banded.read(prune_spec=spec)
+                .where(~F.col("__batch_key").isin(frontier_keys))
+                .drop("__batch_key")
+            )
     fr = reconcile_survivors_frontier(
         survivors,
         idx.drop("__batch_key"),
@@ -1318,7 +1416,16 @@ def reconcile_clean_corpus(
         id_col,
         num_hashes,
         band_size,
+        prior_banded=prior_banded,
     )
+    if banded is not None:
+        # companion maintenance BEFORE the ledger commit (crash => replay:
+        # the pruned read above filtered the frontier's own keys, and the
+        # append is idempotent by batch key)
+        if banded.exists():
+            _banded_append_frontier(banded, frontier_keys)
+        else:  # ledger-degraded path with no done keys: build from scratch
+            _banded_write_all(banded, all_keys, idx)
     # compact over EVERYTHING now processed (all index keys are either
     # previously done or in this frontier) — the new ledger supersedes any
     # legacy list format it may have been read from

@@ -363,6 +363,46 @@ def prune_spec_for(predicates) -> list:
     return spec
 
 
+def _in_may_match(stats: dict | None, col: str, values) -> bool:
+    """Can any row of a segment with ``stats`` have col IN values?
+    ``values`` is a SORTED tuple encoded like the recorded stats
+    (prune_spec_isin). Bisect instead of per-value interval checks: the
+    point-membership spec exists for joins against thousands of collected
+    keys (the banded dedup index), where an OR-group of point intervals
+    would cost O(files x keys) driver time."""
+    import bisect
+
+    if not stats or col not in stats:
+        return True
+    e = stats[col]
+    mn, mx = e.get("min"), e.get("max")
+    if mn is None and mx is None:
+        return False  # recorded all-NULL: equals nothing
+    try:
+        if e.get("t") == "num":
+            mn, mx = float(mn), float(mx)
+            vals = [float(v) for v in values]
+        else:
+            mn, mx = str(mn), str(mx)
+            vals = [str(v) for v in values]
+        i = bisect.bisect_left(vals, mn)
+        return i < len(vals) and vals[i] <= mx
+    except (TypeError, ValueError):
+        return True  # uncomparable -> unknown, conservative
+
+
+def prune_spec_isin(col: str, values) -> list:
+    """Point-membership prune spec: skip storage whose [min, max] range
+    provably contains NONE of ``values`` — the data-skipping door for
+    "join against these collected keys" reads (e.g. the frontier band
+    keys against a band-key-clustered signature index). Values are
+    encoded like the recorded stats and sorted once; evaluation is a
+    bisect per segment/file. The caller still applies the real join/IN
+    row-level — the spec only skips provably-disjoint storage."""
+    enc = sorted({_encode_stat(v)[0] for v in values})
+    return [[("in", col, tuple(enc))]]
+
+
 def segment_may_match(stats: dict | None, spec) -> bool:
     """Conservative interval evaluation of a window ``spec`` (see
     watermark.build_window_spec: groups AND together; inside a group each
@@ -370,13 +410,20 @@ def segment_may_match(stats: dict | None, spec) -> bool:
     stats. True = the segment MIGHT hold a matching row; False = provably
     none does (safe to skip the segment entirely). Over-approximates by
     construction: may(A AND B) <= may(A) AND may(B), may(A OR B) ==
-    may(A) OR may(B)."""
+    may(A) OR may(B). A 3-tuple ``("in", col, sorted_values)`` condition
+    (prune_spec_isin) is point membership, folded like an "and"."""
     if not spec:
         return True
     for group in spec:
         g_may: bool | None = None
-        for op, col, lo, hi in group:
-            may = _cond_may_match(stats, col, lo, hi)
+        for cond in group:
+            if cond[0] == "in":
+                _, col, values = cond
+                may = _in_may_match(stats, col, values)
+                op = "and"
+            else:
+                op, col, lo, hi = cond
+                may = _cond_may_match(stats, col, lo, hi)
             if g_may is None:
                 g_may = may
             elif op == "or":

@@ -2288,3 +2288,101 @@ def test_frontier_reconcile_idempotent_on_covered_frontier(spark):
     got = {(r["node"], r["cluster_id"]) for r in fr.assignment.collect()}
     want = {(r["node"], r["cluster_id"]) for r in assignment.collect()}
     assert got == want
+
+
+def test_banded_incremental_candidates_matches_inline(spark):
+    """r10 directive #1: the frontier band join fed from STORED band rows
+    must emit exactly the inline (signature-derived) pair set — including
+    when the stored side is PRUNED to rows whose band_key appears on the
+    new side (the file-skip soundness claim: a dropped row shares no band
+    key with the batch, so it can contribute no edge)."""
+    import random
+
+    from datalakefoundation_spark.ext.dedup import (
+        band_explode,
+        banded_incremental_candidates,
+        incremental_lsh_candidates,
+        minhash_signature,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(300)]
+    rows, texts = [], {}
+    for did in range(1, 81):
+        if texts and rng.random() < 0.45:
+            src = rng.choice(list(texts))
+            toks = texts[src].split()
+            toks[rng.randrange(len(toks))] = f"v{did}"
+            rows.append((did, " ".join(toks)))
+        else:
+            texts[did] = " ".join(rng.choice(vocab) for _ in range(25))
+            rows.append((did, texts[did]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signature(docs, "text", "doc_id").localCheckpoint(eager=True)
+    prior = sigs.where("doc_id <= 60")
+    new = sigs.where("doc_id > 60")
+
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_candidates(prior, new).collect()
+    }
+    prior_bands = band_explode(prior).localCheckpoint(eager=True)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in banded_incremental_candidates(prior_bands, new).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # pruned stored side: keep only band rows whose key the batch carries
+    new_keys = band_explode(new).select("band_key").distinct()
+    pruned = prior_bands.join(new_keys, "band_key", "left_semi")
+    kept, total = pruned.count(), prior_bands.count()
+    assert kept < total  # the prune must actually drop rows here
+    got_pruned = {
+        (r["doc_a"], r["doc_b"])
+        for r in banded_incremental_candidates(pruned, new).collect()
+    }
+    assert got_pruned == want
+
+
+def test_frontier_reconcile_banded_path_identical(spark):
+    """reconcile_survivors_frontier(prior_banded=...) is row-identical to
+    the signature path on survivors, updates, AND assignment."""
+    import random
+
+    from datalakefoundation_spark.ext.dedup import band_explode, minhash_signature
+    from datalakefoundation_spark.ext.recipes import (
+        cluster_assignment,
+        reconcile_survivors_frontier,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(300)]
+    rows, texts = [], {}
+    for did in range(1, 101):
+        if texts and rng.random() < 0.5:
+            src = rng.choice(list(texts))
+            toks = texts[src].split()
+            toks[rng.randrange(len(toks))] = f"v{did}"
+            rows.append((did, " ".join(toks)))
+        else:
+            texts[did] = " ".join(rng.choice(vocab) for _ in range(25))
+            rows.append((did, texts[did]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signature(docs, "text", "doc_id").localCheckpoint(eager=True)
+    prior_sigs = sigs.where("doc_id <= 75")
+    frontier = sigs.where("doc_id > 75")
+    assignment = cluster_assignment(prior_sigs).localCheckpoint(eager=True)
+    losers = assignment.where("node != cluster_id").selectExpr("node AS doc_id")
+    surv = docs.select("doc_id").join(losers, "doc_id", "left_anti")
+
+    base = reconcile_survivors_frontier(surv, sigs, frontier, assignment)
+    banded = reconcile_survivors_frontier(
+        surv, sigs, frontier, assignment,
+        prior_banded=band_explode(prior_sigs),
+    )
+    for attr in ("df", "updates", "assignment"):
+        want = {tuple(r) for r in getattr(base, attr).collect()}
+        got = {tuple(r) for r in getattr(banded, attr).collect()}
+        assert got == want, (attr, got ^ want)
+    assert base.updates.count() > 0  # the fixture must exercise relabeling

@@ -299,3 +299,62 @@ def test_prune_spec_for_user_predicates(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported op"):
         prune_spec_for([("seq", "!=", 5)])
+
+
+class TestIsinPruneSpec:
+    """Point-membership skipping (r10: the frontier band-key join's door).
+    A segment survives iff its [min, max] contains at least one value;
+    evaluation is a bisect, not an O(values) interval sweep."""
+
+    def _stats(self, mn, mx, t="num"):
+        return {"k": {"min": mn, "max": mx, "t": t}}
+
+    def test_value_inside_range_keeps(self):
+        from datalakefoundation_spark.tables.lake_table import (
+            prune_spec_isin,
+            segment_may_match,
+        )
+
+        spec = prune_spec_isin("k", [5, 40, 900])
+        assert segment_may_match(self._stats(30, 50), spec)          # 40 in
+        assert segment_may_match(self._stats(900, 1000), spec)       # edge
+        assert segment_may_match(self._stats(0, 5), spec)            # edge
+        assert not segment_may_match(self._stats(6, 39), spec)       # gap
+        assert not segment_may_match(self._stats(41, 899), spec)     # gap
+        assert not segment_may_match(self._stats(901, 5000), spec)   # above
+        assert not segment_may_match(self._stats(0, 4), spec)        # below
+
+    def test_string_keys(self):
+        from datalakefoundation_spark.tables.lake_table import (
+            prune_spec_isin,
+            segment_may_match,
+        )
+
+        spec = prune_spec_isin("k", ["0a", "7f", "ff"])
+        assert segment_may_match(self._stats("70", "80", t="str"), spec)
+        assert not segment_may_match(self._stats("80", "fe", t="str"), spec)
+        assert segment_may_match(self._stats("fe", "ffx", t="str"), spec)
+
+    def test_missing_and_all_null_stats(self):
+        from datalakefoundation_spark.tables.lake_table import (
+            prune_spec_isin,
+            segment_may_match,
+        )
+
+        spec = prune_spec_isin("k", [1])
+        assert segment_may_match(None, spec)                  # unknown: keep
+        assert segment_may_match({"other": {}}, spec)         # no column
+        assert not segment_may_match(self._stats(None, None), spec)  # all-NULL
+
+    def test_composes_with_interval_groups(self):
+        from datalakefoundation_spark.tables.lake_table import (
+            prune_spec_isin,
+            segment_may_match,
+        )
+
+        spec = prune_spec_isin("k", [10]) + [[("and", "v", 100, 200)]]
+        stats = {"k": {"min": 0, "max": 20, "t": "num"},
+                 "v": {"min": 150, "max": 180, "t": "num"}}
+        assert segment_may_match(stats, spec)
+        stats["v"] = {"min": 300, "max": 400, "t": "num"}
+        assert not segment_may_match(stats, spec)

@@ -1549,3 +1549,99 @@ def test_stream_hot_key_calibration_rolling_detector(spark, tmp_path):
         }
         assert salted == plain
     assert len(plain) > 0
+
+
+def test_reconcile_clean_corpus_banded_index(spark, tmp_path):
+    """r10 directive #1 end-to-end: reconcile_clean_corpus with a
+    band-key-clustered companion index returns EXACTLY what the
+    signature-path reconcile returns at every wave (bootstrap, bridge,
+    no-op replay), maintains the companion churn-sized and idempotently,
+    and records per-file band_key stats that provably skip files for
+    narrow key sets."""
+    import os as _os
+    import time as _time
+
+    from datalakefoundation_spark.streaming.ops import (
+        reconcile_clean_corpus,
+        stream_clean_corpus,
+    )
+    from datalakefoundation_spark.tables.lake_table import (
+        LakeTable,
+        prune_spec_isin,
+        segment_may_match,
+    )
+    from tests.helpers import find_bridge_fixture
+
+    fixture = find_bridge_fixture(spark)
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    out, index = str(tmp_path / "out"), str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    assign_b, assign_p = str(tmp_path / "assign_b"), str(tmp_path / "assign_p")
+    banded_path = str(tmp_path / "banded")
+    kw = dict(min_tokens=3, redact_pii=False)
+
+    def write_batch(df, order):
+        df.coalesce(1).write.mode("append").parquet(src)
+        t = _time.time() - 3600 + order * 60
+        for root, _dirs, files in _os.walk(src):
+            for f in files:
+                p = _os.path.join(root, f)
+                if _os.path.getmtime(p) > t:
+                    _os.utime(p, (t, t))
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_clean_corpus(
+            stream, out, index, ckpt, clean_kwargs=kw
+        ).awaitTermination(180)
+
+    def both(**kwargs):
+        b = {r["doc_id"] for r in reconcile_clean_corpus(
+            spark, out, index, ckpt, assign_b,
+            banded_index_path=banded_path, band_cluster_files=4, **kwargs
+        ).collect()}
+        p = {r["doc_id"] for r in reconcile_clean_corpus(
+            spark, out, index, ckpt, assign_p, **kwargs
+        ).collect()}
+        assert b == p, (b, p)
+        return b
+
+    # wave 1 (bootstrap: companion built pre-clustered), wave 2 (bridge:
+    # frontier read through the pruned companion), wave 3 (no-op replay)
+    write_batch(fixture.where("doc_id < 10"), 1)
+    run()
+    assert both() == {1, 3}
+    t = LakeTable(spark, banded_path)
+    assert t.exists()
+    v1 = t.latest_manifest().version
+
+    write_batch(fixture.where("doc_id = 10"), 2)
+    run()
+    assert both() == {1}
+    v2 = t.latest_manifest().version
+    assert v2 == v1 + 1  # ONE churn-sized append, not a rebuild
+    assert both() == {1}  # replay: reconcile no-ops...
+    assert t.latest_manifest().version == v2  # ...and so does the companion
+
+    # companion rows = band rows of the whole index (4 bands per doc)
+    idx_rows = LakeTable(spark, index).read().count()
+    assert t.read().count() == 4 * idx_rows
+
+    # per-file stats on band_key exist and the isin spec can prove files
+    # disjoint: a single mid-range key must keep strictly fewer files than
+    # the clustered layout holds (the mechanism the 100 TB skip rides)
+    mf = t.latest_manifest()
+    fstats = [
+        (s, p, st) for s in mf.segments for p, st in (s.files or {}).items()
+        if (st or {}).get("band_key", {}).get("min") is not None
+    ]
+    assert len(fstats) >= 4, "per-file band_key stats must be recorded"
+    keys = sorted(st["band_key"]["min"] for _s, _p, st in fstats)
+    spec = prune_spec_isin("band_key", [keys[len(keys) // 2]])
+    kept = sum(1 for _s, _p, st in fstats if segment_may_match(st, spec))
+    assert 1 <= kept < len(fstats), (kept, len(fstats))
