@@ -19,11 +19,13 @@ Format support (built-in):
 * PPM: binary P6 (8-bit RGB) decode/encode.
 * WAV: PCM 8/16-bit mono/stereo decode to float32 in [-1, 1].
 * GIF: 87a/89a decode incl. real LZW + frame disposal; literal-LZW encode.
-* JPEG: baseline-sequential JFIF decode (SOF0/1, canonical Huffman,
-  einsum IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart intervals) — the
-  container that dominates web corpora; progressive/arithmetic/12-bit
-  raise ``UnsupportedMedia``. Encode writes baseline 4:4:4 with the
-  Annex-K tables (fixture fabrication, like gif_encode).
+* JPEG: sequential (SOF0/1) AND progressive (SOF2) JFIF decode
+  (canonical Huffman, spectral selection + successive approximation,
+  einsum IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart intervals,
+  multi-scan non-interleaved layouts) — the containers that dominate web
+  corpora; lossless/arithmetic/hierarchical/12-bit raise
+  ``UnsupportedMedia``. Encode writes baseline 4:4:4 with the Annex-K
+  tables (fixture fabrication, like gif_encode).
 """
 
 from __future__ import annotations
@@ -585,11 +587,13 @@ def gif_encode(frames: list["np.ndarray"], delay_ms: int = 100) -> bytes:
 
 
 # ----------------------------------------------------------- JPEG (baseline)
-# Baseline-sequential JFIF (ITU-T T.81): SOF0 frames, Huffman entropy
-# coding, 8-bit samples, interleaved scans, optional restart intervals,
-# 4:4:4 / 4:2:2 / 4:2:0 chroma sampling on decode. Progressive (SOF2),
-# arithmetic coding, 12-bit, and hierarchical frames raise
-# UnsupportedMedia. The encoder writes baseline 4:4:4 with the spec's
+# JFIF (ITU-T T.81): sequential SOF0/1 and progressive SOF2 frames,
+# Huffman entropy coding, 8-bit samples, interleaved and non-interleaved
+# (multi-scan) layouts, optional restart intervals, 4:4:4 / 4:2:2 /
+# 4:2:0 chroma sampling on decode; progressive adds spectral selection
+# and successive approximation (DC/AC refinement, EOB runs — G.1.2).
+# Lossless (SOF3), arithmetic-coded (SOF9+), 12-bit, and hierarchical
+# frames raise UnsupportedMedia. The encoder writes baseline 4:4:4 with the spec's
 # Annex-K example tables so tests and fixtures can fabricate real JPEGs;
 # it exists for the same reason gif_encode does. All block math is
 # numpy-vectorized across a component's blocks (einsum IDCT); only the
@@ -754,12 +758,17 @@ def _jpeg_decode_impl(content: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _HuffDecoder] = {}  # (class 0=DC/1=AC, id)
     frame = None
     restart = 0
+    scans: list[dict] = []
     i = 2
     n = len(content)
     while i < n:
         if content[i] != 0xFF:
             raise UnsupportedMedia("corrupt JPEG: expected marker")
-        m = content[i + 1]
+        # legal fill bytes: any number of repeated 0xFF padding a marker
+        # (T.81 B.1.1.2) — skip to the marker code itself
+        while i + 1 < n and content[i + 1] == 0xFF:
+            i += 1
+        m = content[i + 1] if i + 1 < n else 0
         i += 2
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             continue
@@ -789,18 +798,22 @@ def _jpeg_decode_impl(content: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 p += 17 + nv
-        elif m == 0xC0 or m == 0xC1:  # SOF0/1: baseline & extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if frame is not None:
+                raise UnsupportedMedia("corrupt JPEG: multiple SOF frames")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise UnsupportedMedia(f"{prec}-bit JPEG unsupported")
+            if h == 0 or w == 0:
+                raise UnsupportedMedia("JPEG with DNL-deferred dimensions unsupported")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": h, "w": w, "comps": comps, "progressive": m == 0xC2}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMedia(
-                f"non-baseline JPEG frame (marker 0xFF{m:02X}: progressive/"
+                f"non-baseline JPEG frame (marker 0xFF{m:02X}: lossless/"
                 "arithmetic/hierarchical) unsupported"
             )
         elif m == 0xDD:  # DRI
@@ -809,10 +822,12 @@ def _jpeg_decode_impl(content: bytes) -> np.ndarray:
             if frame is None:
                 raise UnsupportedMedia("corrupt JPEG: SOS before SOF")
             ns = seg[0]
-            sel = {}
+            sel = []
             for s in range(ns):
                 cs, tdta = seg[1 + 2 * s], seg[2 + 2 * s]
-                sel[cs] = (tdta >> 4, tdta & 0xF)
+                sel.append((cs, tdta >> 4, tdta & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             # entropy segment runs to the next non-RST/non-stuffed marker
             j = i
             while j < n - 1:
@@ -821,20 +836,26 @@ def _jpeg_decode_impl(content: bytes) -> np.ndarray:
                 ):
                     break
                 j += 1
-            scan = content[i:j]
+            scans.append(
+                {
+                    "sel": sel,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0xF,
+                    "restart": restart,
+                    "huff": dict(huff),  # tables as defined AT this scan
+                    "data": content[i:j],
+                }
+            )
             i = j
-            return _jpeg_decode_scan(frame, sel, qt, huff, restart, scan)
-    raise UnsupportedMedia("corrupt JPEG: no scan data")
+    if frame is None or not scans:
+        raise UnsupportedMedia("corrupt JPEG: no scan data")
+    return _jpeg_decode_scans(frame, qt, scans)
 
 
-def _jpeg_decode_scan(frame, sel, qt, huff, restart, scan) -> np.ndarray:
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    maxh = max(c["h"] for c in comps)
-    maxv = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * maxh))
-    mcuy = -(-h // (8 * maxv))
-    n_mcu = mcux * mcuy
-    # split at restart markers, de-stuff each chunk, decode sequentially
+def _destuff_chunks(scan: bytes) -> list[bytes]:
+    """Split entropy data at restart markers and de-stuff 0xFF00 bytes."""
     chunks = []
     cur = bytearray()
     k = 0
@@ -854,61 +875,43 @@ def _jpeg_decode_scan(frame, sel, qt, huff, restart, scan) -> np.ndarray:
         cur.append(b)
         k += 1
     chunks.append(bytes(cur))
+    return chunks
+
+
+def _jpeg_decode_scans(frame, qt, scans) -> np.ndarray:
+    """Decode every scan into per-component BLOCK-GRID coefficient arrays
+    (rows = grid row-major blocks, zigzag order within a row), then
+    dequantize + IDCT once. One spectral decoder serves sequential AND
+    progressive streams: a sequential scan is exactly the progressive
+    first-pass with Ss=0, Se=63, Ah=Al=0 (its EOB is the EOB-run of
+    length 1, T.81 F.2 vs G.2), so multi-scan non-interleaved baseline
+    files fall out of the same loop instead of being refused (r9 ADVICE).
+    Progressive (SOF2, the dominant web-JPEG variant) adds DC/AC
+    refinement passes (Ah>0) with EOB-run bookkeeping per G.1.2.2-3."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    maxh = max(c["h"] for c in comps)
+    maxv = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * maxh))
+    mcuy = -(-h // (8 * maxv))
+    byid = {c["id"]: c for c in comps}
+    grid = {c["id"]: (mcuy * c["v"], mcux * c["h"]) for c in comps}
     coeffs = {
-        c["id"]: np.zeros((n_mcu * c["h"] * c["v"], 64), dtype=np.int64)
-        for c in comps
+        cid: np.zeros((bh * bw, 64), dtype=np.int64) for cid, (bh, bw) in grid.items()
     }
-    pred = {c["id"]: 0 for c in comps}
-    rd = _BitReader(chunks[0])
-    chunk_idx = 0
-    for mcu in range(n_mcu):
-        if restart and mcu and mcu % restart == 0:
-            chunk_idx += 1
-            rd = _BitReader(chunks[chunk_idx])
-            pred = {c["id"]: 0 for c in comps}
-        for c in comps:
-            dc_t, ac_t = sel[c["id"]]
-            dch, ach = huff[(0, dc_t)], huff[(1, ac_t)]
-            for blk in range(c["h"] * c["v"]):
-                row = (mcu * c["h"] * c["v"]) + blk
-                out = coeffs[c["id"]][row]
-                t = dch.decode(rd)
-                pred[c["id"]] += _extend(rd.receive(t), t)
-                out[0] = pred[c["id"]]
-                kk = 1
-                while kk < 64:
-                    rs = ach.decode(rd)
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:  # ZRL
-                            kk += 16
-                            continue
-                        break  # EOB
-                    kk += r
-                    if kk > 63:
-                        raise UnsupportedMedia("corrupt JPEG: AC overrun")
-                    out[kk] = _extend(rd.receive(s), s)
-                    kk += 1
+    for scan in scans:
+        _decode_scan_into(frame, scan, coeffs, grid, mcux, mcuy, byid)
     planes = {}
     for c in comps:
+        if c["tq"] not in qt:
+            raise UnsupportedMedia("corrupt JPEG: missing quantization table")
+        bh, bw = grid[c["id"]]
         zz = coeffs[c["id"]] * qt[c["tq"]][None, :]
         blocks = np.zeros((zz.shape[0], 64), dtype=np.float64)
         blocks[:, _ZIGZAG] = zz
         blocks = blocks.reshape(-1, 8, 8)
         pix = np.einsum("ur,nuv,vc->nrc", _DCT_A, blocks, _DCT_A) + 128.0
-        # reassemble block grid: MCU-major, then h*v blocks raster within
-        bw = mcux * c["h"]
-        bh = mcuy * c["v"]
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        idx = 0
-        for mcu in range(n_mcu):
-            my, mx = divmod(mcu, mcux)
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    plane[y0 : y0 + 8, x0 : x0 + 8] = pix[idx]
-                    idx += 1
+        # grid-row-major blocks reassemble with one transpose, no loop
+        plane = pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         # upsample to full resolution by sample replication, crop
         plane = np.repeat(np.repeat(plane, maxv // c["v"], 0), maxh // c["h"], 1)
         planes[c["id"]] = plane[:h, :w]
@@ -921,6 +924,142 @@ def _jpeg_decode_scan(frame, sel, qt, huff, restart, scan) -> np.ndarray:
     g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
     b = y + 1.772 * (cb - 128)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _decode_scan_into(frame, scan, coeffs, grid, mcux, mcuy, byid) -> None:
+    h, w = frame["h"], frame["w"]
+    maxh = max(c["h"] for c in frame["comps"])
+    maxv = max(c["v"] for c in frame["comps"])
+    sel, huff = scan["sel"], scan["huff"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    if se > 63 or ss > se:
+        raise UnsupportedMedia("corrupt JPEG: bad spectral selection")
+    if frame["progressive"] and ss > 0 and len(sel) != 1:
+        raise UnsupportedMedia("corrupt JPEG: interleaved progressive AC scan")
+    chunks = _destuff_chunks(scan["data"])
+    restart = scan["restart"]
+    interleaved = len(sel) > 1
+    if interleaved:
+        units = mcux * mcuy  # one unit = one MCU
+    else:
+        cid = sel[0][0]
+        c = byid[cid]
+        # non-interleaved: the component's OWN ceil-grid (T.81 A.2.2),
+        # narrower than the MCU-padded storage grid
+        csx = -(-(w * c["h"]) // maxh)  # ceil(w * h_i / maxh) samples
+        csy = -(-(h * c["v"]) // maxv)
+        cw = -(-csx // 8)
+        ch = -(-csy // 8)
+        units = cw * ch
+    pred = {cid: 0 for cid, _dc, _ac in sel}
+    eobrun = 0
+    rd = _BitReader(chunks[0])
+    chunk_idx = 0
+    for unit in range(units):
+        if restart and unit and unit % restart == 0:
+            chunk_idx += 1
+            if chunk_idx >= len(chunks):
+                raise UnsupportedMedia("corrupt JPEG: missing restart interval")
+            rd = _BitReader(chunks[chunk_idx])
+            pred = {cid: 0 for cid, _dc, _ac in sel}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            for cid, dc_t, ac_t in sel:
+                c = byid[cid]
+                _bh, bw = grid[cid]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        row = (my * c["v"] + by) * bw + (mx * c["h"] + bx)
+                        eobrun, pred[cid] = _decode_block(
+                            coeffs[cid][row], rd, huff, dc_t, ac_t,
+                            ss, se, ah, al, eobrun, pred[cid],
+                        )
+        else:
+            cid, dc_t, ac_t = sel[0]
+            _bh, bw = grid[cid]
+            row = (unit // cw) * bw + (unit % cw)
+            eobrun, pred[cid] = _decode_block(
+                coeffs[cid][row], rd, huff, dc_t, ac_t,
+                ss, se, ah, al, eobrun, pred[cid],
+            )
+
+
+def _decode_block(out, rd, huff, dc_t, ac_t, ss, se, ah, al, eobrun, pred):
+    """One 8x8 block's share of a scan (T.81 F.2 sequential; G.2
+    progressive first/refinement passes). Returns (eobrun, dc_pred)."""
+    if ss == 0:  # DC pass (sequential scans continue into AC below)
+        if ah == 0:
+            dch = huff.get((0, dc_t))
+            if dch is None:
+                raise UnsupportedMedia("corrupt JPEG: missing DC Huffman table")
+            t = dch.decode(rd)
+            pred += _extend(rd.receive(t), t)
+            out[0] = pred << al
+        else:  # DC refinement: one correction bit
+            if rd.bit():
+                out[0] |= 1 << al
+        if se == 0:
+            return eobrun, pred
+    k = max(ss, 1)
+    ach = huff.get((1, ac_t))
+    if ach is None:
+        raise UnsupportedMedia("corrupt JPEG: missing AC Huffman table")
+    if ah == 0:  # first pass over this spectral band
+        if eobrun > 0:
+            return eobrun - 1, pred
+        while k <= se:
+            rs = ach.decode(rd)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                # EOB run of 2^r + extension bits blocks, incl. this one
+                eobrun = (1 << r) + (rd.receive(r) if r else 0) - 1
+                break
+            k += r
+            if k > se:
+                raise UnsupportedMedia("corrupt JPEG: AC overrun")
+            out[k] = _extend(rd.receive(s), s) << al
+            k += 1
+        return eobrun, pred
+    # AC refinement (G.1.2.3): correction bits for already-nonzero
+    # coefficients, newly-significant coefficients appear as ±1<<al
+    p1, m1 = 1 << al, -1 << al
+    if eobrun == 0:
+        while k <= se:
+            rs = ach.decode(rd)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) + (rd.receive(r) if r else 0)
+                    break
+                # r == 15: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise UnsupportedMedia("corrupt JPEG: bad refinement size")
+                val = p1 if rd.bit() else m1
+            while k <= se:
+                if out[k] != 0:
+                    if rd.bit() and (out[k] & p1) == 0:
+                        out[k] += p1 if out[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                out[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if out[k] != 0 and rd.bit() and (out[k] & p1) == 0:
+                out[k] += p1 if out[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun, pred
 
 
 def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:

@@ -379,14 +379,15 @@ def _in_may_match(stats: dict | None, col: str, values) -> bool:
     if mn is None and mx is None:
         return False  # recorded all-NULL: equals nothing
     try:
+        # convert only the two BOUNDS to the values' type — converting the
+        # value list per file would cost O(files x values) over a whole
+        # read (measured 131 s for 190k keys x 8k files before this)
         if e.get("t") == "num":
             mn, mx = float(mn), float(mx)
-            vals = [float(v) for v in values]
         else:
             mn, mx = str(mn), str(mx)
-            vals = [str(v) for v in values]
-        i = bisect.bisect_left(vals, mn)
-        return i < len(vals) and vals[i] <= mx
+        i = bisect.bisect_left(values, mn)
+        return i < len(values) and values[i] <= mx
     except (TypeError, ValueError):
         return True  # uncomparable -> unknown, conservative
 

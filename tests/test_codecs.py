@@ -586,9 +586,17 @@ def test_jpeg_idct_matches_naive_definition():
 
 
 def test_jpeg_rejects_non_baseline():
-    bad = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
-    with pytest.raises(codecs.UnsupportedMedia, match="progressive|non-baseline"):
-        codecs.jpeg_decode(bad)
+    # SOF2 (progressive) is DECODED since r10; the still-refused frame
+    # types are lossless (SOF3) and arithmetic-coded (SOF9+) ones
+    for sof in (0xC3, 0xC9, 0xCB):
+        bad = (b"\xff\xd8\xff" + bytes([sof]) + struct.pack(">H", 11)
+               + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00")
+        with pytest.raises(codecs.UnsupportedMedia, match="non-baseline"):
+            codecs.jpeg_decode(bad)
+    # a truncated SOF2 stream must fail typed, not crash
+    trunc = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + b"\x08\x00\x08"
+    with pytest.raises(codecs.UnsupportedMedia):
+        codecs.jpeg_decode(trunc)
     with pytest.raises(codecs.UnsupportedMedia):
         codecs.jpeg_decode(b"\x89PNG")
 
@@ -763,3 +771,224 @@ def test_decoders_never_leak_parse_errors(kind):
             fn(valid[:cut])
         except codecs.UnsupportedMedia:
             pass
+
+
+# ------------------------------------------------- JPEG progressive (r10)
+
+
+def _assemble_multiscan(h, w, comps, qtables, scans, sof=0xC2, dri=0,
+                        extra_dht=None):
+    """Hand-assemble a multi-scan JFIF stream (progressive SOF2 by
+    default, sof=0xC0 for multi-scan sequential) — same spec-golden role
+    as _assemble_jpeg, extended with per-scan spectral selection and
+    successive approximation. ``scans``: dicts with sel=[(comp_1based,
+    dc_t, ac_t)...], ss, se, ah, al, bits."""
+    out = bytearray(b"\xff\xd8")
+    for ti, q in enumerate(qtables):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti])
+        out += bytes(int(q[z]) for z in codecs._ZIGZAG)
+    nc = len(comps)
+    out += b"\xff" + bytes([sof]) + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci, (hs, vs, tq) in enumerate(comps):
+        out += bytes([ci + 1, (hs << 4) | vs, tq])
+    for tc, tabs in ((0, (codecs._HT_DC_LUMA, codecs._HT_DC_CHROMA)),
+                     (1, (codecs._HT_AC_LUMA, codecs._HT_AC_CHROMA))):
+        for th in range(1 if nc == 1 else 2):
+            bits, vals = tabs[th]
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    if extra_dht is not None:  # progressive EOBn symbols aren't in the
+        # Annex-K sequential tables; fixtures add a custom table for them
+        tc, th, bits, vals = extra_dht
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    for sc in scans:
+        ns = len(sc["sel"])
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for comp, dct, act in sc["sel"]:
+            out += bytes([comp, (dct << 4) | act])
+        out += bytes([sc["ss"], sc["se"], (sc["ah"] << 4) | sc["al"]])
+        out += sc["bits"]
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _w_dc(wr, diff, tab):
+    t = int(abs(diff)).bit_length()
+    code, ln = tab[t]
+    wr.write(code, ln)
+    if t:
+        wr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def test_jpeg_progressive_matches_baseline_golden():
+    """Spec-golden successive approximation: DC first (Al=1) + DC refine +
+    AC first (Al=1) + AC refine building coefficients DC=40, AC1=13 must
+    decode pixel-identically to the BASELINE stream carrying the same
+    final coefficients — the refinement path is exercised bit by bit."""
+    dc = codecs._huff_encode_table(*codecs._HT_DC_LUMA)
+    ac = codecs._huff_encode_table(*codecs._HT_AC_LUMA)
+    q = [np.ones(64, dtype=np.int64)]
+
+    # baseline twin: DC diff 40, then (run 0, size 4) AC1=13, EOB
+    wr = codecs._BitWriter()
+    _w_dc(wr, 40, dc)
+    code, ln = ac[0x04]
+    wr.write(code, ln)
+    wr.write(13, 4)
+    code, ln = ac[0x00]
+    wr.write(code, ln)
+    want = codecs.jpeg_decode(
+        _assemble_jpeg(8, 8, [(1, 1, 0)], q, wr.flush())
+    )
+
+    # progressive: DC first at Al=1 carries 40>>1=20
+    w1 = codecs._BitWriter()
+    _w_dc(w1, 20, dc)
+    # DC refine: bit 0 of 40 is 0
+    w2 = codecs._BitWriter()
+    w2.write(0, 1)
+    # AC first 1..63 at Al=1: (run 0, size 3) value 13>>1=6, then EOB0
+    w3 = codecs._BitWriter()
+    code, ln = ac[0x03]
+    w3.write(code, ln)
+    w3.write(6, 3)
+    code, ln = ac[0x00]
+    w3.write(code, ln)
+    # AC refine 1..63 at Al=0: EOB0 (eobrun=1) then the correction bit for
+    # the nonzero AC1 (bit 0 of 13 is 1 -> 12+1=13)
+    w4 = codecs._BitWriter()
+    code, ln = ac[0x00]
+    w4.write(code, ln)
+    w4.write(1, 1)
+    data = _assemble_multiscan(
+        8, 8, [(1, 1, 0)], q,
+        [
+            {"sel": [(1, 0, 0)], "ss": 0, "se": 0, "ah": 0, "al": 1, "bits": w1.flush()},
+            {"sel": [(1, 0, 0)], "ss": 0, "se": 0, "ah": 1, "al": 0, "bits": w2.flush()},
+            {"sel": [(1, 0, 0)], "ss": 1, "se": 63, "ah": 0, "al": 1, "bits": w3.flush()},
+            {"sel": [(1, 0, 0)], "ss": 1, "se": 63, "ah": 1, "al": 0, "bits": w4.flush()},
+        ],
+    )
+    got = codecs.jpeg_decode(data)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_jpeg_progressive_420_noninterleaved_eobrun():
+    """Progressive 4:2:0 color: interleaved DC scan + per-component
+    non-interleaved AC scans where the 4 Y blocks are covered by ONE
+    EOB4 run — exercises the component ceil-grid addressing and EOB-run
+    bookkeeping. Solid YCbCr must equal the analytic BT.601 RGB."""
+    dcl = codecs._huff_encode_table(*codecs._HT_DC_LUMA)
+    acl = codecs._huff_encode_table(*codecs._HT_AC_LUMA)
+    dcc = codecs._huff_encode_table(*codecs._HT_DC_CHROMA)
+    acc = codecs._huff_encode_table(*codecs._HT_AC_CHROMA)
+    y, cb, cr = 160, 98, 180
+    wdc = codecs._BitWriter()
+    _w_dc(wdc, (y - 128) * 8, dcl)
+    for _ in range(3):
+        _w_dc(wdc, 0, dcl)
+    _w_dc(wdc, (cb - 128) * 8, dcc)
+    _w_dc(wdc, (cr - 128) * 8, dcc)
+    # Y AC scan: EOB4 = code (2<<4 | 0) + 2 extension bits 00, via a
+    # custom 2-symbol table (id 2) — Annex-K has no EOBn symbols
+    eob_bits = [0, 2] + [0] * 14
+    eob_vals = [0x20, 0x00]
+    eobt = codecs._huff_encode_table(eob_bits, eob_vals)
+    wy = codecs._BitWriter()
+    code, ln = eobt[0x20]
+    wy.write(code, ln)
+    wy.write(0, 2)
+    wcb = codecs._BitWriter()
+    code, ln = acc[0x00]
+    wcb.write(code, ln)
+    wcr = codecs._BitWriter()
+    wcr.write(code, ln)
+    q = np.ones(64, dtype=np.int64)
+    data = _assemble_multiscan(
+        16, 16, [(2, 2, 0), (1, 1, 1), (1, 1, 1)], [q, q],
+        [
+            {"sel": [(1, 0, 0), (2, 1, 1), (3, 1, 1)],
+             "ss": 0, "se": 0, "ah": 0, "al": 0, "bits": wdc.flush()},
+            {"sel": [(1, 0, 2)], "ss": 1, "se": 63, "ah": 0, "al": 0, "bits": wy.flush()},
+            {"sel": [(2, 1, 1)], "ss": 1, "se": 63, "ah": 0, "al": 0, "bits": wcb.flush()},
+            {"sel": [(3, 1, 1)], "ss": 1, "se": 63, "ah": 0, "al": 0, "bits": wcr.flush()},
+        ],
+        extra_dht=(1, 2, eob_bits, eob_vals),
+    )
+    px = codecs.jpeg_decode(data)
+    assert px.shape == (16, 16, 3)
+    want = np.clip(np.round([
+        y + 1.402 * (cr - 128),
+        y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+        y + 1.772 * (cb - 128),
+    ]), 0, 255).astype(np.uint8)
+    assert (px == want[None, None, :]).all(), (px[0, 0], want)
+
+
+def test_jpeg_multiscan_sequential_noninterleaved():
+    """Multi-scan BASELINE (one sequential scan per component) — the
+    legal-but-rare layout the r9 marker walk refused after the first SOS.
+    Same analytic solid-color target as the interleaved fixture."""
+    dcl = codecs._huff_encode_table(*codecs._HT_DC_LUMA)
+    acl = codecs._huff_encode_table(*codecs._HT_AC_LUMA)
+    dcc = codecs._huff_encode_table(*codecs._HT_DC_CHROMA)
+    acc = codecs._huff_encode_table(*codecs._HT_AC_CHROMA)
+    y, cb, cr = 160, 98, 180
+    wy = codecs._BitWriter()
+    _bits_dc_eob(wy, (y - 128) * 8, dcl, acl)
+    for _ in range(3):  # Y ceil-grid is 2x2 blocks at 16x16 4:2:0
+        _bits_dc_eob(wy, 0, dcl, acl)
+    wcb = codecs._BitWriter()
+    _bits_dc_eob(wcb, (cb - 128) * 8, dcc, acc)
+    wcr = codecs._BitWriter()
+    _bits_dc_eob(wcr, (cr - 128) * 8, dcc, acc)
+    q = np.ones(64, dtype=np.int64)
+    data = _assemble_multiscan(
+        16, 16, [(2, 2, 0), (1, 1, 1), (1, 1, 1)], [q, q],
+        [
+            {"sel": [(1, 0, 0)], "ss": 0, "se": 63, "ah": 0, "al": 0, "bits": wy.flush()},
+            {"sel": [(2, 1, 1)], "ss": 0, "se": 63, "ah": 0, "al": 0, "bits": wcb.flush()},
+            {"sel": [(3, 1, 1)], "ss": 0, "se": 63, "ah": 0, "al": 0, "bits": wcr.flush()},
+        ],
+        sof=0xC0,
+    )
+    px = codecs.jpeg_decode(data)
+    want = np.clip(np.round([
+        y + 1.402 * (cr - 128),
+        y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+        y + 1.772 * (cb - 128),
+    ]), 0, 255).astype(np.uint8)
+    assert (px == want[None, None, :]).all(), (px[0, 0], want)
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """Repeated 0xFF padding before a marker is legal (T.81 B.1.1.2) —
+    the r9 walk raised on it."""
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    enc = codecs.jpeg_encode(img, 90)
+    # inject fill bytes before the SOF marker (first 0xFFC0)
+    i = enc.index(b"\xff\xc0")
+    padded = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    np.testing.assert_array_equal(codecs.jpeg_decode(padded), codecs.jpeg_decode(enc))
+
+
+@pytest.mark.skipif(not codecs.HAVE_PIL, reason="Pillow absent in this container")
+def test_jpeg_progressive_golden_vs_pillow():  # pragma: no cover - prod only
+    """Where Pillow exists, our progressive decode must agree with libjpeg
+    on a Pillow-encoded progressive file (the dominant web-JPEG layout)."""
+    import io as _io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(img).save(
+        buf, format="JPEG", quality=90, subsampling=0, progressive=True
+    )
+    ours = codecs.jpeg_decode(buf.getvalue())
+    theirs = np.asarray(Image.open(_io.BytesIO(buf.getvalue())).convert("RGB"))
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2

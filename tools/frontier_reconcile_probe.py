@@ -29,6 +29,21 @@ the x-axis varies ONLY the standing index under a constant frontier.
 Usage: python tools/frontier_reconcile_probe.py [sizes]
   sizes: comma list of replica counts (default 50,100,200 ->
   250k/500k/1M docs; churn is always the last 10 replicas = 50k docs)
+
+Banded-layout mode (r10 directive #1):
+  python tools/frontier_reconcile_probe.py banded [replicas] [files]
+Builds the band-key-clustered companion LakeTable (``files`` clustered
+files, per-file band_key stats) over the prior index and measures the
+frontier band join THROUGH it — files/bytes read after prune_spec_isin
+on the frontier's distinct band keys, wall, and survivor+assignment
+equality vs the signature path — for TWO churn geometries:
+  * standard: the full 50k last wave. Its ~200k distinct band keys
+    saturate any practical file count, so the expected skip is ~0 —
+    recorded, not hidden: skipping is geometry, not magic.
+  * sparse: the wave docs of 1% of base ids (~500 docs, ~2k distinct
+    keys). With files >> keys (the 100 TB ratio — a petabyte index is
+    ~1e6 files against ~1e5 churn keys) the prune must drop >= 50% of
+    the index bytes; asserted.
 """
 
 from __future__ import annotations
@@ -115,7 +130,165 @@ def run_size(spark, replicas: int) -> dict:
     return rec
 
 
+def _prune_accounting(t, spec) -> dict:
+    """Mirror LakeTable.read's per-file skip decision (same
+    segment_may_match) and account files/bytes kept vs skipped."""
+    from datalakefoundation_spark.tables.lake_table import segment_may_match
+
+    kept = skipped = kept_b = skipped_b = 0
+    for seg in t.latest_manifest().segments:
+        base = f"{t.path}/{seg.dir}"
+        files = seg.files or {}
+        if not files:  # no per-file stats: the whole segment is read
+            for root, _d, names in os.walk(base):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        kept += 1
+                        kept_b += os.path.getsize(os.path.join(root, n))
+            continue
+        for p, st in files.items():
+            size = os.path.getsize(os.path.join(base, p))
+            if segment_may_match(st, spec):
+                kept += 1
+                kept_b += size
+            else:
+                skipped += 1
+                skipped_b += size
+    total_b = kept_b + skipped_b
+    return {
+        "files_kept": kept,
+        "files_skipped": skipped,
+        "bytes_kept": kept_b,
+        "bytes_skipped": skipped_b,
+        "bytes_read_pct": round(100.0 * kept_b / max(total_b, 1), 1),
+    }
+
+
+def run_banded(spark, replicas: int, files: int) -> dict:
+    from datalakefoundation_spark.ext.dedup import band_explode
+    from datalakefoundation_spark.tables.lake_table import (
+        LakeTable,
+        prune_spec_isin,
+    )
+
+    batches = replicas // CHURN_REPLICAS
+    gen, n_base, rpb = gen_corpus(spark, replicas, batches)
+    docs = gen.select("doc_id", "text", "__batch")
+    sigs = (
+        minhash_signature(docs, "text", "doc_id")
+        .join(docs.select("doc_id", "__batch"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    last = batches - 1
+    out = {"replicas": replicas, "docs": n_base * replicas, "files": files}
+
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="dlf_banded_probe_")
+    scenarios = {
+        # standard: the full last wave (50k at 1M) — keys saturate files
+        "standard": F.col("__batch") == last,
+        # sparse: the wave docs of 1% of base ids (~500 docs) — the
+        # file count exceeds the churn's distinct keys, the 100 TB shape
+        "sparse": (F.col("__batch") == last) & (F.col("doc_id") % 100 < 1),
+    }
+    for name, cond in scenarios.items():
+        frontier_sigs = sigs.where(cond).drop("__batch")
+        prior_sigs = sigs.where(~cond).drop("__batch")
+        rec = {"churn_docs": frontier_sigs.count()}
+
+        # companion: prior bands, pre-clustered on band_key (the exact
+        # write reconcile_clean_corpus's bootstrap performs)
+        path = f"{root}/banded_{name}"
+        t = LakeTable(spark, path, stats_columns=("band_key",))
+        t.file_stats_max_files = files
+        t0 = time.time()
+        t.overwrite(
+            band_explode(prior_sigs)
+            .repartitionByRange(files, "band_key")
+            .sortWithinPartitions("band_key"),
+            operation="band_index_build",
+        )
+        rec["build_wall_s"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        fb = band_explode(frontier_sigs).select("band_key").distinct()
+        keys = [r["band_key"] for r in fb.collect()]
+        spec = prune_spec_isin("band_key", keys)
+        rec["distinct_frontier_keys"] = len(keys)
+        rec.update(_prune_accounting(t, spec))
+        rec["spec_wall_s"] = round(time.time() - t0, 1)
+
+        # prior state for the reconcile equality check
+        assignment = cluster_assignment(prior_sigs).localCheckpoint(eager=True)
+        losers = assignment.where("node != cluster_id").selectExpr(
+            "node AS doc_id"
+        )
+        surv_in = (
+            docs.where(~cond).select("doc_id")
+            .join(losers, "doc_id", "left_anti")
+            .unionByName(docs.where(cond).select("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+        all_sigs = sigs.drop("__batch")
+
+        t0 = time.time()
+        prior_banded = t.read(prune_spec=spec)
+        fr_b = reconcile_survivors_frontier(
+            surv_in, all_sigs, frontier_sigs, assignment,
+            prior_banded=prior_banded,
+        )
+        surv_b = fr_b.df.select("doc_id").persist()
+        rec["banded_survivors"] = surv_b.count()
+        rec["banded_wall_s"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        fr_s = reconcile_survivors_frontier(
+            surv_in, all_sigs, frontier_sigs, assignment
+        )
+        surv_s = fr_s.df.select("doc_id").persist()
+        rec["sig_survivors"] = surv_s.count()
+        rec["sig_wall_s"] = round(time.time() - t0, 1)
+
+        rec["surv_banded_minus_sig"] = surv_b.join(
+            surv_s, "doc_id", "left_anti"
+        ).count()
+        rec["surv_sig_minus_banded"] = surv_s.join(
+            surv_b, "doc_id", "left_anti"
+        ).count()
+        rec["assign_diff"] = (
+            fr_b.assignment.subtract(fr_s.assignment).count()
+            + fr_s.assignment.subtract(fr_b.assignment).count()
+        )
+        surv_b.unpersist()
+        surv_s.unpersist()
+        out[name] = rec
+        print(json.dumps({name: rec}), flush=True)
+
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "banded":
+        replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+        files = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+        spark = get_spark("frontier-reconcile-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        out = run_banded(spark, replicas, files)
+        print(json.dumps(out), flush=True)
+        for name in ("standard", "sparse"):
+            rec = out[name]
+            assert rec["surv_banded_minus_sig"] == 0 == rec["surv_sig_minus_banded"], name
+            assert rec["assign_diff"] == 0, name
+        assert out["sparse"]["bytes_read_pct"] <= 50.0, (
+            "sparse churn must skip >= 50% of index bytes: "
+            f"{out['sparse']['bytes_read_pct']}% read"
+        )
+        print("BANDED LAYOUT PROBE OK")
+        return
     sizes = (
         [int(s) for s in sys.argv[1].split(",")]
         if len(sys.argv) > 1
