@@ -71,28 +71,37 @@ def _fake_decode(content: bytes) -> list[float]:
 
 
 def _decode_features(content: bytes, strict: bool) -> list[float] | None:
+    return _decode_features_tagged(content, strict)[0]
+
+
+def _decode_features_tagged(
+    content: bytes, strict: bool
+) -> tuple[list[float] | None, str | None, str | None]:
     """Per-payload feature extraction: REAL decode for supported containers
     (PNG/PPM pixels -> image_features; PCM WAV -> audio_features), the
     deterministic byte-level fallback for unknown ones (or an error in
     strict mode). A corrupt payload in a known container always raises —
     silently hashing bytes that claimed to be a PNG would mask data
-    corruption."""
+    corruption. Returns (features, container, path) where path is "real"
+    (container decoded), "fallback" (byte-level features), or None (null
+    payload) — the audit columns extract_features(audit=True) surfaces."""
     if content is None:
-        return None
+        return None, None, None
     kind = codecs.sniff(bytes(content))
     if kind in ("png", "ppm", "jpeg"):
-        return codecs.image_features(codecs.decode_image(bytes(content)), FEATURE_DIM)
+        feats = codecs.image_features(codecs.decode_image(bytes(content)), FEATURE_DIM)
+        return feats, kind, "real"
     if kind == "gif":  # animated: features of the first composed frame
         frames, _delays = codecs.gif_decode_frames(bytes(content))
-        return codecs.image_features(frames[0], FEATURE_DIM)
+        return codecs.image_features(frames[0], FEATURE_DIM), kind, "real"
     if kind == "wav":
         samples, rate = codecs.wav_decode(bytes(content))
-        return codecs.audio_features(samples, rate, FEATURE_DIM)
+        return codecs.audio_features(samples, rate, FEATURE_DIM), kind, "real"
     if strict:
         raise codecs.UnsupportedMedia(
             "payload container not recognized (png|ppm|jpeg|gif|wav supported)"
         )
-    return _fake_decode(bytes(content))
+    return _fake_decode(bytes(content)), None, "fallback"
 
 
 def from_text_fixture(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -111,31 +120,86 @@ def from_text_fixture(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
-def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
+def extract_features(
+    df: DataFrame, strict: bool = False, audit: bool = False
+) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    Supported containers (PNG/PPM/PCM-WAV) decode for REAL through
-    ext.codecs (Pillow fast path when importable); unknown containers get
-    the deterministic byte-level fallback, or — with ``strict=True`` — an
-    UnsupportedMedia error at execution time.
-    """
+    Supported containers (PNG/PPM/JPEG/GIF/PCM-WAV) decode for REAL
+    through ext.codecs (Pillow fast path when importable); unknown
+    containers get the deterministic byte-level fallback, or — with
+    ``strict=True`` — an UnsupportedMedia error at execution time.
+
+    ``audit=True`` (r9 directive #8) adds decode-cost telemetry columns —
+    ``container`` (sniffed kind or NULL), ``decode_path`` ("real" |
+    "fallback" | NULL for null payloads), ``decode_us`` (per-payload
+    wall) — so a 100 TB run can SEE what fraction of its media bytes
+    actually decoded and what each container costs; aggregate with
+    ``decode_audit``. The telemetry is collected inside the same Arrow
+    batch loop (a perf_counter pair per payload, no second decode)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
         for pdf in batches:
             contents = pdf["content"]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": contents.map(lambda b: len(b) if b is not None else 0),
-                    "content_sha": contents.map(
-                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
-                    ),
-                    "features": contents.map(lambda b: _decode_features(b, strict)),
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": contents.map(lambda b: len(b) if b is not None else 0),
+                "content_sha": contents.map(
+                    lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                ),
+            }
+            if not audit:
+                out["features"] = contents.map(
+                    lambda b: _decode_features(b, strict)
+                )
+                yield pd.DataFrame(out)
+                continue
+            feats, kinds, paths, walls = [], [], [], []
+            for b in contents:
+                t0 = _time.perf_counter()
+                f, kind, path = _decode_features_tagged(b, strict)
+                walls.append(int((_time.perf_counter() - t0) * 1_000_000))
+                feats.append(f)
+                kinds.append(kind)
+                paths.append(path)
+            out["features"] = pd.Series(feats, index=pdf.index, dtype=object)
+            out["container"] = pd.Series(kinds, index=pdf.index, dtype=object)
+            out["decode_path"] = pd.Series(paths, index=pdf.index, dtype=object)
+            out["decode_us"] = pd.Series(walls, index=pdf.index)
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(_extract, FEATURES_SCHEMA)
+    schema = FEATURES_SCHEMA
+    if audit:
+        schema = T.StructType(
+            list(FEATURES_SCHEMA.fields)
+            + [
+                T.StructField("container", T.StringType()),
+                T.StructField("decode_path", T.StringType()),
+                T.StructField("decode_us", T.LongType()),
+            ]
+        )
+    return df.mapInPandas(_extract, schema)
+
+
+def decode_audit(features_df: DataFrame) -> DataFrame:
+    """Aggregate the audit columns of ``extract_features(audit=True)``
+    into the stage's cost/coverage report: per (media_type, container,
+    decode_path) — payload count, total bytes, total and per-payload
+    decode wall. One map-side-combined groupBy; the result is
+    container-cardinality-sized, safe to collect or log anywhere."""
+    return (
+        features_df.groupBy("media_type", "container", "decode_path")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("decode_us").alias("decode_us_total"),
+            F.avg("decode_us").alias("decode_us_avg"),
+        )
+        .orderBy(F.desc("total_bytes"))
+    )
 
 
 def resize_images(

@@ -992,3 +992,34 @@ def test_jpeg_progressive_golden_vs_pillow():  # pragma: no cover - prod only
     ours = codecs.jpeg_decode(buf.getvalue())
     theirs = np.asarray(Image.open(_io.BytesIO(buf.getvalue())).convert("RGB"))
     assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+
+
+def test_extract_features_decode_audit(spark):
+    """r9 directive #8: decode-cost telemetry. audit=True must tag every
+    payload with its container, decode path, and per-payload wall — same
+    features as the untagged run — and decode_audit must aggregate to the
+    bytes-actually-decoded report a 100 TB run reads."""
+    df = _media_df(spark)
+    plain = {r["media_id"]: r["features"] for r in MM.extract_features(df).collect()}
+    audited = MM.extract_features(df, audit=True)
+    rows = {r["media_id"]: r for r in audited.collect()}
+    assert rows[1]["container"] == "png" and rows[1]["decode_path"] == "real"
+    assert rows[2]["container"] == "wav" and rows[2]["decode_path"] == "real"
+    assert rows[3]["container"] is None and rows[3]["decode_path"] == "fallback"
+    assert rows[4]["decode_path"] is None and rows[4]["features"] is None
+    for mid, r in rows.items():
+        assert r["features"] == pytest.approx(plain[mid]) if plain[mid] is not None else r["features"] is None
+        assert r["decode_us"] >= 0
+    agg = {
+        (r["container"], r["decode_path"]): r
+        for r in MM.decode_audit(audited).collect()
+    }
+    assert agg[("png", "real")]["n_payloads"] == 1
+    assert agg[("wav", "real")]["n_payloads"] == 1
+    assert agg[(None, "fallback")]["n_payloads"] == 1
+    assert agg[("png", "real")]["total_bytes"] > 0
+    assert agg[("png", "real")]["decode_us_total"] >= 0
+    # coverage fraction the report exists for: real-decoded bytes / total
+    real_b = sum(v["total_bytes"] for k, v in agg.items() if k[1] == "real")
+    all_b = sum(v["total_bytes"] for v in agg.values())
+    assert 0 < real_b <= all_b
