@@ -32,7 +32,8 @@ Asserted (recorded in BASELINE.md):
   * sessionize state rows == live-key universe (flat) by mid-run.
 
 Usage: python tools/stream_state_probe.py [batches] [events_per_batch] [legs]
-  legs: comma list of join,join_salted,join_preagg,sessionize
+  legs: comma list of join,join_salted,join_salted_hot,join_preagg,
+        join_session,join_session_hot,sessionize
   (default 50 20000 join,sessionize)
 """
 
@@ -192,12 +193,16 @@ def run_join(spark, src: str, ckpt: str, form: str = "plain") -> list[int]:
             key="user_id",
             window="1 minute",
         )
-    elif form == "session":
+    elif form in ("session", "session_hot"):
         # exercise session_overlap_join's state eviction under the same
         # Zipf skew: each event becomes a closed 30 s pseudo-session, so
         # two sessions of a key overlap iff their events are within 30 s —
         # the operator's watermark + max_session range bound is what must
-        # keep the buffered-session state at an eviction plateau
+        # keep the buffered-session state at an eviction plateau.
+        # session_hot (r10 directive #4): the rank-1 key's session pairs
+        # otherwise all flow through ONE state partition — the hot-key
+        # front-end spreads them over salt_buckets at hot-scoped state
+        # cost, row-identical output (asserted in tests/test_streaming.py)
         def mk(s):
             return s.select(
                 "user_id",
@@ -216,6 +221,8 @@ def run_join(spark, src: str, ckpt: str, form: str = "plain") -> list[int]:
             left_watermark="2 minutes",
             right_watermark="2 minutes",
             max_session="1 minute",
+            hot_keys=[0] if form == "session_hot" else None,
+            salt_buckets=8,
         )
     else:
         raise ValueError(f"unknown join form: {form}")
@@ -304,7 +311,7 @@ def main() -> None:
     )
     known = {
         "join", "join_salted", "join_salted_hot", "join_preagg",
-        "join_session", "sessionize",
+        "join_session", "join_session_hot", "sessionize",
     }
     bad = [leg for leg in legs if leg not in known]
     if bad:
@@ -328,7 +335,8 @@ def main() -> None:
                 form = {"join": "plain", "join_salted": "salted",
                         "join_salted_hot": "salted_hot",
                         "join_preagg": "preagg",
-                        "join_session": "session"}[leg]
+                        "join_session": "session",
+                        "join_session_hot": "session_hot"}[leg]
                 series[leg] = run_join(spark, f"{tmp}/src", f"{tmp}/ck_{leg}", form)
             out[f"{leg}_wall_s"] = round(time.time() - t0, 1)
             out[f"{leg}_state_rows"] = series[leg]
@@ -360,6 +368,23 @@ def main() -> None:
         # closed-session buffers evict at the watermark + max_session
         # horizon, same plateau discipline as the per-event join
         _assert_plateau(series["join_session"], total, 0.25, batches)
+    if "join_session_hot" in series:
+        # hot-key-scoped session salting: rank-1 key (~6%) replicated x8 on
+        # the right only -> plain-level state plateau...
+        _assert_plateau(series["join_session_hot"], total, 2 * 0.25, batches)
+        if "join_session" in series:
+            assert max(series["join_session_hot"]) < 2.0 * max(series["join_session"]), (
+                "hot-scoped session state should stay near plain level: "
+                f"hot={max(series['join_session_hot'])} "
+                f"plain={max(series['join_session'])}"
+            )
+            # ...at a materially lower wall (the hot key's pair product
+            # spreads over 8 state partitions instead of serializing on 1)
+            assert out["join_session_hot_wall_s"] < 0.6 * out["join_session_wall_s"], (
+                "hot-scoped session join should cut the hot-partition wall: "
+                f"hot={out['join_session_hot_wall_s']}s "
+                f"plain={out['join_session_wall_s']}s"
+            )
     if "join_preagg" in series:
         # per-window aggregates: state ∝ live (key, window) pairs, far below
         # the per-event buffers of the pairwise forms
