@@ -1173,6 +1173,32 @@ def stream_clean_corpus(
     return writer.start()
 
 
+def _banded_read_fraction(t, spec) -> float:
+    """Fraction of the companion's files a ``prune_spec`` would still
+    read — the banded path's price tag, from manifest stats alone
+    (driver-side bisects, no data I/O). ``spec=None`` prices as 1.0;
+    segments without per-file stats count as fully read (conservative)."""
+    from datalakefoundation_spark.tables.lake_table import segment_may_match
+
+    if spec is None:
+        return 1.0
+    kept = total = 0
+    mf = t.latest_manifest()
+    if mf is None:
+        return 1.0
+    for seg in mf.segments:
+        files = seg.files or {}
+        if not files:  # no per-file stats: whole segment reads
+            kept += 1
+            total += 1
+            continue
+        for _p, st in files.items():
+            total += 1
+            if segment_may_match(st, spec):
+                kept += 1
+    return kept / total if total else 1.0
+
+
 def reconcile_clean_corpus(
     spark,
     out_path: str,
@@ -1187,6 +1213,7 @@ def reconcile_clean_corpus(
     band_cluster_files: int = 128,
     recluster_segments: int = 32,
     max_prune_keys: int = 1 << 20,
+    banded_max_read_fraction: float = 0.5,
 ) -> DataFrame:
     """Periodic X55 compaction wired to a ``stream_clean_corpus`` pipeline:
     converge the accumulated streamed survivors to the from-scratch batch
@@ -1232,7 +1259,17 @@ def reconcile_clean_corpus(
     own batch keys, so a half-done cycle converges exactly. Results are
     row-identical with and without the companion (asserted in tests).
     Frontiers with more than ``max_prune_keys`` distinct band keys skip
-    the prune (the spec would not skip anything at that density)."""
+    the prune (the spec would not skip anything at that density).
+
+    The banded read is SELF-PRICING (``banded_max_read_fraction``, same
+    discipline as the LSH band planner): the prune decision is evaluated
+    against the manifest's per-file stats FIRST — driver-side bisects, no
+    data I/O — and if more than the given fraction of companion files
+    would still be read, this cycle falls back to the inline band join
+    (the 1M probe measured the 4x-row rescan at 100% read strictly losing
+    to inline banding — r9's declined trade; the companion is still
+    maintained, so future sparse frontiers keep their fast path). Set it
+    to 1.0 to force the companion read regardless."""
     from datalakefoundation_spark.ext.dedup import band_explode
     from datalakefoundation_spark.ext.recipes import (
         cluster_assignment,
@@ -1403,11 +1440,16 @@ def reconcile_clean_corpus(
                 spec = prune_spec_isin(
                     "band_key", [r["band_key"] for r in fb.collect()]
                 )
-            prior_banded = (
-                banded.read(prune_spec=spec)
-                .where(~F.col("__batch_key").isin(frontier_keys))
-                .drop("__batch_key")
-            )
+            frac = _banded_read_fraction(banded, spec)
+            if frac <= banded_max_read_fraction:
+                prior_banded = (
+                    banded.read(prune_spec=spec)
+                    .where(~F.col("__batch_key").isin(frontier_keys))
+                    .drop("__batch_key")
+                )
+            # else: the prune wouldn't pay for the exploded-row rescan —
+            # this cycle takes the inline band join; the companion is
+            # still maintained below for future sparse frontiers
     fr = reconcile_survivors_frontier(
         survivors,
         idx.drop("__batch_key"),

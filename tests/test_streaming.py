@@ -1603,7 +1603,11 @@ def test_reconcile_clean_corpus_banded_index(spark, tmp_path):
     def both(**kwargs):
         b = {r["doc_id"] for r in reconcile_clean_corpus(
             spark, out, index, ckpt, assign_b,
-            banded_index_path=banded_path, band_cluster_files=4, **kwargs
+            banded_index_path=banded_path, band_cluster_files=4,
+            # force the companion read: at 4 files the self-pricing guard
+            # would correctly fall back to the inline join, but this test
+            # exists to exercise the banded join path itself
+            banded_max_read_fraction=1.0, **kwargs
         ).collect()}
         p = {r["doc_id"] for r in reconcile_clean_corpus(
             spark, out, index, ckpt, assign_p, **kwargs
@@ -1645,3 +1649,35 @@ def test_reconcile_clean_corpus_banded_index(spark, tmp_path):
     spec = prune_spec_isin("band_key", [keys[len(keys) // 2]])
     kept = sum(1 for _s, _p, st in fstats if segment_may_match(st, spec))
     assert 1 <= kept < len(fstats), (kept, len(fstats))
+
+
+def test_banded_read_fraction_prices_the_prune(spark, tmp_path):
+    """The banded reconcile path is self-pricing: _banded_read_fraction
+    reads the price from manifest stats alone, and reconcile_clean_corpus
+    under the DEFAULT guard falls back to the inline join when the prune
+    would not pay — with results identical either way (the fallback IS
+    the sig path; pinned against the forced-banded and plain twins)."""
+    from datalakefoundation_spark.streaming.ops import _banded_read_fraction
+    from datalakefoundation_spark.tables.lake_table import (
+        LakeTable,
+        prune_spec_isin,
+    )
+
+    path = str(tmp_path / "b")
+    t = LakeTable(spark, path, stats_columns=("band_key",))
+    rows = [(i, 0, f"{i:064x}") for i in range(256)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, band_idx int, band_key string"
+    ).repartitionByRange(8, "band_key").sortWithinPartitions("band_key")
+    t.overwrite(df)
+
+    assert _banded_read_fraction(t, None) == 1.0
+    # every file's range hit: fraction 1 -> the default guard falls back
+    allspec = prune_spec_isin("band_key", [r[2] for r in rows])
+    assert _banded_read_fraction(t, allspec) == 1.0
+    # one key: at most 1-2 of 8 files read -> the guard lets it through
+    one = prune_spec_isin("band_key", [rows[100][2]])
+    assert _banded_read_fraction(t, one) <= 0.25
+    # a key in nobody's range: nothing read
+    none = prune_spec_isin("band_key", ["z" * 64])
+    assert _banded_read_fraction(t, none) == 0.0
