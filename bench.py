@@ -138,16 +138,17 @@ def _prior_bench(sf) -> dict[str, float]:
         reverse=True,
     ):
         try:
-            rec = json.load(open(path))
-            line = next(
-                ln
-                for ln in str(rec.get("tail", "")).splitlines()
-                if ln.startswith('{"metric"')
-            )
-            payload = json.loads(line)
-            if payload.get("sf") == sf:
-                return dict(payload.get("queries", {}))
-        except (StopIteration, ValueError, OSError):
+            tail = str(json.load(open(path)).get("tail", ""))
+            # the driver's tail capture is LEFT-truncated (r9's starts
+            # mid-word), so extract the flat "queries" object and the sf
+            # by regex instead of requiring a parseable full line
+            qm = re.search(r'"queries": (\{[^{}]*\})', tail)
+            sm = re.search(r'"sf": ([0-9.eE+-]+)', tail)
+            if not qm or not sm:
+                continue
+            if float(sm.group(1)) == sf:
+                return dict(json.loads(qm.group(1)))
+        except (ValueError, OSError):
             continue
     return {}
 
