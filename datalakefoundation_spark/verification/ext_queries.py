@@ -2049,6 +2049,90 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 
+def q_session_overlap_hot(spark, sf_dir):
+    """q_session_overlap_join through the r10 HOT-KEY-SCOPED salting front
+    end (hot_keys + salt_buckets): the salted plan must hash-equal the
+    SAME unsalted DuckDB oracle — the row-identity contract as a gate
+    property, exactly like q_salted_blanket_join pins X52's. The list
+    mixes real and nonexistent keys (a stale calibration must be
+    result-invisible)."""
+    from pyspark.sql import Window
+
+    from datalakefoundation_spark.streaming.ops import session_overlap_join
+
+    ev = _ts_events(spark, sf_dir)
+
+    def sessions(kind):
+        w = Window.partitionBy("user_id").orderBy("ts")
+        e = ev.where(F.col("event_type") == kind).select("user_id", "ts")
+        flagged = e.withColumn(
+            "__new",
+            (
+                F.col("ts").cast("long")
+                - F.coalesce(F.lag("ts").over(w).cast("long"), F.lit(-10**9))
+                > 172_800
+            ).cast("int"),
+        ).withColumn("__sid", F.sum("__new").over(w))
+        return (
+            flagged.groupBy("user_id", "__sid")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .drop("__sid")
+            .withColumn("closed", F.lit(True))
+        )
+
+    j = session_overlap_join(
+        sessions("click"), sessions("view"), max_session="35 days",
+        hot_keys=[1, 2, 3, 5, 8, 999_999_999], salt_buckets=4,
+    )
+    return j.select(
+        F.col("l_key").alias("user_id"),
+        F.unix_micros("l_start").alias("c_start_us"),
+        F.unix_micros("l_end").alias("c_end_us"),
+        F.col("l_n_events").alias("c_n"),
+        F.unix_micros("r_start").alias("v_start_us"),
+        F.unix_micros("r_end").alias("v_end_us"),
+        F.col("r_n_events").alias("v_n"),
+    )
+
+
+def q_frontier_reconcile_banded(spark, sf_dir):
+    """q_frontier_reconcile through the r10 BANDED fast path: the frontier
+    band join fed from stored (id, band_idx, band_key) rows
+    (prior_banded=band_explode(prior)) must hash-equal the same
+    from-scratch recursive-CTE DuckDB clustering as the signature path —
+    the banded_incremental_candidates equality theorem as a gate
+    property."""
+    from datalakefoundation_spark.ext.dedup import band_explode, minhash_signature
+    from datalakefoundation_spark.ext.recipes import (
+        cluster_assignment,
+        reconcile_survivors_frontier,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signature(docs, "text", "doc_id").localCheckpoint(eager=True)
+    frontier_sigs = sigs.where(F.col("doc_id") % 5 == 0)
+    prior_sigs = sigs.where(F.col("doc_id") % 5 != 0)
+    assignment = cluster_assignment(prior_sigs)
+    prior_losers = assignment.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    surv_in = (
+        docs.where(F.col("doc_id") % 5 != 0)
+        .select("doc_id")
+        .join(prior_losers, "doc_id", "left_anti")
+        .unionByName(docs.where(F.col("doc_id") % 5 == 0).select("doc_id"))
+    )
+    fr = reconcile_survivors_frontier(
+        surv_in, sigs, frontier_sigs, assignment,
+        prior_banded=band_explode(prior_sigs),
+    )
+    return fr.df.select("doc_id")
+
+
 def q_salted_blanket_join(spark, sf_dir):
     """X52's blanket form (hot_keys=None — every key salted/replicated):
     the r8 shape, kept oracle-paired so both front-end variants stay
@@ -2124,6 +2208,11 @@ FROM c JOIN v USING (user_id, w)
 
 
 EXTRA = {
+    # rotated OUT late r10 to seat the two r10-new rows (each 2-3 rounds
+    # driver-green; ngram hashing ⊂ q_hashed_features + q_bpe_encode,
+    # Bloom decontamination ⊂ q_decontaminate + q_decontaminate_frac):
+    "q_hashed_features_ngram": (q_hashed_features_ngram, SQL_HASHED_FEATURES_NGRAM),
+    "q_decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE),
     # rotated OUT of the driver window in r10 by the steady-state policy
     # (each driver-green r8+r9; shapes covered by residents or fresher
     # rows — as-of/backward join ⊂ q_salted_interval_join +
@@ -2215,6 +2304,13 @@ EXTRA = {
 
 
 QUERIES = {
+    # r10-new (seated in their debut round per policy — the code is this
+    # round's): hot-salted session join and banded frontier reconcile,
+    # each against the SAME oracle as its unsalted/signature sibling:
+    "q_session_overlap_hot": (q_session_overlap_hot, SQL_SESSION_OVERLAP_JOIN),
+    "q_frontier_reconcile_banded": (
+        q_frontier_reconcile_banded, SQL_FRONTIER_RECONCILE,
+    ),
     # rotated IN for r10 (never driver-seated: the r9-new oracle-paired
     # rows — X55 frontier reconcile, X56 session-overlap join, the
     # blanket X52 form, X53's sliding windows; q_session_overlap_join's
@@ -2242,7 +2338,6 @@ QUERIES = {
     # had a driver CORRECTNESS row (VERDICT r6 directive #1); after this
     # rotation every oracle-paired query in the codebase has been
     # driver-verified at least once:
-    "q_hashed_features_ngram": (q_hashed_features_ngram, SQL_HASHED_FEATURES_NGRAM),
     # r8: q_bpe_token_count (oracle=None — structurally unverifiable by the
     # driver, a guaranteed red slot) demoted to EXTRA; replaced by the
     # hash-comparable encode check (VERDICT r7 directive #3):
@@ -2256,7 +2351,6 @@ QUERIES = {
     # had a driver CORRECTNESS row (VERDICT r5 directive #1); LM/feature/
     # near-dup family first, then the decontamination/quality knobs:
     "q_trigram_lm": (q_trigram_lm, SQL_TRIGRAM_LM),
-    "q_decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE),
     # vocabulary-hashing variants: the SAME oracles as the direct paths —
     # hash_distinct must be bit-identical, so oracle-pairing it makes the
     # equivalence a gate property rather than only a local test
