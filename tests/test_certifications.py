@@ -265,3 +265,22 @@ def test_frontier_reconcile_equality_floor(spark):
     assert rec["survivors_frontier"] > 0
     assert rec["frontier_minus_full"] == 0 == rec["full_minus_frontier"], rec
     assert rec["assign_extra"] == 0 == rec["assign_missing"], rec
+
+
+def test_banded_layout_equality_floor(spark):
+    """CI-scale run of the r10 banded-layout probe (tools/
+    frontier_reconcile_probe.py banded): the band-key-clustered companion
+    path must equal the signature path on survivors AND assignment in
+    BOTH churn geometries, and the sparse-churn geometry must actually
+    skip files (the prune proving non-trivial at 256 files vs ~100 sparse
+    keys). Byte-fraction targets are asserted only at tool scale."""
+    from tools.frontier_reconcile_probe import run_banded
+
+    # sparse_mod=2000: ~25 churn docs (~100 distinct keys) vs 256 files —
+    # the files >> keys geometry at CI size
+    out = run_banded(spark, replicas=20, files=256, sparse_mod=2000)
+    for name in ("standard", "sparse"):
+        rec = out[name]
+        assert rec["surv_banded_minus_sig"] == 0 == rec["surv_sig_minus_banded"], rec
+        assert rec["assign_diff"] == 0, rec
+    assert out["sparse"]["files_skipped"] > 0, out["sparse"]

@@ -164,7 +164,7 @@ def _prune_accounting(t, spec) -> dict:
     }
 
 
-def run_banded(spark, replicas: int, files: int) -> dict:
+def run_banded(spark, replicas: int, files: int, sparse_mod: int = 100) -> dict:
     from datalakefoundation_spark.ext.dedup import band_explode
     from datalakefoundation_spark.tables.lake_table import (
         LakeTable,
@@ -188,9 +188,12 @@ def run_banded(spark, replicas: int, files: int) -> dict:
     scenarios = {
         # standard: the full last wave (50k at 1M) — keys saturate files
         "standard": F.col("__batch") == last,
-        # sparse: the wave docs of 1% of base ids (~500 docs) — the
-        # file count exceeds the churn's distinct keys, the 100 TB shape
-        "sparse": (F.col("__batch") == last) & (F.col("doc_id") % 100 < 1),
+        # sparse: the wave docs of 1/sparse_mod of base ids — the file
+        # count exceeds the churn's distinct keys, the 100 TB shape
+        # (sparse_mod=100 -> ~500 docs at the 1M tool run; CI uses a
+        # higher mod so the geometry holds at 64-256 files)
+        "sparse": (F.col("__batch") == last)
+        & (F.col("doc_id") % sparse_mod < 1),
     }
     for name, cond in scenarios.items():
         frontier_sigs = sigs.where(cond).drop("__batch")
