@@ -823,6 +823,57 @@ def stream_to_lake(
     return writer.start()
 
 
+def _index_table(spark, index_path: str):
+    """The signature-index LakeTable, constructed with __batch_key segment
+    stats: every sink append stamps ONE constant non-null key per commit,
+    so each appended segment records min == max == its key — replay
+    checks and batch-key discovery then read manifests, not data. Tables
+    written before this (no stats) degrade to the scan path, never
+    wrongly."""
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    return LakeTable(spark, index_path, stats_columns=("__batch_key",))
+
+
+def _index_has_batch_key(index, key: str) -> bool:
+    """Has this replay key's append already committed? Pruned read: for an
+    append-shaped index the spec keeps at most the one segment whose
+    stats match, so the check is O(1) in corpus size (it was a full
+    column scan per micro-batch)."""
+    from datalakefoundation_spark.tables.lake_table import prune_spec_isin
+
+    df = index.read(prune_spec=prune_spec_isin("__batch_key", [key]))
+    if "__batch_key" not in df.columns:
+        return False
+    return not df.where(F.col("__batch_key") == F.lit(key)).isEmpty()
+
+
+def _index_batch_keys_from_manifest(index) -> "set[str] | None":
+    """The distinct __batch_key set from SEGMENT STATS alone (None = not
+    derivable, fall back to the distinct scan). Valid exactly when every
+    segment is single-key (min == max — the sink append shape) or
+    recorded all-NULL (a batch-seeded segment = the __seed__ sentinel);
+    replay-rebuild segments mix keys (min != max) and pre-stats segments
+    carry no entry, both of which force the fallback rather than risking
+    a wrong key set."""
+    mf = index.latest_manifest()
+    if mf is None:
+        return None
+    keys: set[str] = set()
+    for seg in mf.segments:
+        st = (seg.stats or {}).get("__batch_key")
+        if not st:
+            return None
+        mn, mx = st.get("min"), st.get("max")
+        if mn is None and mx is None:
+            keys.add("__seed__")
+            continue
+        if mn != mx:
+            return None
+        keys.add(mn)
+    return keys or None
+
+
 def stream_dedup_index(
     docs: DataFrame,
     index_path: str,
@@ -880,7 +931,7 @@ def stream_dedup_index(
         # the incremental design amortizes — would execute once per action
         sigs = sigs.persist()
         try:
-            index = LakeTable(spark, index_path)
+            index = _index_table(spark, index_path)
             prior = None
             if index.exists():
                 stored = index.read()
@@ -899,7 +950,7 @@ def stream_dedup_index(
                 )
             if prior is None:
                 index.append(sigs)
-            elif stored.where(F.col("__batch_key") == F.lit(replay_key)).isEmpty():
+            elif not _index_has_batch_key(index, replay_key):
                 index.append(sigs)
             else:
                 # replayed batch already appended its signatures: rebuild
@@ -1111,7 +1162,7 @@ def stream_clean_corpus(
             return
         spark = batch_df.sparkSession
         replay_key = f"{stream_id}:{batch_id}"
-        index = LakeTable(spark, index_path)
+        index = _index_table(spark, index_path)
         prior = stored = None
         if index.exists():
             stored = index.read()
@@ -1153,9 +1204,7 @@ def stream_clean_corpus(
             sigs = res.index_updates.withColumn("__batch_key", F.lit(replay_key))
             if stored is None:
                 index.append(sigs)
-            elif stored.where(
-                F.col("__batch_key") == F.lit(replay_key)
-            ).isEmpty():
+            elif not _index_has_batch_key(index, replay_key):
                 index.append(sigs)
             else:  # replay after a post-append crash: converge, don't dup
                 base = prior if prior is not None else stored.limit(0)
@@ -1324,7 +1373,7 @@ def reconcile_clean_corpus(
             )
 
     survivors = read_clean_corpus_output(spark, out_path, checkpoint)
-    index = LakeTable(spark, index_path)
+    index = _index_table(spark, index_path)
     idx = index.read()
     if "__batch_key" not in idx.columns:
         idx = idx.withColumn("__batch_key", F.lit("__seed__"))
@@ -1332,9 +1381,11 @@ def reconcile_clean_corpus(
         idx = idx.withColumn(
             "__batch_key", F.coalesce(F.col("__batch_key"), F.lit("__seed__"))
         )
-    all_keys = {
+    all_keys = _index_batch_keys_from_manifest(index) or {
         r["__batch_key"] for r in idx.select("__batch_key").distinct().collect()
-    }  # bounded by the number of micro-batches, not by rows
+    }  # manifest-derived when every segment is single-key (the append
+    # shape) — O(segments) driver work; else one column-pruned scan,
+    # bounded by the number of micro-batches in distinct values
 
     # The ledger is stored COMPACTED: batch ids are sequential per stream
     # generation and a reconcile always drains every unprocessed key, so
@@ -1421,7 +1472,21 @@ def reconcile_clean_corpus(
             F.col("node").alias(id_col)
         )
         return survivors.join(losers, id_col, "left_anti")
-    frontier_sigs = idx.where(
+    # churn-sized extraction: segment stats prune the read to the
+    # frontier's own appends (conservative on stat-less segments; the
+    # row filter below stays exact either way)
+    from datalakefoundation_spark.tables.lake_table import prune_spec_isin as _psi
+
+    frontier_src = index.read(
+        prune_spec=_psi("__batch_key", sorted(frontier_keys))
+    )
+    if "__batch_key" not in frontier_src.columns:
+        frontier_src = frontier_src.withColumn("__batch_key", F.lit("__seed__"))
+    else:
+        frontier_src = frontier_src.withColumn(
+            "__batch_key", F.coalesce(F.col("__batch_key"), F.lit("__seed__"))
+        )
+    frontier_sigs = frontier_src.where(
         F.col("__batch_key").isin(frontier_keys)
     ).drop("__batch_key")
     prior_banded = None

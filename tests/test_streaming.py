@@ -1681,3 +1681,50 @@ def test_banded_read_fraction_prices_the_prune(spark, tmp_path):
     # a key in nobody's range: nothing read
     none = prune_spec_isin("band_key", ["z" * 64])
     assert _banded_read_fraction(t, none) == 0.0
+
+
+def test_index_batch_key_stats_shortcuts(spark, tmp_path):
+    """r10 scale trim: replay checks and batch-key discovery on the
+    signature index read MANIFEST STATS, not data. Single-key appends
+    derive the exact key set; a mixed-key segment (the replay_rebuild
+    shape) forces the safe fallback (None); the pruned replay check
+    answers without a corpus scan and stays exact."""
+    from datalakefoundation_spark.streaming.ops import (
+        _index_batch_keys_from_manifest,
+        _index_has_batch_key,
+        _index_table,
+    )
+
+    path = str(tmp_path / "idx")
+    t = _index_table(spark, path)
+    for key in ("s1:0", "s1:1", "s1:2"):
+        t.append(
+            spark.createDataFrame(
+                [(1, key), (2, key)], "doc_id long, __batch_key string"
+            )
+        )
+    assert _index_batch_keys_from_manifest(t) == {"s1:0", "s1:1", "s1:2"}
+    assert _index_has_batch_key(t, "s1:1")
+    assert not _index_has_batch_key(t, "s1:9")
+
+    # a mixed-key segment (replay_rebuild writes one): fallback, not a
+    # wrong set
+    t.append(
+        spark.createDataFrame(
+            [(3, "s1:3"), (4, "s1:4")], "doc_id long, __batch_key string"
+        )
+    )
+    assert _index_batch_keys_from_manifest(t) is None
+    assert _index_has_batch_key(t, "s1:4")
+
+    # stats-less table (pre-r10 writer): fallback + exact check via scan
+    from datalakefoundation_spark.tables.lake_table import LakeTable
+
+    p2 = str(tmp_path / "old")
+    t2 = LakeTable(spark, p2)
+    t2.append(
+        spark.createDataFrame([(1, "s2:0")], "doc_id long, __batch_key string")
+    )
+    assert _index_batch_keys_from_manifest(t2) is None
+    assert _index_has_batch_key(t2, "s2:0")
+    assert not _index_has_batch_key(t2, "s2:1")
