@@ -1338,7 +1338,9 @@ def reconcile_clean_corpus(
 
     def _banded_write_all(t: "LakeTable", keys: "set[str]", src) -> None:
         """(Re)build the companion from the index rows of ``keys`` and
-        cluster it — the O(corpus) enablement/bootstrap path."""
+        cluster it — the O(corpus) enablement/bootstrap path. The commit
+        carries the same compacted key-watermark ledger the assignment
+        table uses, so idempotence reads manifests, not data."""
         rows = src.where(F.col("__batch_key").isin(sorted(keys)))
         bands = (
             band_explode(rows, id_col, num_hashes, band_size)
@@ -1349,25 +1351,54 @@ def reconcile_clean_corpus(
             .repartitionByRange(band_cluster_files, "band_key")
             .sortWithinPartitions("band_key")
         )
-        t.overwrite(bands, operation="band_index_build")
+        t.overwrite(
+            bands, operation="band_index_build", metrics=_compact(set(keys))
+        )
+
+    def _banded_keys_done(t: "LakeTable") -> "callable":
+        """done(key) from the companion's newest ledger-bearing commit —
+        the assignment table's walk-back discipline (maintenance commits
+        carry no ledger; skip past them)."""
+        done = _ledger_done({})
+        mf = t.latest_manifest()
+        if mf is None:
+            return done
+        v = mf.version
+        for _ in range(50):
+            if v < 0:
+                break
+            try:
+                m = mf if v == mf.version else t.manifest_at(v)
+            except FileNotFoundError:
+                break
+            mm = m.metrics or {}
+            if "__reconciled_watermarks" in mm or "__reconciled_keys" in mm:
+                return _ledger_done(mm)
+            v -= 1
+        return done
 
     def _banded_append_frontier(t: "LakeTable", fkeys: "list[str]") -> None:
-        """Churn-sized companion maintenance, idempotent by batch key."""
-        if not t.read().where(F.col("__batch_key").isin(fkeys)).isEmpty():
+        """Churn-sized companion maintenance, idempotent by the commit
+        ledger (a replayed cycle sees its keys recorded and no-ops — no
+        data read; the old row-existence check scanned the
+        bootstrap-sized segment every reconcile)."""
+        done = _banded_keys_done(t)
+        if all(done(k) for k in fkeys):
             return  # replayed cycle: bands already landed
         bands = band_explode(
             frontier_sigs, id_col, num_hashes, band_size
         ).join(
-            idx.where(F.col("__batch_key").isin(fkeys)).select(
+            frontier_src.where(F.col("__batch_key").isin(fkeys)).select(
                 id_col, "__batch_key"
             ),
             id_col,
         )
-        t.append(bands)
+        t.append(bands, metrics=_compact(set(all_keys)))
         if len(t.latest_manifest().segments) > recluster_segments:
             # the unclustered tail outgrew the threshold: one O(corpus)
             # re-sort restores the skipping geometry (amortized — the
-            # tail between re-clusters is bounded by the threshold)
+            # tail between re-clusters is bounded by the threshold; the
+            # optimize commit carries no ledger, the walk-back skips it)
             t.optimize(
                 cluster_by=["band_key"], target_partitions=band_cluster_files
             )
