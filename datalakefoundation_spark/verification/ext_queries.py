@@ -1874,32 +1874,9 @@ def q_session_overlap_join(spark, sf_dir):
 
     ev = _ts_events(spark, sf_dir)
 
-    def sessions(kind):
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("user_id").orderBy("ts")
-        e = ev.where(F.col("event_type") == kind).select("user_id", "ts")
-        flagged = e.withColumn(
-            "__new",
-            (
-                F.col("ts").cast("long")
-                - F.coalesce(F.lag("ts").over(w).cast("long"), F.lit(-10**9))
-                > 172_800
-            ).cast("int"),
-        ).withColumn("__sid", F.sum("__new").over(w))
-        return (
-            flagged.groupBy("user_id", "__sid")
-            .agg(
-                F.min("ts").alias("session_start"),
-                F.max("ts").alias("session_end"),
-                F.count(F.lit(1)).alias("n_events"),
-            )
-            .drop("__sid")
-            .withColumn("closed", F.lit(True))
-        )
-
     j = session_overlap_join(
-        sessions("click"), sessions("view"), max_session="35 days"
+        _gap_island_sessions(ev, "click"), _gap_island_sessions(ev, "view"),
+        max_session="35 days",
     )
     return j.select(
         F.col("l_key").alias("user_id"),
@@ -2049,6 +2026,34 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 
+def _gap_island_sessions(ev, kind):
+    """Gap-island sessionization of one event type (2-day inactivity gap;
+    classic lag+cumsum islands) — shared by the session-overlap oracle
+    rows; the DuckDB twin replicates the identical islands rule."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    e = ev.where(F.col("event_type") == kind).select("user_id", "ts")
+    flagged = e.withColumn(
+        "__new",
+        (
+            F.col("ts").cast("long")
+            - F.coalesce(F.lag("ts").over(w).cast("long"), F.lit(-10**9))
+            > 172_800
+        ).cast("int"),
+    ).withColumn("__sid", F.sum("__new").over(w))
+    return (
+        flagged.groupBy("user_id", "__sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("__sid")
+        .withColumn("closed", F.lit(True))
+    )
+
+
 def q_session_overlap_hot(spark, sf_dir):
     """q_session_overlap_join through the r10 HOT-KEY-SCOPED salting front
     end (hot_keys + salt_buckets): the salted plan must hash-equal the
@@ -2056,36 +2061,13 @@ def q_session_overlap_hot(spark, sf_dir):
     property, exactly like q_salted_blanket_join pins X52's. The list
     mixes real and nonexistent keys (a stale calibration must be
     result-invisible)."""
-    from pyspark.sql import Window
-
     from datalakefoundation_spark.streaming.ops import session_overlap_join
 
     ev = _ts_events(spark, sf_dir)
 
-    def sessions(kind):
-        w = Window.partitionBy("user_id").orderBy("ts")
-        e = ev.where(F.col("event_type") == kind).select("user_id", "ts")
-        flagged = e.withColumn(
-            "__new",
-            (
-                F.col("ts").cast("long")
-                - F.coalesce(F.lag("ts").over(w).cast("long"), F.lit(-10**9))
-                > 172_800
-            ).cast("int"),
-        ).withColumn("__sid", F.sum("__new").over(w))
-        return (
-            flagged.groupBy("user_id", "__sid")
-            .agg(
-                F.min("ts").alias("session_start"),
-                F.max("ts").alias("session_end"),
-                F.count(F.lit(1)).alias("n_events"),
-            )
-            .drop("__sid")
-            .withColumn("closed", F.lit(True))
-        )
-
     j = session_overlap_join(
-        sessions("click"), sessions("view"), max_session="35 days",
+        _gap_island_sessions(ev, "click"), _gap_island_sessions(ev, "view"),
+        max_session="35 days",
         hot_keys=[1, 2, 3, 5, 8, 999_999_999], salt_buckets=4,
     )
     return j.select(
