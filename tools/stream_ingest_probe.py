@@ -266,8 +266,18 @@ def run_probe(spark, replicas: int, batches: int) -> dict:
         from datalakefoundation_spark.streaming.ops import reconcile_clean_corpus
 
         assign = f"{tmp}/assign"
+        # DLF_PROBE_BANDED_FILES=N runs the packaged cycle through the r10
+        # band-key-clustered companion (bootstrap builds it; the churn
+        # reconcile reads it pruned when the self-pricing guard agrees)
+        banded_files = int(os.environ.get("DLF_PROBE_BANDED_FILES", "0"))
+        bkw = (
+            dict(banded_index_path=f"{tmp}/bands", band_cluster_files=banded_files)
+            if banded_files
+            else {}
+        )
+        rec["banded_files"] = banded_files
         t0 = time.time()
-        pkg = reconcile_clean_corpus(spark, out, index, ckpt, assign).select(
+        pkg = reconcile_clean_corpus(spark, out, index, ckpt, assign, **bkw).select(
             "doc_id"
         ).persist()
         rec["pkg_bootstrap_survivors"] = pkg.count()
@@ -321,7 +331,7 @@ def run_probe(spark, replicas: int, batches: int) -> dict:
         )
         q.awaitTermination()
         t0 = time.time()
-        pkg2 = reconcile_clean_corpus(spark, out, index, ckpt, assign).select(
+        pkg2 = reconcile_clean_corpus(spark, out, index, ckpt, assign, **bkw).select(
             "doc_id"
         ).persist()
         rec["pkg_incremental_survivors"] = pkg2.count()
