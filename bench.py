@@ -132,9 +132,16 @@ def _prior_bench(sf) -> dict[str, float]:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def _round_no(p: str) -> int:
+        # tolerate stray non-matching names (e.g. BENCH_rc1.json): sort
+        # them last instead of crashing the bench before its JSON line
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
     for path in sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        key=_round_no,
         reverse=True,
     ):
         try:

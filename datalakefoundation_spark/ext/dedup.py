@@ -138,11 +138,29 @@ def minhash_signature(
         hashed = ex.join(vocab, "__s").select(F.col(id_col), "__h")
     else:
         hashed = ex.select(F.col(id_col), F.sha2(F.col("__s"), 256).alias("__h"))
+    # min over the hex slice REINTERPRETED AS A LONG, hex-rendered back
+    # after the aggregate. Lexicographic order on fixed-width lowercase hex
+    # equals numeric order, so the result strings are bit-identical to
+    # min-of-string — but a string min aggregate has an immutable buffer
+    # type, which forces SortAggregate (a Sort on BOTH sides of the
+    # shuffle, measured in the r11 plan audit); the long min keeps the
+    # whole signature in one HashAggregate with map-side combine and
+    # shuffles 8 longs per doc instead of 8 tagged strings (guide §2.3
+    # narrower types / §2.4 removing accidental sorts).
     aggs = [
-        F.min(F.substring(F.col("__h"), 8 * i + 1, 8)).alias(f"h{i}")
+        F.min(
+            F.expr(f"cast(conv(substring(__h, {8 * i + 1}, 8), 16, 10) as bigint)")
+        ).alias(f"__m{i}")
         for i in range(num_hashes)
     ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    agg = hashed.groupBy(id_col).agg(*aggs)
+    return agg.select(
+        F.col(id_col),
+        *[
+            F.expr(f"lpad(lower(hex(__m{i})), 8, '0')").alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def band_explode(
@@ -303,6 +321,16 @@ def banded_incremental_candidates(
     old-new edge (matches probe NOTHING downstream)."""
     new_b = band_explode(new_sigs, id_col, num_hashes, band_size).select(
         F.col(id_col).alias("__new_id"), "band_idx", "band_key"
+    )
+    # The signature path subtracts the frontier from the prior by doc id
+    # (anti-join); the stored-band path must do the same, not merely by
+    # batch key: a doc id present in BOTH an old batch and the frontier
+    # (re-ingest with changed content) would otherwise contribute edges
+    # from its stale band rows that the signature path would not. The
+    # anti-join is churn-sized (AQE broadcasts the new-id side) and
+    # plan-invisible at scale.
+    prior_bands = prior_bands.join(
+        new_sigs.select(id_col), id_col, "left_anti"
     )
     old_new = (
         prior_bands.join(new_b, ["band_idx", "band_key"])

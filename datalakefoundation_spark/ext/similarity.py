@@ -378,6 +378,151 @@ def _banded_pairs(
     return pairs.where(idcond & (first_match == band_idx))
 
 
+def _banded_pairs_scored_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int,
+    planes_per_band: int,
+    dim: int,
+    ordered: bool,
+    max_bucket_width: int | None = None,
+    center: bool = False,
+    limit_per_id: int | None = None,
+) -> DataFrame:
+    """Bucket-blocked twin of ``_banded_pairs(with_vectors=True)`` + cosine
+    projection: the same candidate pairs (first-matching-band rule, same id
+    ordering, same deterministic bucket cap) with the same bit-exact cosine
+    (``_dim_order_cosine_block`` reproduces the per-pair fold's IEEE op
+    order), but each vector crosses the Python boundary ONCE PER BAND
+    instead of once per candidate pair: the band-key groups go through
+    ``applyInPandas`` and the whole in-bucket pair expansion + scoring is
+    one vectorized block per bucket.
+
+    Why: the per-pair form ships 2 x ``dim`` doubles per candidate pair
+    through ArrowEvalPython — O(pairs) Arrow bytes, which the r11 plan
+    audit measured as the dominant cost of ``lsh_topk`` (~8M pairs x 128
+    doubles at sf0.1). This form ships O(members x bands) vectors into the
+    same single band-key shuffle the old plan already paid and emits
+    24-byte scalar rows (guide §4.1 pass only needed columns / §8 move
+    heavy bytes once, decide on small rows). Bucket-width caps bound the
+    per-group matrix exactly like the per-pair form's expansion.
+
+    ``limit_per_id`` (top-k callers): emit only each id_a's best
+    ``limit_per_id`` partners PER BUCKET under the exact downstream window
+    order (cosine desc with NaN greatest and NULL least, ties id_b asc).
+    A pair appears in exactly one bucket (first-match rule), so the global
+    top-k over the union of per-bucket top-k partials is exact — the same
+    partial-top-k argument ``brute_force_topk_blocked`` uses; it shrinks
+    the window exchange's input from O(candidate pairs) to
+    O(limit x bands) rows per id.
+
+    Returns (id_a, id_b, cosine) with ``cosine_similarity``'s exact
+    NULL/NaN contract: NULL iff either vector is NULL; NaN (restored after
+    Arrow's NaN->NULL squash) for zero-norm/NaN-component pairs."""
+    num_planes = bands * planes_per_band
+    base = ensure_compute_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    mu = _corpus_centroid(base, dim) if center else None
+    sig = _signature_column(F.col("__v"), num_planes, dim, center_means=mu)
+    keyed = base.select("__id", "__v", sig.alias("__sig"))
+    e = keyed.select(
+        "*", F.explode(_band_key_array(bands, planes_per_band)).alias("__bk")
+    )
+    ppb = int(planes_per_band)
+    cap = None if max_bucket_width is None else int(max_bucket_width)
+    is_ordered = bool(ordered)
+
+    def _expand(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+                "__vnull": pd.Series(dtype="bool"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        if cap is not None and n > cap:
+            # deterministic cap: the lowest-id members, matching the
+            # per-pair form's slice(sort_array(mem), 1, cap) (struct sort
+            # orders by __id first; ids are unique by contract)
+            keep = np.sort(np.argsort(ids, kind="stable")[:cap])
+            pdf = pdf.iloc[keep]
+            n = len(pdf)
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+        sigs = pdf["__sig"].to_numpy()
+        band = int(pdf["__bk"].iloc[0].split("|", 1)[0])
+        # emit a pair only from its FIRST matching band (the _banded_pairs
+        # global-dedup rule): all members of this bucket agree on band
+        # ``band`` by construction, so "first match is here" means every
+        # earlier band's sub-signatures differ
+        emit = np.ones((n, n), dtype=bool)
+        for t in range(band):
+            sub = np.array([s[t * ppb : (t + 1) * ppb] for s in sigs])
+            emit &= sub[:, None] != sub[None, :]
+        if is_ordered:
+            emit &= ids[:, None] < ids[None, :]
+        else:
+            emit &= ids[:, None] != ids[None, :]
+        ai, bi = np.nonzero(emit)
+        if ai.size == 0:
+            return empty
+        vals = pdf["__v"].to_numpy()
+        valid = np.array([v is not None for v in vals])
+        cos = np.full((n, n), np.nan, dtype=np.float64)
+        if valid.any():
+            vidx = np.nonzero(valid)[0]
+            M = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in vidx])
+            # block[i, j] = dot_ij / (sqrt(n_j) * sqrt(n_i)) — the operand
+            # order of the denominator product differs per orientation but
+            # IEEE multiplication is commutative, so [ai, bi] is exactly
+            # the per-pair fold's cosine(a, b)
+            cos[np.ix_(vidx, vidx)] = _dim_order_cosine_block(M, M)
+        vnull = ~valid
+        pair_null = vnull[ai] | vnull[bi]
+        if limit_per_id is not None and ai.size > 0:
+            key = cos[ai, bi]
+            # Spark's window order is cosine DESC (NaN greatest, NULL
+            # least) then neighbor id ASC — encode it as a sortable key
+            sk = np.where(np.isnan(key), np.inf, key)
+            sk = np.where(pair_null, -np.inf, sk)
+            order = np.lexsort((ids[bi], -sk, ids[ai]))
+            grp = ids[ai][order]
+            starts = np.r_[0, np.flatnonzero(np.diff(grp)) + 1]
+            sizes = np.diff(np.r_[starts, order.size])
+            pos = np.arange(order.size) - np.repeat(starts, sizes)
+            keep = order[pos < int(limit_per_id)]
+            ai, bi, pair_null = ai[keep], bi[keep], pair_null[keep]
+        return pd.DataFrame(
+            {
+                "id_a": ids[ai],
+                "id_b": ids[bi],
+                "cosine": cos[ai, bi],
+                "__vnull": pair_null,
+            }
+        )
+
+    raw = e.groupBy("__bk").applyInPandas(
+        _expand, "id_a long, id_b long, cosine double, __vnull boolean"
+    )
+    # cosine_similarity's contract: NULL vector -> NULL; any other NULL
+    # coming back from Arrow is a squashed NaN and must be restored BEFORE
+    # windows/filters (Spark sorts NaN first under desc but NULL last)
+    return raw.select(
+        "id_a",
+        "id_b",
+        F.when(F.col("__vnull"), F.lit(None).cast("double"))
+        .otherwise(F.coalesce(F.col("cosine"), F.lit(float("nan"))))
+        .alias("cosine"),
+    )
+
+
 def lsh_near_dup_candidates(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -681,16 +826,21 @@ def lsh_topk(
     scoring is in-place: the whole query is scan -> one band-key shuffle ->
     expand+score -> one top-k window shuffle. (The previous plan paid a
     global pair distinct plus two shuffling joins back to the vector
-    table.) Cosine via the Arrow-batched sequential-fold UDF — op order
-    identical to the per-pair oracle."""
-    pairs = _banded_pairs(
+    table.) Expansion + cosine run bucket-blocked inside the band groups
+    (``_banded_pairs_scored_blocked``): each vector crosses the Python
+    boundary once per band rather than once per candidate pair, with the
+    identical first-match dedup rule and the per-pair fold's exact IEEE
+    cosine (r11: removed the O(pairs)-Arrow-bytes ArrowEvalPython stage,
+    row-identity pinned in tests/test_ext_operators.py)."""
+    pairs = _banded_pairs_scored_blocked(
         df, id_col, vec_col, bands, planes_per_band, dim,
-        ordered=False, with_vectors=True, max_bucket_width=max_bucket_width,
+        ordered=False, max_bucket_width=max_bucket_width,
+        limit_per_id=k,
     )
     scored = pairs.select(
-        F.col("a.__id").alias("query_id"),
-        F.col("b.__id").alias("neighbor_id"),
-        cosine_similarity(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("neighbor_id"),
+        "cosine",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -1176,8 +1326,16 @@ def hashed_feature_entries(
     candidate generation quadratic while bigram features separate
     planted near-dups (cosine graded by edit rate) from a ~0 background.
 
-    Plan: explode tokens -> (doc, token) tf (one shuffle) -> hash is a
-    pure projection -> (doc, bucket) sum (map-side combined re-agg).
+    Plan (r11): explode tokens -> hash as a pure projection -> ONE
+    (doc, bucket) sum shuffle with map-side combine. The previous form
+    aggregated (doc, token) term frequencies first and hashed the distinct
+    pairs — that saved sha256 calls but paid a FULL extra shuffle whose
+    rows carry the token strings themselves; this form's only shuffle
+    moves partial (doc, bucket, weight) sums, bounded by dim rows per doc
+    per map partition regardless of vocabulary (guide §2.3 aggregate
+    before you shuffle / shuffle keys not payloads). The signed integer
+    sum is associative, so weight = Σ_occurrences sign(token) equals the
+    old Σ_tokens sign(token)·tf exactly.
     Output: (id_col, bucket, weight)."""
     from .dedup import shingles
     from .text import tokens
@@ -1186,16 +1344,16 @@ def hashed_feature_entries(
         tokens(text_col) if ngram <= 1 else shingles(text_col, ngram)
     )
     tok = df.select(F.col(id_col), F.explode(unit).alias("token"))
-    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     h = F.sha2(F.col("token"), 256)
     bucket = (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % dim).alias(
         "bucket"
     )
-    sign = F.lit(1) - F.lit(2) * (
-        F.conv(F.substring(h, 7, 1), 16, 10).cast("long") % 2
-    )
+    sign = (
+        F.lit(1)
+        - F.lit(2) * (F.conv(F.substring(h, 7, 1), 16, 10).cast("long") % 2)
+    ).cast("long")
     return (
-        tf.select(F.col(id_col), bucket, (sign * F.col("tf")).alias("__w"))
+        tok.select(F.col(id_col), bucket, sign.alias("__w"))
         .groupBy(id_col, "bucket")
         .agg(F.sum("__w").alias("weight"))
     )

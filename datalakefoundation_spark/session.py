@@ -31,6 +31,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash join where its size conditions
+        # hold instead of always sort-merge (guide §3.1/§9). The planner
+        # still falls back to SMJ when the build side's stats don't fit a
+        # per-partition hash map, and AQE skew handling stays on. Main win
+        # here: the merge/SCD2 small-target full-outer join loses its two
+        # Sort nodes (full-outer SHJ is supported since Spark 3.1).
+        # Override with SPARK_GRAFT_PREFER_SMJ=true for clusters that want
+        # the always-spillable behavior.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -288,7 +288,14 @@ def _merge_state_full_outer(
     out_cols = _output_columns(target, source, extra_columns)
 
     t = target.alias("t")
-    s = source.alias("s")
+    # SHUFFLE_HASH hint on the source side (r11, guide §3.1): both sides of
+    # the small-target full-outer are similar-sized, so the planner's
+    # "much smaller" rule never picks shuffled-hash on its own and the join
+    # pays a Sort on BOTH sides of the exchange. This path is only chosen
+    # below SMALL_TARGET_ROWS, so the per-partition source hash map is
+    # bounded by construction (~target_rows/shuffle_partitions rows); full
+    # outer SHJ is supported since Spark 3.1. Row content is unaffected.
+    s = source.hint("shuffle_hash").alias("s")
     joined = t.join(s, F.col(f"t.{pk}") == F.col(f"s.{pk}"), "full_outer")
 
     matched = F.col(f"t.{pk}").isNotNull() & F.col(f"s.{pk}").isNotNull()
@@ -556,7 +563,9 @@ def _scd2_state_full_outer(
     current = target.where(is_current)
 
     t = current.alias("t")
-    s = source.alias("s")
+    # same SHUFFLE_HASH rationale as _merge_state_full_outer: small-target
+    # path only, bounded build side, removes the SMJ's two Sorts
+    s = source.hint("shuffle_hash").alias("s")
     joined = t.join(s, F.col(f"t.{pk}") == F.col(f"s.{pk}"), "full_outer")
 
     matched = F.col(f"t.{pk}").isNotNull() & F.col(f"s.{pk}").isNotNull()

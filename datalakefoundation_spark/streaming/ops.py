@@ -1383,12 +1383,19 @@ def reconcile_clean_corpus(
         data read; the old row-existence check scanned the
         bootstrap-sized segment every reconcile)."""
         done = _banded_keys_done(t)
-        if all(done(k) for k in fkeys):
+        # append ONLY the not-yet-done keys: after a crash between the
+        # companion append and the assignment-ledger commit, new stream
+        # batches can grow the frontier — re-appending the already-landed
+        # keys' bands would permanently duplicate companion rows
+        # (correctness would survive via the candidates' distinct(), but
+        # companion size and join cost would grow on every such replay)
+        pend = [k for k in fkeys if not done(k)]
+        if not pend:
             return  # replayed cycle: bands already landed
         bands = band_explode(
             frontier_sigs, id_col, num_hashes, band_size
         ).join(
-            frontier_src.where(F.col("__batch_key").isin(fkeys)).select(
+            frontier_src.where(F.col("__batch_key").isin(pend)).select(
                 id_col, "__batch_key"
             ),
             id_col,
@@ -1508,9 +1515,18 @@ def reconcile_clean_corpus(
     # row filter below stays exact either way)
     from datalakefoundation_spark.tables.lake_table import prune_spec_isin as _psi
 
-    frontier_src = index.read(
-        prune_spec=_psi("__batch_key", sorted(frontier_keys))
-    )
+    if "__seed__" in frontier_keys:
+        # degraded-ledger path: seed rows may be STORED as physical NULLs
+        # in a segment with recorded (all-NULL) stats — an isin spec on
+        # '__seed__' would prune exactly those segments before the
+        # coalesce-to-sentinel below, silently dropping seed rows from the
+        # frontier. No spec can safely express "NULL or absent", so read
+        # unpruned (wasteful but correct, like the rest of this path).
+        frontier_src = index.read()
+    else:
+        frontier_src = index.read(
+            prune_spec=_psi("__batch_key", sorted(frontier_keys))
+        )
     if "__batch_key" not in frontier_src.columns:
         frontier_src = frontier_src.withColumn("__batch_key", F.lit("__seed__"))
     else:

@@ -701,9 +701,16 @@ FROM win
 
 
 def q_knn_topk(spark, sf_dir):
+    # r11: the matmul-blocked twin of brute_force_topk — row-identical by
+    # contract (same IEEE fold order, same tie rules; pinned in
+    # tests/test_ann_blocked.py and re-proven against this oracle), but the
+    # corpus is never shuffled and never crosses the Python boundary as
+    # |queries| x |corpus| pair rows: one mapInPandas scan emits per-batch
+    # top-k partials (~20M pair rows x 128 doubles of Arrow traffic removed
+    # at sf0.1). The per-pair form remains the verification baseline in
+    # similarity.brute_force_topk.
     embs = _embs(spark, sf_dir)
-    queries = embs.where(F.col("vec_id") % 50 == 0)
-    return SIM.brute_force_topk(queries, embs, k=5)
+    return SIM.brute_force_topk_blocked(embs, k=5, query_stride=50)
 
 
 SQL_KNN_TOPK = f"""

@@ -1,0 +1,147 @@
+"""Row-identity pins for the r11 optimization-round internal changes.
+
+Every change here altered an operator's *implementation*, never its rows:
+* ``lsh_topk`` now expands and scores candidate pairs bucket-blocked inside
+  the band groups (``_banded_pairs_scored_blocked``) instead of shipping
+  2 x dim doubles per pair through ArrowEvalPython — pinned against the
+  per-pair formulation it replaced, including NULL vectors and bucket caps.
+* ``minhash_signature`` aggregates the hex slices as longs (HashAggregate)
+  instead of strings (SortAggregate) — pinned against the string-min form.
+* ``banded_incremental_candidates`` anti-joins the frontier's doc ids out
+  of the stored prior bands, so a re-ingested id's STALE band rows can no
+  longer contribute edges the signature path would not (ADVICE r10).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datalakefoundation_spark.ext import dedup as D
+from datalakefoundation_spark.ext import similarity as SIM
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _topk_rows(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in df.collect()
+    )
+
+
+def _per_pair_lsh_topk(df, k=3, bands=4, planes_per_band=8, dim=64,
+                       max_bucket_width=None):
+    """The pre-r11 per-pair formulation, kept inline as the reference."""
+    pairs = SIM._banded_pairs(
+        df, "vec_id", "embedding", bands, planes_per_band, dim,
+        ordered=False, with_vectors=True, max_bucket_width=max_bucket_width,
+    )
+    scored = pairs.select(
+        F.col("a.__id").alias("query_id"),
+        F.col("b.__id").alias("neighbor_id"),
+        D.cosine_similarity(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def test_lsh_topk_blocked_row_identical(spark, embs):
+    assert _topk_rows(SIM.lsh_topk(embs, k=3)) == _topk_rows(
+        _per_pair_lsh_topk(embs, k=3)
+    )
+
+
+def test_lsh_topk_blocked_cap_and_clones(spark, embs):
+    """Clones force multi-band collisions (first-matching-band dedup) and
+    the bucket cap trims the same deterministic member set."""
+    clone = embs.limit(3).withColumn("vec_id", F.col("vec_id") + 100000)
+    both = embs.unionByName(clone)
+    got = SIM.lsh_topk(both, k=2, max_bucket_width=16)
+    want = _per_pair_lsh_topk(both, k=2, max_bucket_width=16)
+    assert _topk_rows(got) == _topk_rows(want)
+
+
+def test_lsh_topk_blocked_null_vectors(spark, embs):
+    """NULL embeddings take the all-'0' signature bucket and must surface
+    NULL cosine (not NaN, not dropped) exactly like the per-pair form."""
+    vec_type = embs.schema["embedding"].dataType
+    nulled = embs.where(F.col("vec_id") < 40).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 7 == 0, F.lit(None).cast(vec_type)
+        ).otherwise(F.col("embedding")),
+    )
+    got = _topk_rows(SIM.lsh_topk(nulled, k=3))
+    want = _topk_rows(_per_pair_lsh_topk(nulled, k=3))
+    assert got == want
+
+
+def test_minhash_long_min_equals_string_min(spark, docs):
+    """min over conv(hex, 16, 10) longs re-hexed must equal min over the
+    hex strings: fixed-width lowercase hex sorts identically either way."""
+    sig = D.minhash_signature(docs)
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(D.shingles("text", 3))).alias("s"),
+    ).select("doc_id", F.sha2("s", 256).alias("h"))
+    ref = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring("h", 8 * i + 1, 8)).alias(f"r{i}")
+            for i in range(8)
+        ]
+    )
+    j = sig.join(ref, "doc_id")
+    assert j.count() == docs.count()
+    cond = " OR ".join(f"h{i} != r{i}" for i in range(8))
+    assert j.where(cond).count() == 0
+
+
+def test_banded_incremental_stale_duplicate_ids_excluded(spark):
+    """A frontier doc id that ALSO exists in the stored band index (re-ingest
+    with changed content) must not contribute edges from its stale band
+    rows: the banded path equals the signature path, which subtracts the
+    frontier by doc id."""
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_b = "completely different replacement words arrive here now yes"
+    prior = spark.createDataFrame(
+        [(1, text_a), (3, text_a)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, text_b), (2, text_a)], "doc_id long, text string"
+    )
+    prior_sigs = D.minhash_signature(prior)
+    new_sigs = D.minhash_signature(new)
+    prior_bands_full = D.band_explode(prior_sigs)  # includes stale id 1
+    prior_excl = prior_sigs.where(~F.col("doc_id").isin([1, 2]))
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.incremental_lsh_candidates(prior_excl, new_sigs).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.banded_incremental_candidates(
+            prior_bands_full, new_sigs
+        ).collect()
+    }
+    # the surviving prior doc (3, text_a) still pairs with the new clone
+    # (2, text_a); the stale (1, text_a) bands contribute nothing even
+    # though new id 2 collides with them
+    assert (2, 3) in want
+    assert got == want
+    assert not any(1 in p for p in got)
