@@ -357,13 +357,17 @@ def stream_hot_key_calibration(
             .agg(F.count(F.lit(1)).alias("__n"))
             .withColumn("__batch_key", F.lit(replay_key))
         )
-        table = LakeTable(spark, counts_path)
+        # stats on __batch_key make the replay check manifest-only (r11,
+        # same discipline as the signature index's _index_has_batch_key):
+        # a fresh batch key prunes every segment before any data I/O.
+        # Tables written before stats existed degrade to the scan path.
+        table = LakeTable(spark, counts_path, stats_columns=("__batch_key",))
         if not table.exists():
             table.overwrite(part, operation="calibration_bootstrap")
             return
-        stored = table.read()
-        if not stored.where(F.col("__batch_key") == F.lit(replay_key)).isEmpty():
+        if _index_has_batch_key(table, replay_key):
             return  # replayed batch: already folded, exactly-once no-op
+        stored = table.read()
         newest_row = part.agg(F.max("window_start")).first()
         newest = newest_row[0] if newest_row else None
         cutoff = F.lit(newest) - horizon
