@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -813,6 +814,16 @@ def ivf_topk(
     )
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer-estimated input size (file-length-derived for parquet
+    scans, available at plan-build time with zero jobs); None when the
+    estimate is unavailable (e.g. a non-JVM-backed DataFrame)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def lsh_topk(
     df: DataFrame,
     k: int = 3,
@@ -822,6 +833,7 @@ def lsh_topk(
     planes_per_band: int = 8,
     dim: int = 64,
     max_bucket_width: int | None = None,
+    blocked: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k via banded LSH: candidates are pairs sharing ANY
     band key (OR over bands boosts recall; each band's groupBy shuffles on
@@ -831,22 +843,59 @@ def lsh_topk(
     scoring is in-place: the whole query is scan -> one band-key shuffle ->
     expand+score -> one top-k window shuffle. (The previous plan paid a
     global pair distinct plus two shuffling joins back to the vector
-    table.) Expansion + cosine run bucket-blocked inside the band groups
-    (``_banded_pairs_scored_blocked``): each vector crosses the Python
-    boundary once per band rather than once per candidate pair, with the
-    identical first-match dedup rule and the per-pair fold's exact IEEE
-    cosine (r11: removed the O(pairs)-Arrow-bytes ArrowEvalPython stage,
-    row-identity pinned in tests/test_ext_operators.py)."""
-    pairs = _banded_pairs_scored_blocked(
-        df, id_col, vec_col, bands, planes_per_band, dim,
-        ordered=False, max_bucket_width=max_bucket_width,
-        limit_per_id=k,
-    )
-    scored = pairs.select(
-        F.col("id_a").alias("query_id"),
-        F.col("id_b").alias("neighbor_id"),
-        "cosine",
-    )
+    table.)
+
+    ``blocked`` picks how the in-bucket expansion + cosine run; the two
+    forms are row-identical (pinned in tests/test_r11_optimizations.py):
+
+    * ``True`` — bucket-blocked inside the band groups
+      (``_banded_pairs_scored_blocked``): each vector crosses the Python
+      boundary once per band rather than once per candidate pair, and the
+      per-bucket partial top-k shrinks the window exchange. The 100 TB
+      shape: the band keyspace is FIXED (bands * 2^planes_per_band), so
+      bucket width grows linearly with the corpus and candidate pairs
+      quadratically, while the blocked form's per-group overhead stays
+      constant — O(members * bands) Arrow bytes vs the per-pair form's
+      O(pairs * 2 * dim).
+    * ``False`` — codegen'd pair expansion with the cosine fold as one
+      ArrowEvalPython projection: no per-group Python overhead, cheaper
+      while buckets are small (the measured r11 crossover: ~1000 near-empty
+      buckets at sf0.1 cost the blocked form ~0.4 s of per-group pandas
+      overhead against ~73k candidate pairs whose Arrow bytes are trivial).
+    * ``None`` (default) — size-adaptive: blocked iff the optimizer's
+      input-size estimate reaches ``SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES``
+      (default 4 MiB — above every driver SF, below sf1's ~8 MiB; the
+      guide §3 "pick the strategy by size" rule, data-dependent and
+      core-count-independent). Unknown size chooses blocked (scale-safe).
+    """
+    if blocked is None:
+        floor = int(
+            os.environ.get("SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES", str(4 * 1024 * 1024))
+        )
+        est = _plan_size_bytes(df)
+        blocked = est is None or est >= floor
+    if blocked:
+        pairs = _banded_pairs_scored_blocked(
+            df, id_col, vec_col, bands, planes_per_band, dim,
+            ordered=False, max_bucket_width=max_bucket_width,
+            limit_per_id=k,
+        )
+        scored = pairs.select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("neighbor_id"),
+            "cosine",
+        )
+    else:
+        p = _banded_pairs(
+            df, id_col, vec_col, bands, planes_per_band, dim,
+            ordered=False, with_vectors=True,
+            max_bucket_width=max_bucket_width,
+        )
+        scored = p.select(
+            F.col("a.__id").alias("query_id"),
+            F.col("b.__id").alias("neighbor_id"),
+            cosine_similarity(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

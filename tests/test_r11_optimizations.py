@@ -62,9 +62,21 @@ def _per_pair_lsh_topk(df, k=3, bands=4, planes_per_band=8, dim=64,
 
 
 def test_lsh_topk_blocked_row_identical(spark, embs):
-    assert _topk_rows(SIM.lsh_topk(embs, k=3)) == _topk_rows(
+    assert _topk_rows(SIM.lsh_topk(embs, k=3, blocked=True)) == _topk_rows(
         _per_pair_lsh_topk(embs, k=3)
     )
+
+
+def test_lsh_topk_auto_picks_by_input_size(spark, embs, monkeypatch):
+    """blocked=None sizes the input from plan stats: a tiny corpus takes the
+    per-pair codegen path, a floor of 0 forces blocked — and both return
+    identical rows (the declared query's results cannot depend on the pick)."""
+    est = SIM._plan_size_bytes(embs)
+    assert est is not None and 0 < est < 4 * 1024 * 1024
+    auto = _topk_rows(SIM.lsh_topk(embs, k=3))
+    monkeypatch.setenv("SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES", "0")
+    forced = _topk_rows(SIM.lsh_topk(embs, k=3))
+    assert auto == forced == _topk_rows(SIM.lsh_topk(embs, k=3, blocked=False))
 
 
 def test_lsh_topk_blocked_cap_and_clones(spark, embs):
@@ -72,7 +84,7 @@ def test_lsh_topk_blocked_cap_and_clones(spark, embs):
     the bucket cap trims the same deterministic member set."""
     clone = embs.limit(3).withColumn("vec_id", F.col("vec_id") + 100000)
     both = embs.unionByName(clone)
-    got = SIM.lsh_topk(both, k=2, max_bucket_width=16)
+    got = SIM.lsh_topk(both, k=2, max_bucket_width=16, blocked=True)
     want = _per_pair_lsh_topk(both, k=2, max_bucket_width=16)
     assert _topk_rows(got) == _topk_rows(want)
 
@@ -87,7 +99,7 @@ def test_lsh_topk_blocked_null_vectors(spark, embs):
             F.col("vec_id") % 7 == 0, F.lit(None).cast(vec_type)
         ).otherwise(F.col("embedding")),
     )
-    got = _topk_rows(SIM.lsh_topk(nulled, k=3))
+    got = _topk_rows(SIM.lsh_topk(nulled, k=3, blocked=True))
     want = _topk_rows(_per_pair_lsh_topk(nulled, k=3))
     assert got == want
 
