@@ -25,6 +25,7 @@ from datalakefoundation_spark import strategies as S
 from datalakefoundation_spark.core.exceptions import (
     ConstraintViolationException,
     DatalakeException,
+    DuplicateBusinesskeyException,
 )
 from datalakefoundation_spark.core.normalize import schema_compare
 from datalakefoundation_spark.log import DatalakeLogManager
@@ -256,6 +257,20 @@ class Processing:
         aggs = [F.sum(kept.cast("long")).alias("__n")]
         aggs += [F.max(F.when(kept, F.col(c))).alias(f"__wm_{c}") for c in wm_cols]
         aggs += [F.sum(v.cast("long")).alias(f"__viol_{i}") for i, v in enumerate(viols.values())]
+        # duplicate-key EXISTENCE rides the same action (r11): PK groups =
+        # distinct non-NULL PKs + one NULL group; duplicates exist iff
+        # groups < kept rows — exactly check_duplicate_keys' groupBy cnt>1
+        # condition, without its second scan-and-shuffle job. The detailed
+        # guard (sample keys for the error message) runs only on the
+        # failure path. count_distinct is exact; same pk-set shuffle volume
+        # the guard job paid, one fewer pass over the slice.
+        dup_fused = bool(self.check_duplicates and e.businesskeys)
+        if dup_fused:
+            pk = F.col(self.pk_name)
+            aggs.append(F.count_distinct(F.when(kept, pk)).alias("__pk_d"))
+            aggs.append(
+                F.max((kept & pk.isNull()).cast("int")).alias("__pk_null")
+            )
         if e.partition_columns:
             aggs.append(
                 F.collect_set(
@@ -301,10 +316,18 @@ class Processing:
             # downstream consumers see only clean rows (filter over the
             # populated cache — no recompute)
             df = df.where(kept)
-        if self.check_duplicates and e.businesskeys:
-            # guard over the (possibly constraint-filtered) cached slice
-            P.check_duplicate_keys(df, e.destination, e.businesskeys, pk_col=self.pk_name)
         self._slice_count = int(row["__n"] or 0)
+        if dup_fused:
+            groups = int(row["__pk_d"] or 0) + int(row["__pk_null"] or 0)
+            if groups < self._slice_count:
+                # failure path only: the detailed guard re-scans the cached
+                # slice to sample offending keys for the exception message
+                P.check_duplicate_keys(
+                    df, e.destination, e.businesskeys, pk_col=self.pk_name
+                )
+                raise DuplicateBusinesskeyException(  # pragma: no cover
+                    f"Duplicate businesskeys in slice for {e.destination}"
+                )
         if self._layout_pending:
             self._resolve_layout(self._slice_count)
         if self._slice_count == 0:

@@ -535,6 +535,36 @@ def test_duplicate_businesskey_raises(spark, lake_root, prefix):
         p.process()
 
 
+def test_duplicate_only_in_constraint_dropped_rows_passes(spark, lake_root, prefix):
+    """The fused duplicate-existence check (r11) counts distinct PKs over
+    constraint-KEPT rows only: a duplicate confined to dropped rows must not
+    trip the guard, while a kept-side duplicate still raises."""
+    md = make_metadata(f"{lake_root}/clean", prefix)
+    rows = rows_v1(5) + [dict(rows_v1(5)[4])]  # both ID=4 copies have SeqNr 4
+    write_slice(spark, md, "s1.parquet", rows)
+    p = Processing(
+        spark, md, 1, "s1.parquet",
+        {"processing.time": T0,
+         "constraints": [
+             {"name": "small_seq", "expression": "SeqNr < 4", "action": "drop"}
+         ]},
+    )
+    assert p.process("full").records_in_slice == 4  # dup pair fully dropped
+
+    md2 = make_metadata(f"{lake_root}/dup", prefix)
+    rows2 = rows_v1(5) + [dict(rows_v1(5)[0])]  # ID=0 dup survives the drop
+    write_slice(spark, md2, "s1.parquet", rows2)
+    p2 = Processing(
+        spark, md2, 1, "s1.parquet",
+        {"processing.time": T0,
+         "constraints": [
+             {"name": "small_seq", "expression": "SeqNr < 4", "action": "drop"}
+         ]},
+    )
+    with pytest.raises(DuplicateBusinesskeyException):
+        p2.process("full")
+
+
 def test_invalid_calculated_column_fatal(spark, lake_root, prefix):
     md = make_metadata(lake_root, prefix)
     entity = md.get_entity(1)
