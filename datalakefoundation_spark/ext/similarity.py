@@ -766,6 +766,109 @@ def ivf_probes(
     return _nearest_centroids(v.where(probe_cond), cent, nprobe)
 
 
+def _ivf_pairs_scored_blocked(
+    q: DataFrame,
+    c: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Cell-blocked twin of ``ivf_topk``'s per-pair join + cosine: the same
+    (query, neighbor, cosine) rows (self-pairs excluded, identical NULL/NaN
+    contract), computed as one cosine matrix per IVF cell inside a
+    cogrouped ``applyInPandas`` instead of shipping 2 x dim doubles per
+    candidate pair through ArrowEvalPython.
+
+    Why (guide §4.1 pass only needed columns / §8 decide on small rows):
+    the per-pair form's scoring stage is O(candidate pairs) Arrow bytes —
+    each pair row carries BOTH dense vectors across the Python boundary.
+    Here each vector crosses once per cell it appears in (corpus: exactly
+    once — storage cell; queries: nprobe times), riding the one cluster_id
+    shuffle the plan already pays, and the stage emits 24-byte scalar rows.
+
+    Per-cell partial top-k is EXACT for the downstream global window: a
+    corpus vector is stored in exactly one cell, so a (query, neighbor)
+    pair can appear in at most one cogroup — per-query best-k within the
+    cell under the window's total order (cosine desc with NaN greatest and
+    NULL least, ties neighbor_id asc) can never drop a row the global
+    top-k needs (same argument as ``brute_force_topk_blocked``). Skipped
+    below 4096 pairs where the lexsort costs more than the rows it saves
+    (same measured threshold as ``_banded_pairs_scored_blocked``).
+
+    ``_dim_order_cosine_block`` reproduces the per-pair fold's IEEE op
+    sequence, so cosines are bit-identical, not approximately equal
+    (pinned in tests/test_ann_blocked.py::test_ivf_topk_blocked_identical)."""
+    kk = int(k)
+
+    def _score(qp: pd.DataFrame, cp: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+                "__vnull": pd.Series(dtype="bool"),
+            }
+        )
+        if len(qp) == 0 or len(cp) == 0:
+            return empty
+        qids = qp["query_id"].to_numpy(dtype=np.int64)
+        nids = cp["neighbor_id"].to_numpy(dtype=np.int64)
+        qv = qp["qv"].to_numpy()
+        cv = cp["cv"].to_numpy()
+        qvalid = np.array([v is not None for v in qv])
+        cvalid = np.array([v is not None for v in cv])
+        nc, nq = len(cp), len(qp)
+        cos = np.full((nc, nq), np.nan, dtype=np.float64)
+        if qvalid.any() and cvalid.any():
+            qi = np.nonzero(qvalid)[0]
+            ci = np.nonzero(cvalid)[0]
+            Qm = np.vstack([np.asarray(qv[i], dtype=np.float64) for i in qi])
+            Cm = np.vstack([np.asarray(cv[i], dtype=np.float64) for i in ci])
+            # [corpus_i, query_j] = the per-pair fold's cosine(qv_j, cv_i):
+            # per-dim accumulation order is identical and the denominator's
+            # operand swap is IEEE-commutative multiplication
+            cos[np.ix_(ci, qi)] = _dim_order_cosine_block(Cm, Qm)
+        ai, bi = np.nonzero(nids[:, None] != qids[None, :])
+        if ai.size == 0:
+            return empty
+        pair_null = (~cvalid)[ai] | (~qvalid)[bi]
+        if ai.size > 4096:
+            key = cos[ai, bi]
+            sk = np.where(np.isnan(key), np.inf, key)
+            sk = np.where(pair_null, -np.inf, sk)
+            order = np.lexsort((nids[ai], -sk, qids[bi]))
+            grp = qids[bi][order]
+            starts = np.r_[0, np.flatnonzero(np.diff(grp)) + 1]
+            sizes = np.diff(np.r_[starts, order.size])
+            pos = np.arange(order.size) - np.repeat(starts, sizes)
+            keep = order[pos < kk]
+            ai, bi, pair_null = ai[keep], bi[keep], pair_null[keep]
+        return pd.DataFrame(
+            {
+                "query_id": qids[bi],
+                "neighbor_id": nids[ai],
+                "cosine": cos[ai, bi],
+                "__vnull": pair_null,
+            }
+        )
+
+    raw = (
+        q.groupBy("cluster_id")
+        .cogroup(c.groupBy("cluster_id"))
+        .applyInPandas(
+            _score, "query_id long, neighbor_id long, cosine double, __vnull boolean"
+        )
+    )
+    # cosine_similarity's contract: NULL vector -> NULL; any other NULL
+    # coming back from Arrow is a squashed NaN and must be restored BEFORE
+    # the window (Spark sorts NaN first under desc but NULL last)
+    return raw.select(
+        "query_id",
+        "neighbor_id",
+        F.when(F.col("__vnull"), F.lit(None).cast("double"))
+        .otherwise(F.coalesce(F.col("cosine"), F.lit(float("nan"))))
+        .alias("cosine"),
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 3,
@@ -775,7 +878,7 @@ def ivf_topk(
     query_stride: int = 50,
     nprobe: int = 2,
     centroids: DataFrame | None = None,
-    blocked: bool = False,
+    blocked: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF multiprobe: queries (``id % query_stride``)
     search their ``nprobe`` nearest centroid cells; the corpus is stored
@@ -784,8 +887,30 @@ def ivf_topk(
     are a small fraction of the corpus), closing most of the recall gap of
     nprobe=1 for vectors near cell boundaries. ``centroids`` (e.g. from
     ``kmeans_centroids``) swaps in a trained index; default stride subset
-    stays the oracle-matched form. ``blocked=True`` swaps both centroid
-    assignments to the matmul path (row-identical; for large K)."""
+    stays the oracle-matched form.
+
+    ``blocked`` picks the execution of BOTH centroid assignment and the
+    in-cell scoring; the forms are row-identical (pinned in
+    tests/test_ann_blocked.py):
+
+    * ``True`` — matmul assignment (for large K) + cell-blocked scoring
+      with per-cell partial top-k (``_ivf_pairs_scored_blocked``): each
+      corpus vector crosses the Python boundary once, each query nprobe
+      times, and the top-k window's exchange reads O(k x nprobe) rows per
+      query instead of O(candidate pairs).
+    * ``False`` — per-pair crossJoin assignment + per-pair in-cell cosine
+      (cheaper while cells are small; the r11-measured per-group-overhead
+      crossover is the same as ``lsh_topk``'s).
+    * ``None`` (default) — size-adaptive on the optimizer's input-size
+      estimate, same ``SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES`` floor as
+      ``lsh_topk`` (guide §3 pick-by-size; core-count-independent).
+      Unknown size chooses blocked (scale-safe)."""
+    if blocked is None:
+        floor = int(
+            os.environ.get("SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES", str(4 * 1024 * 1024))
+        )
+        est = _plan_size_bytes(df)
+        blocked = est is None or est >= floor
     assigned = ivf_assign(
         df, id_col, vec_col, centroid_stride, centroids=centroids, blocked=blocked
     )
@@ -802,10 +927,13 @@ def ivf_topk(
     c = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cluster_id"
     )
-    j = c.join(q, "cluster_id").where(F.col("neighbor_id") != F.col("query_id"))
-    scored = j.select(
-        "query_id", "neighbor_id", cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine")
-    )
+    if blocked:
+        scored = _ivf_pairs_scored_blocked(q, c, k)
+    else:
+        j = c.join(q, "cluster_id").where(F.col("neighbor_id") != F.col("query_id"))
+        scored = j.select(
+            "query_id", "neighbor_id", cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1766,24 +1894,43 @@ def _nearest_centroids_blocked(
     if len(crows) > max_centroids:
         raise ValueError("centroid table exceeds max_centroids")
     cids = np.array([r["cluster_id"] for r in crows], dtype=np.int64)
-    C = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in crows])
+    # NULL centroids (possible when the stride subset hits a NULL vector)
+    # score NULL against everything in the per-pair form — NULL sorts LAST
+    # under the window's cosine desc (below NaN, which sorts first), ties
+    # by cluster_id asc. Encode that as a -inf key column.
+    cvalid = np.array([r["cv"] is not None for r in crows], dtype=bool)
+    cvidx = np.nonzero(cvalid)[0]
+    C = (
+        np.vstack([np.asarray(crows[i]["cv"], dtype=np.float64) for i in cvidx])
+        if cvidx.size
+        else None
+    )
     npb = int(nprobe)
 
     def _assign(it):
         for pdf in it:
             if pdf.empty:
                 continue
-            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            cos = _dim_order_cosine_block(M, C)
-            key = np.where(np.isnan(cos), np.inf, cos)
-            # centroids were collected id-ascending, so a STABLE argsort of
-            # -key keeps the lowest cluster_id first within ties — the
-            # row_number tie rule of the per-pair form
-            order = np.argsort(-key, axis=1, kind="stable")[:, :npb]
-            n = order.shape[0]
-            out = pdf.iloc[np.repeat(np.arange(n), order.shape[1])].reset_index(
-                drop=True
-            )
+            vals = pdf["v"].to_numpy()
+            valid = np.array([x is not None for x in vals])
+            n = len(pdf)
+            m = min(npb, len(cids))
+            # default (NULL vector, or no non-NULL centroid): every score
+            # is NULL, so the per-pair window degenerates to the lowest m
+            # cluster ids (centroids were collected id-ascending)
+            order = np.broadcast_to(np.arange(m, dtype=np.int64), (n, m)).copy()
+            if valid.any() and C is not None:
+                vidx = np.nonzero(valid)[0]
+                M = np.vstack(
+                    [np.asarray(vals[i], dtype=np.float64) for i in vidx]
+                )
+                cos = _dim_order_cosine_block(M, C)
+                key = np.full((vidx.size, len(cids)), -np.inf, dtype=np.float64)
+                key[:, cvidx] = np.where(np.isnan(cos), np.inf, cos)
+                # stable argsort of -key keeps the lowest cluster_id first
+                # within ties — the row_number tie rule of the per-pair form
+                order[vidx] = np.argsort(-key, axis=1, kind="stable")[:, :m]
+            out = pdf.iloc[np.repeat(np.arange(n), m)].reset_index(drop=True)
             out["cluster_id"] = cids[order].reshape(-1)
             yield out
 

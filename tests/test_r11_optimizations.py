@@ -104,6 +104,28 @@ def test_lsh_topk_blocked_null_vectors(spark, embs):
     assert got == want
 
 
+def test_ivf_topk_blocked_null_vectors(spark, embs):
+    """NULL embeddings land in a cell (all-NULL centroid scores rank by
+    lowest cluster_id) and must surface NULL cosine — not NaN, not dropped
+    — exactly like the per-pair form, through the cell-blocked scorer."""
+    vec_type = embs.schema["embedding"].dataType
+    nulled = embs.where(F.col("vec_id") < 120).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 7 == 0, F.lit(None).cast(vec_type)
+        ).otherwise(F.col("embedding")),
+    )
+    got = _topk_rows(
+        SIM.ivf_topk(nulled, k=3, query_stride=10, nprobe=2, blocked=True)
+    )
+    want = _topk_rows(
+        SIM.ivf_topk(nulled, k=3, query_stride=10, nprobe=2, blocked=False)
+    )
+    assert got == want
+    # the NULL-query rows exist and carry NULL cosine in both forms
+    assert any(c is None for (_q, _r, _n, c) in got)
+
+
 def test_minhash_long_min_equals_string_min(spark, docs):
     """min over conv(hex, 16, 10) longs re-hexed must equal min over the
     hex strings: fixed-width lowercase hex sorts identically either way."""
