@@ -1032,6 +1032,60 @@ def lsh_topk(
     )
 
 
+def _semantic_flags_blocked(
+    assigned: DataFrame,
+    threshold: float,
+    max_cluster_width: int | None,
+) -> DataFrame:
+    """Cell-blocked twin of ``semantic_dedup``'s explode + per-pair cosine:
+    identical (vec_id, cluster_id, kept) rows, computed as one cosine
+    matrix per cell inside ``applyInPandas`` instead of materializing
+    width x ref pair rows that each carry both dense vectors through
+    ArrowEvalPython (guide §4.1 / §8 — the same discipline as the blocked
+    LSH/IVF scorers; ``_dim_order_cosine_block`` keeps every cosine
+    bit-identical to the per-pair fold).
+
+    Exactness notes: Spark compares NaN GREATER than any double, so a
+    zero-norm (NaN-cosine) pair flags as a duplicate in the per-pair form
+    — reproduced here with ``(cos >= thr) | isnan(cos)``; NULL-vector
+    pairs yield NULL cosine and never flag; the ``max_cluster_width``
+    reference prefix is the same lowest-id member set (ids are unique by
+    contract, so sorting ids equals the per-pair form's struct sort)."""
+    thr = float(threshold)
+    cap = None if max_cluster_width is None else int(max_cluster_width)
+
+    def _flags(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        vals = pdf["v"].to_numpy()
+        valid = np.array([x is not None for x in vals])
+        dup = np.zeros(n, dtype=bool)
+        ref_mask = np.ones(n, dtype=bool)
+        if cap is not None and n > cap:
+            ref_mask[:] = False
+            ref_mask[np.sort(np.argsort(ids, kind="stable")[:cap])] = True
+        cidx = np.nonzero(valid & ref_mask)[0]
+        vidx = np.nonzero(valid)[0]
+        if vidx.size and cidx.size:
+            M = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in vidx])
+            Q = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in cidx])
+            cos = _dim_order_cosine_block(M, Q)
+            ge = (cos >= thr) | np.isnan(cos)  # Spark sorts/compares NaN greatest
+            lower = ids[cidx][None, :] < ids[vidx][:, None]
+            dup[vidx] = (ge & lower).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": pdf["cluster_id"].to_numpy(dtype=np.int64),
+                "kept": ~dup,
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        _flags, "vec_id long, cluster_id long, kept boolean"
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1040,6 +1094,7 @@ def semantic_dedup(
     threshold: float = 0.45,
     centroids: DataFrame | None = None,
     max_cluster_width: int | None = None,
+    blocked: bool | None = None,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column (the SemDeDup shape,
     Abbas et al. 2023, arXiv:2303.09540): cluster the corpus, compare
@@ -1069,8 +1124,27 @@ def semantic_dedup(
     as the LSH bucket cap — overflow members are checked against the
     capped prefix only, bounding the cell at N*width pairs instead of
     width^2). Cosine uses the Arrow-batched sequential fold, so the
-    threshold decision is bit-identical to the DuckDB oracle."""
-    assigned = ivf_assign(df, id_col, vec_col, centroid_stride, centroids=centroids)
+    threshold decision is bit-identical to the DuckDB oracle.
+
+    ``blocked`` picks the execution (row-identical forms, pinned in
+    tests/test_r11_optimizations.py): ``True`` scores each cell as ONE
+    cosine matrix in ``applyInPandas`` (``_semantic_flags_blocked``) —
+    each vector crosses the Python boundary once instead of once per
+    (member, reference) pair — and swaps the centroid assignment to the
+    matmul path; ``False`` keeps the per-pair explode (cheaper while
+    cells are small); ``None`` (default) is size-adaptive on the
+    optimizer's input estimate, same floor as ``lsh_topk``."""
+    if blocked is None:
+        floor = int(
+            os.environ.get("SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES", str(4 * 1024 * 1024))
+        )
+        est = _plan_size_bytes(df)
+        blocked = est is None or est >= floor
+    assigned = ivf_assign(
+        df, id_col, vec_col, centroid_stride, centroids=centroids, blocked=blocked
+    )
+    if blocked:
+        return _semantic_flags_blocked(assigned, threshold, max_cluster_width)
     mem = F.collect_list(F.struct(F.col("vec_id"), F.col("v")))
     if max_cluster_width is not None:
         ref = F.slice(F.sort_array(mem), 1, int(max_cluster_width))

@@ -126,6 +126,39 @@ def test_ivf_topk_blocked_null_vectors(spark, embs):
     assert any(c is None for (_q, _r, _n, c) in got)
 
 
+def _sd_rows(df):
+    return sorted(
+        (r["vec_id"], r["cluster_id"], r["kept"]) for r in df.collect()
+    )
+
+
+def test_semantic_dedup_blocked_row_identical(spark, embs):
+    got = SIM.semantic_dedup(embs, threshold=0.45, blocked=True)
+    want = SIM.semantic_dedup(embs, threshold=0.45, blocked=False)
+    assert _sd_rows(got) == _sd_rows(want)
+    # cap path: overflow members check against the lowest-id prefix only
+    got_c = SIM.semantic_dedup(embs, threshold=0.3, max_cluster_width=4, blocked=True)
+    want_c = SIM.semantic_dedup(embs, threshold=0.3, max_cluster_width=4, blocked=False)
+    assert _sd_rows(got_c) == _sd_rows(want_c)
+
+
+def test_semantic_dedup_blocked_null_and_zero_norm(spark, embs):
+    """NULL vectors never flag (NULL cosine); zero-norm vectors score NaN,
+    which Spark compares GREATER than any threshold — the blocked form must
+    reproduce both, and the clone pair must still dedup."""
+    vec_type = embs.schema["embedding"].dataType
+    zero = F.array(*[F.lit(0.0) for _ in range(64)]).cast(vec_type)
+    tweaked = embs.where(F.col("vec_id") < 200).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 11 == 0, F.lit(None).cast(vec_type))
+        .when(F.col("vec_id") % 13 == 1, zero)
+        .otherwise(F.col("embedding")),
+    )
+    got = SIM.semantic_dedup(tweaked, threshold=0.45, blocked=True)
+    want = SIM.semantic_dedup(tweaked, threshold=0.45, blocked=False)
+    assert _sd_rows(got) == _sd_rows(want)
+
+
 def test_minhash_long_min_equals_string_min(spark, docs):
     """min over conv(hex, 16, 10) longs re-hexed must equal min over the
     hex strings: fixed-width lowercase hex sorts identically either way."""
