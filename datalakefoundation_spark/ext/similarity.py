@@ -569,6 +569,7 @@ def lsh_near_dup_scored(
     dim: int = 64,
     center: bool = False,
     max_bucket_width: int | None = None,
+    blocked: bool | None = None,
 ) -> DataFrame:
     """``lsh_near_dup_candidates`` + exact cosine scored IN PLACE: vectors
     ride the one band shuffle (``with_vectors=True``) and each surviving
@@ -584,7 +585,27 @@ def lsh_near_dup_scored(
     dense vector through the single band-key exchange. For exact-integer
     vectors (hashed features) the cosine is bit-identical to
     ``sparse_cosine_pairs`` — both compute the same exact integer dot and
-    norms (asserted in tests)."""
+    norms (asserted in tests).
+
+    ``blocked`` picks the expansion+scoring execution exactly like
+    ``lsh_topk``'s (row-identical forms — the blocked one computes each
+    bucket's cosine matrix in ``applyInPandas`` so vectors cross the
+    Python boundary once per band, not once per candidate pair);
+    ``None`` (default) is size-adaptive on the optimizer's estimate."""
+    if blocked is None:
+        floor = int(
+            os.environ.get("SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES", str(4 * 1024 * 1024))
+        )
+        est = _plan_size_bytes(df)
+        blocked = est is None or est >= floor
+    if blocked:
+        scored = _banded_pairs_scored_blocked(
+            df, id_col, vec_col, bands, planes_per_band, dim,
+            ordered=True, max_bucket_width=max_bucket_width, center=center,
+        )
+        # NaN >= threshold is TRUE under Spark comparison (NaN greatest),
+        # identical to the per-pair form's filter on the same restored column
+        return scored.where(F.col("cosine") >= F.lit(threshold))
     pairs = _banded_pairs(
         df, id_col, vec_col, bands, planes_per_band, dim,
         ordered=True, with_vectors=True,

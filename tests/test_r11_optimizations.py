@@ -126,6 +126,19 @@ def test_ivf_topk_blocked_null_vectors(spark, embs):
     assert any(c is None for (_q, _r, _n, c) in got)
 
 
+def test_lsh_near_dup_scored_blocked_row_identical(spark, embs):
+    def rows(df):
+        return sorted((r["id_a"], r["id_b"], r["cosine"]) for r in df.collect())
+
+    got = SIM.lsh_near_dup_scored(embs, threshold=0.05, blocked=True)
+    want = SIM.lsh_near_dup_scored(embs, threshold=0.05, blocked=False)
+    assert rows(got) == rows(want) and len(rows(want)) > 0
+    # centered projections (the hashed-text-features configuration)
+    got_c = SIM.lsh_near_dup_scored(embs, threshold=0.05, center=True, blocked=True)
+    want_c = SIM.lsh_near_dup_scored(embs, threshold=0.05, center=True, blocked=False)
+    assert rows(got_c) == rows(want_c)
+
+
 def _sd_rows(df):
     return sorted(
         (r["vec_id"], r["cluster_id"], r["kept"]) for r in df.collect()
