@@ -890,6 +890,113 @@ def _ivf_pairs_scored_blocked(
     )
 
 
+def _ivf_pq_adc_blocked(
+    q: DataFrame,
+    stored: DataFrame,
+    codebooks,
+    rerank: int,
+    residual: bool,
+) -> DataFrame:
+    """Cell-blocked twin of ``ivf_pq_topk``'s ADC stage: the same
+    (query_id, neighbor_id, adc) candidate rows (self-pairs excluded,
+    identical NULL semantics), computed per IVF cell inside a cogrouped
+    ``applyInPandas`` instead of shipping the 64-double query vector on
+    EVERY in-cell candidate row through the ADC Arrow UDF.
+
+    Why (guide §4.1 pass only needed columns / §8 decide on small rows):
+    the per-pair form's candidate stream is O(pairs) x (dim doubles +
+    m codes) of Arrow traffic — the codes are tiny but the query vector
+    rides every row. Here each query vector crosses the Python boundary
+    once per probed cell (nprobe times total), each code row once, and
+    the stage emits 24-byte scalar rows; the shortlist window's exchange
+    then reads O(rerank x nprobe) rows per query instead of O(pairs).
+
+    Per-cell partial top-``rerank`` is EXACT for the downstream global
+    window: a candidate's codes live in exactly one storage cell, so a
+    (query, neighbor) pair appears in at most one cogroup — per-query
+    best-rerank within the cell under the window's total order (adc desc
+    with NULL last, ties neighbor_id asc) can never drop a row the global
+    shortlist needs (same argument as ``_ivf_pairs_scored_blocked``).
+    Skipped below 4096 pairs (same measured per-group threshold).
+
+    Exactness of the scores: ``_adc_cosine._score``'s IEEE op sequence is
+    reproduced per query row — reconstruction gather (+ centroid for the
+    residual form), ``(Q_row * R).sum(axis=1)`` (numpy pairwise sum over
+    the dim axis is a pure per-row function, independent of batch
+    composition), ``sqrt((.*.).sum(1))`` norms, one divide — so the adc
+    doubles are bit-identical, not approximately equal. The per-pair form
+    returns its scores through a pandas_udf whose Arrow conversion folds
+    NaN into NULL (invalid rows AND genuine 0/0 scores), and desc-NULLS
+    LAST sorts genuine ``-inf`` scores ABOVE those NULLs — the partial
+    top-k's sort key keeps that distinction (isnull tier before value)
+    and the emitted NaNs fold to NULL on the same Arrow path."""
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, _k, sub = B.shape
+    rr = int(rerank)
+
+    def _score(qp: pd.DataFrame, cp: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "adc": pd.Series(dtype="float64"),
+            }
+        )
+        if len(qp) == 0 or len(cp) == 0:
+            return empty
+        qids = qp["query_id"].to_numpy(dtype=np.int64)
+        nids = cp["neighbor_id"].to_numpy(dtype=np.int64)
+        qv = qp["qv"].to_numpy()
+        codes = cp["codes"].to_numpy()
+        qvalid = np.array([v is not None for v in qv])
+        cvalid = np.array([v is not None for v in codes])
+        if residual:
+            ccv = cp["__cc"].to_numpy()
+            cvalid &= np.array([v is not None for v in ccv])
+        nq, nc = len(qp), len(cp)
+        adc = np.full((nq, nc), np.nan, dtype=np.float64)
+        if qvalid.any() and cvalid.any():
+            qi = np.nonzero(qvalid)[0]
+            ci = np.nonzero(cvalid)[0]
+            Q = np.vstack([np.asarray(qv[i], dtype=np.float64) for i in qi])
+            C = np.vstack([np.asarray(codes[i], dtype=np.int64) for i in ci])
+            R = np.empty((len(ci), Q.shape[1]), dtype=np.float64)
+            for j in range(m):
+                R[:, j * sub : (j + 1) * sub] = B[j][C[:, j]]
+            if residual:
+                R += np.vstack([np.asarray(ccv[i], dtype=np.float64) for i in ci])
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            rn = np.sqrt((R * R).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # one query row at a time: memory stays nc x dim and every
+                # pair's dot is the same per-row pairwise sum as _score's
+                for t in range(Q.shape[0]):
+                    adc[qi[t], ci] = (Q[t] * R).sum(axis=1) / (qn[t] * rn)
+        bi, ai = np.nonzero(qids[:, None] != nids[None, :])
+        if bi.size == 0:
+            return empty
+        key = adc[bi, ai]
+        if bi.size > 4096:
+            isnull = np.isnan(key)
+            sk = np.where(isnull, 0.0, key)
+            order = np.lexsort((nids[ai], -sk, isnull, qids[bi]))
+            grp = qids[bi][order]
+            starts = np.r_[0, np.flatnonzero(np.diff(grp)) + 1]
+            sizes = np.diff(np.r_[starts, order.size])
+            pos = np.arange(order.size) - np.repeat(starts, sizes)
+            keep = order[pos < rr]
+            bi, ai, key = bi[keep], ai[keep], key[keep]
+        return pd.DataFrame(
+            {"query_id": qids[bi], "neighbor_id": nids[ai], "adc": key}
+        )
+
+    return (
+        q.groupBy("cluster_id")
+        .cogroup(stored.groupBy("cluster_id"))
+        .applyInPandas(_score, "query_id long, neighbor_id long, adc double")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 3,
@@ -1365,7 +1472,7 @@ def ivf_pq_topk(
     rerank: int = 32,
     centroids: DataFrame | None = None,
     codebooks=None,
-    blocked: bool = False,
+    blocked: bool | None = None,
     residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate nearest neighbors — the memory-bounded scale
@@ -1397,7 +1504,29 @@ def ivf_pq_topk(
     (measured: recall@10 0.86 -> ~0.99 at 1M on hashed-count vectors,
     tools/ann_cert.py). Costs one extra broadcast join against the (tiny)
     centroid table on the encode and scoring paths; candidate
-    reconstruction adds the centroid back before the cosine."""
+    reconstruction adds the centroid back before the cosine.
+
+    ``blocked`` picks the execution of the centroid assignments AND the
+    ADC scoring stage; the forms are row-identical (pinned in
+    tests/test_ann_blocked.py::test_ivf_pq_blocked_identical):
+
+    * ``True`` — matmul assignment + cell-blocked ADC with per-cell
+      partial top-``rerank`` (``_ivf_pq_adc_blocked``): each query vector
+      crosses the Python boundary nprobe times instead of riding every
+      candidate row, and the shortlist window's exchange reads
+      O(rerank x nprobe) rows per query instead of O(pairs).
+    * ``False`` — per-pair join + ADC Arrow UDF (cheaper while cells are
+      small — the same measured per-group-overhead crossover as
+      ``lsh_topk``'s).
+    * ``None`` (default) — size-adaptive on the optimizer's input-size
+      estimate, same ``SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES`` floor as the
+      other ANN paths. Unknown size chooses blocked (scale-safe)."""
+    if blocked is None:
+        floor = int(
+            os.environ.get("SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES", str(4 * 1024 * 1024))
+        )
+        est = _plan_size_bytes(df)
+        blocked = est is None or est >= floor
     v_all = ensure_compute_parallelism(df).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -1442,19 +1571,34 @@ def ivf_pq_topk(
         centroids=cent,
         blocked=blocked,
     ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cluster_id")
-    adc = _adc_cosine(codebooks, residual=residual)
-    score = (
-        adc(F.col("qv"), F.col("codes"), F.col("__cc"))
-        if residual
-        else adc(F.col("qv"), F.col("codes"))
-    )
-    cand = (
-        stored.join(q, "cluster_id")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "neighbor_id", score.alias("adc"))
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
-    shortlist = cand.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= rerank)
+    if blocked:
+        part = _ivf_pq_adc_blocked(q, stored, codebooks, rerank, residual)
+        # the exact re-rank needs qv back; one row per query (the probe
+        # fan-out q carries nprobe duplicates), shortlist-bounded join
+        qtab = v_all.where(F.col("vec_id") % query_stride == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        shortlist = (
+            part.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= rerank)
+            .join(qtab, "query_id")
+        )
+    else:
+        adc = _adc_cosine(codebooks, residual=residual)
+        score = (
+            adc(F.col("qv"), F.col("codes"), F.col("__cc"))
+            if residual
+            else adc(F.col("qv"), F.col("codes"))
+        )
+        cand = (
+            stored.join(q, "cluster_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "qv", "neighbor_id", score.alias("adc"))
+        )
+        shortlist = cand.withColumn("__r", F.row_number().over(w)).where(
+            F.col("__r") <= rerank
+        )
     vecs = ensure_compute_parallelism(df).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )

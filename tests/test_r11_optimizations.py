@@ -126,6 +126,41 @@ def test_ivf_topk_blocked_null_vectors(spark, embs):
     assert any(c is None for (_q, _r, _n, c) in got)
 
 
+def test_ivf_pq_blocked_row_identical(spark, embs):
+    """The cell-blocked ADC stage (cogrouped per-cell scoring + exact
+    per-cell partial top-rerank + qv join-back) must reproduce the
+    per-pair ADC shortlist — and therefore the exact re-ranked output —
+    row for row, in both the raw and residual (FAISS) encodings."""
+    kw = dict(k=3, query_stride=25, nprobe=2, rerank=8)
+    got = _topk_rows(SIM.ivf_pq_topk(embs, blocked=True, **kw))
+    want = _topk_rows(SIM.ivf_pq_topk(embs, blocked=False, **kw))
+    assert got == want and len(want) > 0
+    got_r = _topk_rows(SIM.ivf_pq_topk(embs, blocked=True, residual=True, **kw))
+    want_r = _topk_rows(SIM.ivf_pq_topk(embs, blocked=False, residual=True, **kw))
+    assert got_r == want_r and len(want_r) > 0
+
+
+def test_ivf_pq_blocked_null_vectors(spark, embs):
+    """NULL embeddings produce NULL codes and NULL adc (sorted below every
+    real score, including genuine -inf) yet stay in the candidate stream,
+    surfacing NULL cosine exactly like the per-pair form. Codebooks are
+    trained on the clean corpus: the stride sample of the nulled frame is
+    all-NULL, which the trainer rejects in BOTH forms (out of scope)."""
+    cb = SIM.pq_codebooks(embs, m=8, nbits=4, dim=64)
+    vec_type = embs.schema["embedding"].dataType
+    nulled = embs.where(F.col("vec_id") < 120).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 7 == 0, F.lit(None).cast(vec_type)
+        ).otherwise(F.col("embedding")),
+    )
+    kw = dict(k=3, query_stride=10, nprobe=2, rerank=8, codebooks=cb)
+    got = _topk_rows(SIM.ivf_pq_topk(nulled, blocked=True, **kw))
+    want = _topk_rows(SIM.ivf_pq_topk(nulled, blocked=False, **kw))
+    assert got == want
+    assert any(c is None for (_q, _r, _n, c) in got)
+
+
 def test_lsh_near_dup_scored_blocked_row_identical(spark, embs):
     def rows(df):
         return sorted((r["id_a"], r["id_b"], r["cosine"]) for r in df.collect())
