@@ -28,7 +28,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datalakefoundation_spark.ext.text import tokens, window_ngrams
-from datalakefoundation_spark.ext.util import ensure_compute_parallelism
+from datalakefoundation_spark.ext.util import (
+    ensure_compute_parallelism,
+    size_adaptive_flag,
+)
+
+# Auto thresholds for the hash-the-vocabulary knobs below (simhash /
+# minhash_signature here, hashed_feature_entries in ext.similarity).
+# The crossover where hashing the corpus-distinct vocabulary beats hashing
+# per occurrence depends on the REPETITION RATIO (occurrences / vocabulary),
+# which no zero-job signal can see — so each floor is set where the vocab
+# plan won on BOTH measured geometries (tools/vocab_hash_probe.py on
+# local[32]): verbatim-replicated sf0.1 docs (vocabulary constant — the
+# boilerplate-heavy web-corpus shape) AND token-salted sf1 replicas
+# (vocabulary grows with the corpus — the distinct-documents shape).
+# Measured crossovers (plain-scan-estimate terms; OPTIMIZATION_r11.md has
+# the full table): hashed features ~2-10 MiB geometry-dependent, >=2.2x win
+# above; simhash ~8-40 MiB, 1.1-1.6x above; minhash ~8-80 MiB, ~1.1x above.
+# Every floor is far above the driver SFs (sf0.1 documents estimate
+# ~0.25 MiB) and the sf1 scale point (~2.5 MiB), so the bench keeps the
+# per-occurrence plan; one env var overrides all three (a corpus whose
+# repetition ratio is known can also just pass hash_distinct explicitly).
+HASH_DISTINCT_ENV = "SPARK_GRAFT_HASH_DISTINCT_MIN_BYTES"
+HASH_DISTINCT_FLOOR = 16 * 1024 * 1024  # hashed_feature_entries
+SIMHASH_DISTINCT_FLOOR = 48 * 1024 * 1024
+MINHASH_DISTINCT_FLOOR = 64 * 1024 * 1024
 
 
 # ---------------------------------------------------------------- exact
@@ -98,7 +122,7 @@ def minhash_signature(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_size: int = 3,
-    hash_distinct: bool = False,
+    hash_distinct: bool | None = None,
 ) -> DataFrame:
     """k minhashes per document.
 
@@ -117,10 +141,25 @@ def minhash_signature(
     deduped per document below; this knob additionally collapses
     CROSS-document repetition — boilerplate headers/footers/templates in
     web corpora, the very redundancy MinHash dedup exists to find — at
-    the cost of one extra (map-side-deduped) distinct stage. Same
-    crossover economics as ``simhash(hash_distinct=...)``: enable it for
-    production-sized corpora, leave off below ~1M shingle occurrences.
+    the cost of one extra (map-side-deduped) distinct stage. The vocab
+    side also carries the 8 long slices, so the occurrence stream pays
+    only a join probe + 8-long map-side mins. Measured (r11, local[32],
+    tools/vocab_hash_probe.py): ~1.1-1.15x faster above ~17M shingle
+    occurrences on the constant-vocabulary geometry and ~even by ~43M on
+    the growing-vocabulary one; a small fixed loss below — the win is
+    modest here because the direct path's HashAggregate is already cheap.
+
+    ``None`` (default, r11) resolves by the optimizer's input-size
+    estimate (``size_adaptive_flag``; floor ``MINHASH_DISTINCT_FLOOR`` /
+    ``$SPARK_GRAFT_HASH_DISTINCT_MIN_BYTES``, set where BOTH measured
+    geometries favored vocab): per-occurrence below the floor, vocab at
+    scale or on unknown size. Both branches are bit-identical
+    (equivalence-tested), so the pick never changes a result, only the
+    plan.
     """
+    hash_distinct = size_adaptive_flag(
+        df, hash_distinct, HASH_DISTINCT_ENV, MINHASH_DISTINCT_FLOOR
+    )
     # Explode + groupBy rather than k array_min(transform(...)) columns:
     # Catalyst's CollapseProject would inline the shingle construction into
     # every hash column (k-fold recompute); the explode computes shingles
@@ -129,15 +168,6 @@ def minhash_signature(
     ex = ensure_compute_parallelism(df).select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("__s")
     )
-    if hash_distinct:
-        vocab = (
-            ex.select("__s")
-            .distinct()
-            .select(F.col("__s"), F.sha2(F.col("__s"), 256).alias("__h"))
-        )
-        hashed = ex.join(vocab, "__s").select(F.col(id_col), "__h")
-    else:
-        hashed = ex.select(F.col(id_col), F.sha2(F.col("__s"), 256).alias("__h"))
     # min over the hex slice REINTERPRETED AS A LONG, hex-rendered back
     # after the aggregate. Lexicographic order on fixed-width lowercase hex
     # equals numeric order, so the result strings are bit-identical to
@@ -147,12 +177,32 @@ def minhash_signature(
     # whole signature in one HashAggregate with map-side combine and
     # shuffles 8 longs per doc instead of 8 tagged strings (guide §2.3
     # narrower types / §2.4 removing accidental sorts).
-    aggs = [
-        F.min(
-            F.expr(f"cast(conv(substring(__h, {8 * i + 1}, 8), 16, 10) as bigint)")
-        ).alias(f"__m{i}")
+    slices = [
+        F.expr(f"cast(conv(substring(__h, {8 * i + 1}, 8), 16, 10) as bigint)")
         for i in range(num_hashes)
     ]
+    if hash_distinct:
+        # The vocab side carries the WHOLE per-shingle computation (sha256
+        # AND the 8 long slices), so the occurrence stream pays only the
+        # join probe and 8-long map-side mins — joining back the hex
+        # string and re-slicing per occurrence costs measurably more.
+        vocab = (
+            ex.select("__s")
+            .distinct()
+            .withColumn("__h", F.sha2(F.col("__s"), 256))
+            .select(
+                "__s", *[c.alias(f"__v{i}") for i, c in enumerate(slices)]
+            )
+        )
+        hashed = ex.join(vocab, "__s").select(
+            F.col(id_col), *[f"__v{i}" for i in range(num_hashes)]
+        )
+        aggs = [
+            F.min(F.col(f"__v{i}")).alias(f"__m{i}") for i in range(num_hashes)
+        ]
+    else:
+        hashed = ex.select(F.col(id_col), F.sha2(F.col("__s"), 256).alias("__h"))
+        aggs = [F.min(c).alias(f"__m{i}") for i, c in enumerate(slices)]
     agg = hashed.groupBy(id_col).agg(*aggs)
     return agg.select(
         F.col(id_col),
@@ -239,7 +289,7 @@ def minhash_dedup_candidates(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_size: int = 3,
-    hash_distinct: bool = False,
+    hash_distinct: bool | None = None,
 ) -> DataFrame:
     return lsh_candidate_pairs(
         minhash_signature(
@@ -396,7 +446,7 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
-    hash_distinct: bool = False,
+    hash_distinct: bool | None = None,
 ) -> DataFrame:
     """64-bit SimHash as a bit-string column ``simhash``.
 
@@ -413,16 +463,28 @@ def simhash(
     tested). It trades one extra (tiny, map-side-deduped) distinct stage
     for hashing vocab-many rows instead of occurrence-many — a win
     wherever occurrences outnumber the vocabulary enough to amortize the
-    stage. Measured on local[32] (replicated sf0.1 documents): the
-    crossover sits near ~1M token occurrences; at 2.2M tokens the vocab
-    path runs 2.4x faster (1.5 s vs 3.4 s), at 8.6M tokens 2.8x (4.1 s vs
-    11.7 s), and the gap grows with scale. Default False only because the
-    small fixed cost loses below the crossover (sf0.1's 270k occurrences:
-    1.8 s vs 1.2 s); any production-sized Zipfian corpus should set True.
+    stage. Measured (r11, local[32], tools/vocab_hash_probe.py — these
+    supersede the pre-r11 crossover notes, which predate the packed-lane
+    and hash-aggregate work that made the direct path cheaper): on
+    constant-vocabulary replication the vocab path wins ~1.1x above ~17M
+    token occurrences; on growing-vocabulary (token-salted sf1) replicas
+    it wins 1.56x at ~43M occurrences (12.2 s vs 7.8 s) but LOSES below
+    ~22M — the crossover tracks the repetition ratio, not corpus size
+    alone.
+
+    ``None`` (default, r11) resolves by the optimizer's input-size
+    estimate (``size_adaptive_flag``; floor ``SIMHASH_DISTINCT_FLOOR`` /
+    ``$SPARK_GRAFT_HASH_DISTINCT_MIN_BYTES``, set where BOTH measured
+    geometries favored vocab): per-occurrence below the floor, vocab at
+    scale or on unknown size, and the pick never changes a result
+    (bit-identical, equivalence-tested).
 
     The bit-string representation avoids 64-bit signed-integer pitfalls and
     is directly comparable across engines.
     """
+    hash_distinct = size_adaptive_flag(
+        df, hash_distinct, HASH_DISTINCT_ENV, SIMHASH_DISTINCT_FLOOR
+    )
     # Cap tokens per doc so the packed lane sums below cannot overflow
     # (4 x 16-bit lanes per long: safe to 2^15 tokens; also bounds worst-case
     # compute per document — a desirable property at 100 TB regardless).

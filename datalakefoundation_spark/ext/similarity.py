@@ -38,7 +38,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from datalakefoundation_spark.ext.dedup import cosine_similarity
-from datalakefoundation_spark.ext.util import ensure_compute_parallelism
+from datalakefoundation_spark.ext.util import (
+    ensure_compute_parallelism,
+    plan_size_bytes,
+    size_adaptive_flag,
+)
 
 
 def hyperplane_signs(num_planes: int = 8, dim: int = 64) -> list[list[float]]:
@@ -1070,14 +1074,9 @@ def ivf_topk(
     )
 
 
-def _plan_size_bytes(df: DataFrame) -> int | None:
-    """Optimizer-estimated input size (file-length-derived for parquet
-    scans, available at plan-build time with zero jobs); None when the
-    estimate is unavailable (e.g. a non-JVM-backed DataFrame)."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        return None
+# moved to ext.util (shared with the dedup vocab-hash knobs); the module-
+# level name stays for existing callers/tests
+_plan_size_bytes = plan_size_bytes
 
 
 def lsh_topk(
@@ -1729,6 +1728,7 @@ def hashed_feature_entries(
     id_col: str = "doc_id",
     dim: int = 64,
     ngram: int = 1,
+    hash_distinct: bool | None = None,
 ) -> DataFrame:
     """Feature hashing (the "hashing trick", Weinberger et al. 2009) in
     LONG FORM: each token maps to ``bucket = sha256(token)[:6 hex] % dim``
@@ -1757,10 +1757,31 @@ def hashed_feature_entries(
     before you shuffle / shuffle keys not payloads). The signed integer
     sum is associative, so weight = Σ_occurrences sign(token) equals the
     old Σ_tokens sign(token)·tf exactly.
+
+    ``hash_distinct`` (r11) mirrors ``dedup.simhash``'s knob: ``True``
+    runs sha256 over the corpus-distinct token/shingle VOCABULARY and
+    joins (bucket, sign) back to the occurrence stream (AQE broadcasts
+    the vocab side when it fits) — bit-identical, because the per-(doc,
+    bucket) weight is the same integer sum of per-occurrence signs either
+    way (equivalence-tested). It trades one extra map-side-deduped
+    distinct stage for hashing vocab-many rows instead of
+    occurrence-many; sha256+conv per occurrence dominates this operator,
+    so the win is the biggest of the three vocab knobs. Measured (r11,
+    local[32], tools/vocab_hash_probe.py): 1.8-2.1x above ~2M occurrences
+    on constant-vocabulary replication, 2.2-2.7x above ~11M on
+    growing-vocabulary (token-salted sf1) replicas — and a loss below
+    ~3M there, so the floor sits where BOTH geometries favored vocab.
+    ``None`` (default) resolves by the optimizer's input-size estimate
+    (floor ``dedup.HASH_DISTINCT_FLOOR`` /
+    ``$SPARK_GRAFT_HASH_DISTINCT_MIN_BYTES``); unknown size chooses the
+    vocab path (scale-safe).
     Output: (id_col, bucket, weight)."""
-    from .dedup import shingles
+    from .dedup import HASH_DISTINCT_ENV, HASH_DISTINCT_FLOOR, shingles
     from .text import tokens
 
+    hash_distinct = size_adaptive_flag(
+        df, hash_distinct, HASH_DISTINCT_ENV, HASH_DISTINCT_FLOOR
+    )
     unit = (
         tokens(text_col) if ngram <= 1 else shingles(text_col, ngram)
     )
@@ -1773,9 +1794,19 @@ def hashed_feature_entries(
         F.lit(1)
         - F.lit(2) * (F.conv(F.substring(h, 7, 1), 16, 10).cast("long") % 2)
     ).cast("long")
+    if hash_distinct:
+        vocab = (
+            tok.select("token")
+            .distinct()
+            .select(F.col("token"), bucket, sign.alias("__w"))
+        )
+        entries = tok.join(vocab, "token").select(
+            F.col(id_col), F.col("bucket"), F.col("__w")
+        )
+    else:
+        entries = tok.select(F.col(id_col), bucket, sign.alias("__w"))
     return (
-        tok.select(F.col(id_col), bucket, sign.alias("__w"))
-        .groupBy(id_col, "bucket")
+        entries.groupBy(id_col, "bucket")
         .agg(F.sum("__w").alias("weight"))
     )
 

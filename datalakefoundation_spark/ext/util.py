@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -30,3 +32,31 @@ def ensure_compute_parallelism(df: DataFrame, min_partitions: int | None = None)
     if 0 < n_files < target:
         return df.repartition(target)
     return df
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer-estimated input size (file-length-derived for parquet
+    scans, scaled by column pruning; available at plan-build time with
+    zero jobs); None when the estimate is unavailable (e.g. a
+    non-JVM-backed DataFrame)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def size_adaptive_flag(
+    df: DataFrame, flag: bool | None, env_var: str, default_floor: int
+) -> bool:
+    """Resolve a tri-state strategy knob by input size (guide §3.1 "pick
+    the strategy by size"): an explicit True/False wins; ``None`` picks
+    True iff the optimizer's plan-build-time size estimate for ``df``
+    reaches the floor (``env_var`` overrides ``default_floor`` bytes).
+    Unknown size chooses True — every caller's True branch is its
+    scale-safe form. Data-dependent and core-count-independent, so the
+    driver's low-core re-run takes the same path."""
+    if flag is not None:
+        return bool(flag)
+    floor = int(os.environ.get(env_var, str(default_floor)))
+    est = plan_size_bytes(df)
+    return est is None or est >= floor

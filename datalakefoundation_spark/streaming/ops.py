@@ -927,8 +927,12 @@ def stream_dedup_index(
             return
         spark = batch_df.sparkSession
         replay_key = f"{stream_id}:{batch_id}"
+        # hash_distinct pinned off: micro-batches are churn-sized (far below
+        # every measured vocab-hash crossover), and the RDD-backed batch
+        # frame has no optimizer size estimate, so the tri-state default
+        # would resolve to the vocab plan on every tiny batch
         sigs = minhash_signature(
-            batch_df, text_col, id_col, num_hashes, shingle_size
+            batch_df, text_col, id_col, num_hashes, shingle_size, hash_distinct=False
         ).withColumn("__batch_key", F.lit(replay_key))
         # signatures feed BOTH actions below (index commit + pairs write):
         # without a persist the shingle-explode + sha256 lineage — the cost

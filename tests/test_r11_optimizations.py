@@ -260,3 +260,52 @@ def test_banded_incremental_stale_duplicate_ids_excluded(spark):
     assert (2, 3) in want
     assert got == want
     assert not any(1 in p for p in got)
+
+
+def test_hash_distinct_auto_picks_by_input_size(spark, docs, monkeypatch):
+    """The vocab-hash knobs (minhash / simhash / hashed features) default
+    to size-adaptive: a tiny corpus resolves to the per-occurrence plan, a
+    floor of 0 forces the vocab plan — and the rows are identical either
+    way (the declared queries' results cannot depend on the pick)."""
+    from datalakefoundation_spark.ext.util import plan_size_bytes
+
+    est = plan_size_bytes(docs)
+    assert est is not None and 0 < est < D.HASH_DISTINCT_FLOOR
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    auto = (
+        rows(D.minhash_signature(docs)),
+        rows(D.simhash(docs)),
+        rows(SIM.hashed_feature_entries(docs)),
+    )
+    monkeypatch.setenv(D.HASH_DISTINCT_ENV, "0")
+    forced_vocab = (
+        rows(D.minhash_signature(docs)),
+        rows(D.simhash(docs)),
+        rows(SIM.hashed_feature_entries(docs)),
+    )
+    monkeypatch.delenv(D.HASH_DISTINCT_ENV)
+    explicit_off = (
+        rows(D.minhash_signature(docs, hash_distinct=False)),
+        rows(D.simhash(docs, hash_distinct=False)),
+        rows(SIM.hashed_feature_entries(docs, hash_distinct=False)),
+    )
+    assert auto == forced_vocab == explicit_off
+
+
+def test_hashed_features_vocab_bit_identical(spark, docs):
+    """hash_distinct=True (sha256 over the distinct vocabulary, (bucket,
+    sign) joined back to the occurrence stream) must produce the identical
+    integer (doc, bucket, weight) entries — the weight is the same sum of
+    per-occurrence signs either way — for unigrams and shingles."""
+    for ngram in (1, 2):
+        direct = SIM.hashed_feature_entries(docs, ngram=ngram, hash_distinct=False)
+        vocab = SIM.hashed_feature_entries(
+            docs, ngram=ngram, hash_distinct=True
+        ).withColumnRenamed("weight", "weight_v")
+        j = direct.join(vocab, ["doc_id", "bucket"], "full_outer")
+        assert j.where(
+            "weight IS NULL OR weight_v IS NULL OR weight != weight_v"
+        ).count() == 0
