@@ -222,6 +222,15 @@ def bench_queries(spark, sf_dir: str, errors: dict[str, str]) -> dict[str, float
         samples: list[float] = []
         try:
             for _ in range(TIMED_RUNS):
+                # contract defense (r12): every timed sample recomputes from
+                # the parquet inputs. An operator-internal persist() (e.g.
+                # the LM's reused unigram table) registers in the session
+                # CacheManager and a plan-identical rebuild in the NEXT
+                # timed run would silently read the materialized cache —
+                # min-of-N must never time a cache hit. No-op for queries
+                # that persist nothing (all keys before r12's lm.py change
+                # — numbers remain comparable round-over-round).
+                spark.catalog.clearCache()
                 start = time.time()
                 _force(fn(spark, sf_dir))
                 samples.append(time.time() - start)
@@ -351,6 +360,7 @@ def main() -> None:
             try:
                 samples = []
                 for _ in range(TIMED_RUNS):
+                    spark.catalog.clearCache()  # same contract defense as above
                     start = time.time()
                     _force(fn(spark, sf_dir))
                     samples.append(time.time() - start)
@@ -389,6 +399,18 @@ def main() -> None:
         payload["rebenched"] = rebenched
     if errors:
         payload["errors"] = errors
+    # clip-proof record (r12, VERDICT r11 #2): the driver captures stdout's
+    # TAIL and has twice clipped the front of the JSON line (r9, r10 —
+    # PERF_r11 ended up with n_common: 0). Persist the full payload to a
+    # sibling file BEFORE printing so the record survives any stdout
+    # truncation. Additions-only: keys, timers, and the one-line-JSON
+    # stdout contract are unchanged.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_last.json"), "w") as fh:
+            json.dump(payload, fh, indent=2)
+    except OSError:  # read-only checkout must not lose the stdout line
+        pass
     print(json.dumps(payload))
     spark.stop()
 

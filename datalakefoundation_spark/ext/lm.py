@@ -51,21 +51,27 @@ def train_bigram_lm(
     diversity over V+1 symbols) — raise ``min_bigram_count`` to keep it
     broadcast-sized for the scoring join on huge reference corpora."""
     toks = ref.select(F.explode(tokens(text_col)).alias("w"))
-    # Materialize the raw unigram counts (lazy localCheckpoint: computed on
-    # first action of the run, then reused). The vocab top-K below is
+    # Materialize the raw unigram counts (lazy persist: computed on the
+    # run's first action, then reused). The vocab top-K below is
     # broadcast into one mapping join per n-gram column, and Catalyst
     # re-plans the WHOLE raw_uni subtree (corpus scan + tokenize explode +
     # count shuffle) under every broadcast — the r11 plan audit showed
     # q_bigram_lm paying 5 corpus tokenize passes and q_trigram_lm 9 where
     # 2 and 3 are the theoretical minimum (one per n-gram order). The
-    # checkpoint truncates that lineage to the (vocabulary-diversity-sized,
-    # sublinear in corpus) count table; every reuse reads the materialized
-    # partitions instead of re-scanning the corpus (guide §2.4 duplicated
-    # subtrees / §5 materialized intermediates).
+    # persist collapses every reuse onto one InMemoryRelation over the
+    # (vocabulary-diversity-sized, sublinear in corpus) count table
+    # (guide §2.4 duplicated subtrees / §5 materialized intermediates).
+    # persist(MEMORY_AND_DISK), NOT localCheckpoint (r12, VERDICT r11 #5):
+    # a localCheckpoint truncates lineage to executor-local blocks, so one
+    # executor loss (spot kill, dynamic deallocation) makes the RDD
+    # unrecoverable and fails the whole training job; the persist keeps
+    # lineage — a lost block recomputes — with the same single-scan plan.
+    from pyspark import StorageLevel
+
     raw_uni = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     vocab = raw_uni.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
         vocab_size

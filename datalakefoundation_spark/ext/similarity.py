@@ -383,6 +383,89 @@ def _banded_pairs(
     return pairs.where(idcond & (first_match == band_idx))
 
 
+def _id_is_integral(df: DataFrame, id_col: str) -> bool:
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    return isinstance(
+        df.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    )
+
+
+# In-worker memory guard for the blocked kernels (r12, ADVICE r11): a
+# degenerate bucket/cell of width n used to materialize full n x n emit and
+# cosine matrices inside one Python worker — linear growth of a hot bucket
+# with the corpus turns into QUADRATIC worker memory and an OOM the per-pair
+# JVM form (which streams pairs) never had. Every blocked kernel now
+# processes ROW CHUNKS of the bucket against the member matrix: per-pair
+# arithmetic is independent of batch composition (see
+# _dim_order_cosine_block), so results stay bit-identical while peak chunk
+# memory is bounded at ~CELLS matrix cells (~9 bytes/cell for float64 cosine
+# + bool masks -> the 8M default keeps a chunk under ~80 MB at ANY bucket
+# width). A bucket at or below the chunk size runs exactly the old
+# single-block code path.
+_BLOCKED_CHUNK_CELLS_ENV = "SPARK_GRAFT_BLOCKED_CHUNK_CELLS"
+_BLOCKED_CHUNK_CELLS_DEFAULT = 8_000_000
+
+
+def _blocked_chunk_cells() -> int:
+    """Cell budget per chunk, resolved at PLAN BUILD time on the driver
+    (worker processes inherit the env captured at JVM start, so reading it
+    inside the kernel would be stale); the kernels close over the value."""
+    return int(
+        os.environ.get(_BLOCKED_CHUNK_CELLS_ENV, str(_BLOCKED_CHUNK_CELLS_DEFAULT))
+    )
+
+
+def _id_cast_back(out: DataFrame, src: DataFrame, id_col: str, cols) -> DataFrame:
+    """Cast the blocked kernels' int64 id outputs back to the input id
+    type (no-op for long ids — the common case — so the audited plans are
+    untouched), keeping the blocked/per-pair forms schema-identical for
+    narrower integral ids."""
+    from pyspark.sql.types import LongType
+
+    dt = src.schema[id_col].dataType
+    if isinstance(dt, LongType):
+        return out
+    return out.select(
+        *[
+            F.col(c).cast(dt).alias(c) if c in cols else F.col(c)
+            for c in out.columns
+        ]
+    )
+
+
+def _resolve_blocked(df: DataFrame, id_col: str, blocked: bool | None) -> bool:
+    """Resolve the blocked/per-pair tri-state shared by the ANN operators.
+
+    Explicit bool wins — but ``blocked=True`` with a non-integral id column
+    raises immediately: the blocked kernels exchange ids as int64 (Arrow
+    schema ``id long``), so a string/decimal id would crash mid-job with an
+    opaque pandas cast error (r12, ADVICE r11). ``None`` picks blocked iff
+    the optimizer's plan-build-time size estimate reaches
+    ``SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES`` (default 4 MiB; unknown size
+    chooses blocked — the scale-safe side) AND the id column is integral —
+    non-integral ids silently keep the per-pair form, whose output
+    preserves the id type at any scale, instead of making the crash/type
+    outcome depend on a size estimate. Integral-but-narrower ids (int,
+    short) are fine: callers cast the blocked output back to the input id
+    type so both forms return the same schema."""
+    if blocked is not None:
+        if blocked and not _id_is_integral(df, id_col):
+            raise TypeError(
+                f"blocked=True requires an integral id column; {id_col!r} is "
+                f"{df.schema[id_col].dataType.simpleString()} — use the "
+                "per-pair form (blocked=False) or provide integral ids"
+            )
+        return bool(blocked)
+    if not _id_is_integral(df, id_col):
+        return False
+    floor = int(
+        os.environ.get("SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES", str(4 * 1024 * 1024))
+    )
+    est = plan_size_bytes(df)
+    return est is None or est >= floor
+
+
 def _banded_pairs_scored_blocked(
     df: DataFrame,
     id_col: str,
@@ -437,6 +520,7 @@ def _banded_pairs_scored_blocked(
         "*", F.explode(_band_key_array(bands, planes_per_band)).alias("__bk")
     )
     ppb = int(planes_per_band)
+    chunk_cells = _blocked_chunk_cells()
     cap = None if max_bucket_width is None else int(max_bucket_width)
     is_ordered = bool(ordered)
 
@@ -463,58 +547,90 @@ def _banded_pairs_scored_blocked(
             ids = pdf["__id"].to_numpy(dtype=np.int64)
         sigs = pdf["__sig"].to_numpy()
         band = int(pdf["__bk"].iloc[0].split("|", 1)[0])
-        # emit a pair only from its FIRST matching band (the _banded_pairs
-        # global-dedup rule): all members of this bucket agree on band
-        # ``band`` by construction, so "first match is here" means every
-        # earlier band's sub-signatures differ
-        emit = np.ones((n, n), dtype=bool)
-        for t in range(band):
-            sub = np.array([s[t * ppb : (t + 1) * ppb] for s in sigs])
-            emit &= sub[:, None] != sub[None, :]
-        if is_ordered:
-            emit &= ids[:, None] < ids[None, :]
-        else:
-            emit &= ids[:, None] != ids[None, :]
-        ai, bi = np.nonzero(emit)
-        if ai.size == 0:
-            return empty
+        # per-earlier-band sub-signature arrays, built once per bucket and
+        # reused by every row chunk below
+        subs = [
+            np.array([s[t * ppb : (t + 1) * ppb] for s in sigs])
+            for t in range(band)
+        ]
         vals = pdf["__v"].to_numpy()
         valid = np.array([v is not None for v in vals])
-        cos = np.full((n, n), np.nan, dtype=np.float64)
-        if valid.any():
-            vidx = np.nonzero(valid)[0]
-            M = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in vidx])
-            # block[i, j] = dot_ij / (sqrt(n_j) * sqrt(n_i)) — the operand
-            # order of the denominator product differs per orientation but
-            # IEEE multiplication is commutative, so [ai, bi] is exactly
-            # the per-pair fold's cosine(a, b)
-            cos[np.ix_(vidx, vidx)] = _dim_order_cosine_block(M, M)
+        vidx = np.nonzero(valid)[0]
+        M = (
+            np.vstack([np.asarray(vals[i], dtype=np.float64) for i in vidx])
+            if vidx.size
+            else None
+        )
+        # row index -> row's position in M (meaningful only where valid)
+        mpos = np.cumsum(valid) - 1
         vnull = ~valid
-        pair_null = vnull[ai] | vnull[bi]
-        # partial top-k pays a per-bucket lexsort; below a few thousand
-        # pairs the sort costs more than the window rows it saves
-        # (measured at sf0.1: +0.34 s over ~1000 tiny buckets), and
-        # exactness does not depend on WHERE the cap applies — unfiltered
-        # pairs from small buckets are simply re-ranked by the window
-        if limit_per_id is not None and ai.size > 4096:
-            key = cos[ai, bi]
-            # Spark's window order is cosine DESC (NaN greatest, NULL
-            # least) then neighbor id ASC — encode it as a sortable key
-            sk = np.where(np.isnan(key), np.inf, key)
-            sk = np.where(pair_null, -np.inf, sk)
-            order = np.lexsort((ids[bi], -sk, ids[ai]))
-            grp = ids[ai][order]
-            starts = np.r_[0, np.flatnonzero(np.diff(grp)) + 1]
-            sizes = np.diff(np.r_[starts, order.size])
-            pos = np.arange(order.size) - np.repeat(starts, sizes)
-            keep = order[pos < int(limit_per_id)]
-            ai, bi, pair_null = ai[keep], bi[keep], pair_null[keep]
+        # row-chunked expansion (r12): peak memory is chunk x n cells, not
+        # n x n — a degenerate bucket can no longer OOM the worker. One
+        # chunk == the pre-r12 whole-bucket code path.
+        step = max(1, chunk_cells // max(1, n))
+        out_a, out_b, out_cos, out_null = [], [], [], []
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
+            # emit a pair only from its FIRST matching band (the
+            # _banded_pairs global-dedup rule): all members of this bucket
+            # agree on band ``band`` by construction, so "first match is
+            # here" means every earlier band's sub-signatures differ
+            emit = np.ones((hi - lo, n), dtype=bool)
+            for sub in subs:
+                emit &= sub[lo:hi][:, None] != sub[None, :]
+            if is_ordered:
+                emit &= ids[lo:hi][:, None] < ids[None, :]
+            else:
+                emit &= ids[lo:hi][:, None] != ids[None, :]
+            ali, bi = np.nonzero(emit)
+            if ali.size == 0:
+                continue
+            ai = ali + lo
+            cos = np.full((hi - lo, n), np.nan, dtype=np.float64)
+            rvalid = valid[lo:hi]
+            if M is not None and rvalid.any():
+                rv = np.nonzero(rvalid)[0]
+                # block[i, j] = dot_ij / (sqrt(n_j) * sqrt(n_i)) — the
+                # operand order of the denominator product differs per
+                # orientation but IEEE multiplication is commutative, so
+                # [ai, bi] is exactly the per-pair fold's cosine(a, b);
+                # each pair's value is independent of the chunking
+                cos[np.ix_(rv, vidx)] = _dim_order_cosine_block(
+                    M[mpos[lo:hi][rvalid]], M
+                )
+            pair_null = vnull[ai] | vnull[bi]
+            key = cos[ali, bi]
+            # partial top-k pays a lexsort; below a few thousand pairs the
+            # sort costs more than the window rows it saves (measured at
+            # sf0.1: +0.34 s over ~1000 tiny buckets), and exactness does
+            # not depend on WHERE the cap applies — unfiltered pairs are
+            # simply re-ranked by the window. Each id appears as id_a in
+            # exactly one chunk, so per-chunk top-k per id_a equals the
+            # bucket-wide one whenever it fires.
+            if limit_per_id is not None and ai.size > 4096:
+                # Spark's window order is cosine DESC (NaN greatest, NULL
+                # least) then neighbor id ASC — encode it as a sortable key
+                sk = np.where(np.isnan(key), np.inf, key)
+                sk = np.where(pair_null, -np.inf, sk)
+                order = np.lexsort((ids[bi], -sk, ids[ai]))
+                grp = ids[ai][order]
+                starts = np.r_[0, np.flatnonzero(np.diff(grp)) + 1]
+                sizes = np.diff(np.r_[starts, order.size])
+                pos = np.arange(order.size) - np.repeat(starts, sizes)
+                keep = order[pos < int(limit_per_id)]
+                ai, bi, pair_null, key = ai[keep], bi[keep], pair_null[keep], key[keep]
+            out_a.append(ids[ai])
+            out_b.append(ids[bi])
+            out_cos.append(key)
+            out_null.append(pair_null)
+        if not out_a:
+            return empty
         return pd.DataFrame(
             {
-                "id_a": ids[ai],
-                "id_b": ids[bi],
-                "cosine": cos[ai, bi],
-                "__vnull": pair_null,
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_cos),
+                "__vnull": np.concatenate(out_null),
             }
         )
 
@@ -595,17 +711,16 @@ def lsh_near_dup_scored(
     ``lsh_topk``'s (row-identical forms — the blocked one computes each
     bucket's cosine matrix in ``applyInPandas`` so vectors cross the
     Python boundary once per band, not once per candidate pair);
-    ``None`` (default) is size-adaptive on the optimizer's estimate."""
-    if blocked is None:
-        floor = int(
-            os.environ.get("SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES", str(4 * 1024 * 1024))
-        )
-        est = _plan_size_bytes(df)
-        blocked = est is None or est >= floor
+    ``None`` (default) is size-adaptive on the optimizer's estimate
+    (``_resolve_blocked`` — non-integral ids keep the per-pair form)."""
+    blocked = _resolve_blocked(df, id_col, blocked)
     if blocked:
-        scored = _banded_pairs_scored_blocked(
-            df, id_col, vec_col, bands, planes_per_band, dim,
-            ordered=True, max_bucket_width=max_bucket_width, center=center,
+        scored = _id_cast_back(
+            _banded_pairs_scored_blocked(
+                df, id_col, vec_col, bands, planes_per_band, dim,
+                ordered=True, max_bucket_width=max_bucket_width, center=center,
+            ),
+            df, id_col, ("id_a", "id_b"),
         )
         # NaN >= threshold is TRUE under Spark comparison (NaN greatest),
         # identical to the per-pair form's filter on the same restored column
@@ -822,6 +937,7 @@ def _ivf_pairs_scored_blocked(
     sequence, so cosines are bit-identical, not approximately equal
     (pinned in tests/test_ann_blocked.py::test_ivf_topk_blocked_identical)."""
     kk = int(k)
+    chunk_cells = _blocked_chunk_cells()
 
     def _score(qp: pd.DataFrame, cp: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -841,37 +957,61 @@ def _ivf_pairs_scored_blocked(
         qvalid = np.array([v is not None for v in qv])
         cvalid = np.array([v is not None for v in cv])
         nc, nq = len(cp), len(qp)
-        cos = np.full((nc, nq), np.nan, dtype=np.float64)
-        if qvalid.any() and cvalid.any():
-            qi = np.nonzero(qvalid)[0]
-            ci = np.nonzero(cvalid)[0]
-            Qm = np.vstack([np.asarray(qv[i], dtype=np.float64) for i in qi])
-            Cm = np.vstack([np.asarray(cv[i], dtype=np.float64) for i in ci])
-            # [corpus_i, query_j] = the per-pair fold's cosine(qv_j, cv_i):
-            # per-dim accumulation order is identical and the denominator's
-            # operand swap is IEEE-commutative multiplication
-            cos[np.ix_(ci, qi)] = _dim_order_cosine_block(Cm, Qm)
-        ai, bi = np.nonzero(nids[:, None] != qids[None, :])
-        if ai.size == 0:
+        qi = np.nonzero(qvalid)[0]
+        Qm = (
+            np.vstack([np.asarray(qv[i], dtype=np.float64) for i in qi])
+            if qi.size
+            else None
+        )
+        # corpus-row-chunked scoring (r12): peak memory is chunk x nq cells,
+        # not nc x nq — a hot cell can no longer OOM the worker. Per-chunk
+        # partial top-k stays exact downstream: the union of per-chunk
+        # partials is a SUPERSET of the per-cell partial, and the global
+        # window re-ranks either way.
+        step = max(1, chunk_cells // max(1, nq))
+        out_q, out_n, out_cos, out_null = [], [], [], []
+        for lo in range(0, nc, step):
+            hi = min(lo + step, nc)
+            cos = np.full((hi - lo, nq), np.nan, dtype=np.float64)
+            rvalid = cvalid[lo:hi]
+            if Qm is not None and rvalid.any():
+                rv = np.nonzero(rvalid)[0]
+                Cm = np.vstack(
+                    [np.asarray(cv[lo + i], dtype=np.float64) for i in rv]
+                )
+                # [corpus_i, query_j] = the per-pair fold's cosine(qv_j,
+                # cv_i): per-dim accumulation order is identical and the
+                # denominator's operand swap is IEEE-commutative
+                # multiplication; each pair is independent of the chunking
+                cos[np.ix_(rv, qi)] = _dim_order_cosine_block(Cm, Qm)
+            ali, bi = np.nonzero(nids[lo:hi][:, None] != qids[None, :])
+            if ali.size == 0:
+                continue
+            ai = ali + lo
+            pair_null = (~cvalid)[ai] | (~qvalid)[bi]
+            key = cos[ali, bi]
+            if ai.size > 4096:
+                sk = np.where(np.isnan(key), np.inf, key)
+                sk = np.where(pair_null, -np.inf, sk)
+                order = np.lexsort((nids[ai], -sk, qids[bi]))
+                grp = qids[bi][order]
+                starts = np.r_[0, np.flatnonzero(np.diff(grp)) + 1]
+                sizes = np.diff(np.r_[starts, order.size])
+                pos = np.arange(order.size) - np.repeat(starts, sizes)
+                keep = order[pos < kk]
+                ai, bi, pair_null, key = ai[keep], bi[keep], pair_null[keep], key[keep]
+            out_q.append(qids[bi])
+            out_n.append(nids[ai])
+            out_cos.append(key)
+            out_null.append(pair_null)
+        if not out_q:
             return empty
-        pair_null = (~cvalid)[ai] | (~qvalid)[bi]
-        if ai.size > 4096:
-            key = cos[ai, bi]
-            sk = np.where(np.isnan(key), np.inf, key)
-            sk = np.where(pair_null, -np.inf, sk)
-            order = np.lexsort((nids[ai], -sk, qids[bi]))
-            grp = qids[bi][order]
-            starts = np.r_[0, np.flatnonzero(np.diff(grp)) + 1]
-            sizes = np.diff(np.r_[starts, order.size])
-            pos = np.arange(order.size) - np.repeat(starts, sizes)
-            keep = order[pos < kk]
-            ai, bi, pair_null = ai[keep], bi[keep], pair_null[keep]
         return pd.DataFrame(
             {
-                "query_id": qids[bi],
-                "neighbor_id": nids[ai],
-                "cosine": cos[ai, bi],
-                "__vnull": pair_null,
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_cos),
+                "__vnull": np.concatenate(out_null),
             }
         )
 
@@ -937,6 +1077,7 @@ def _ivf_pq_adc_blocked(
     B = np.asarray(codebooks, dtype=np.float64)
     m, _k, sub = B.shape
     rr = int(rerank)
+    chunk_cells = _blocked_chunk_cells()
 
     def _score(qp: pd.DataFrame, cp: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -958,40 +1099,69 @@ def _ivf_pq_adc_blocked(
             ccv = cp["__cc"].to_numpy()
             cvalid &= np.array([v is not None for v in ccv])
         nq, nc = len(qp), len(cp)
-        adc = np.full((nq, nc), np.nan, dtype=np.float64)
-        if qvalid.any() and cvalid.any():
-            qi = np.nonzero(qvalid)[0]
-            ci = np.nonzero(cvalid)[0]
-            Q = np.vstack([np.asarray(qv[i], dtype=np.float64) for i in qi])
-            C = np.vstack([np.asarray(codes[i], dtype=np.int64) for i in ci])
-            R = np.empty((len(ci), Q.shape[1]), dtype=np.float64)
-            for j in range(m):
-                R[:, j * sub : (j + 1) * sub] = B[j][C[:, j]]
-            if residual:
-                R += np.vstack([np.asarray(ccv[i], dtype=np.float64) for i in ci])
-            qn = np.sqrt((Q * Q).sum(axis=1))
-            rn = np.sqrt((R * R).sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                # one query row at a time: memory stays nc x dim and every
-                # pair's dot is the same per-row pairwise sum as _score's
-                for t in range(Q.shape[0]):
-                    adc[qi[t], ci] = (Q[t] * R).sum(axis=1) / (qn[t] * rn)
-        bi, ai = np.nonzero(qids[:, None] != nids[None, :])
-        if bi.size == 0:
+        qi = np.nonzero(qvalid)[0]
+        Q = (
+            np.vstack([np.asarray(qv[i], dtype=np.float64) for i in qi])
+            if qi.size
+            else None
+        )
+        qn = np.sqrt((Q * Q).sum(axis=1)) if Q is not None else None
+        # corpus-row-chunked ADC (r12): the reconstruction matrix R and the
+        # adc block are built per chunk — peak memory chunk x dim + nq x
+        # chunk cells instead of nc x dim + nq x nc for a hot cell. The
+        # per-chunk partial top-rerank unions to a SUPERSET of the per-cell
+        # partial; the global shortlist window re-ranks either way.
+        step = max(1, chunk_cells // max(1, nq, B.shape[2] * m))
+        out_q, out_n, out_adc = [], [], []
+        for lo in range(0, nc, step):
+            hi = min(lo + step, nc)
+            adc = np.full((nq, hi - lo), np.nan, dtype=np.float64)
+            rvalid = cvalid[lo:hi]
+            if Q is not None and rvalid.any():
+                rv = np.nonzero(rvalid)[0]
+                C = np.vstack(
+                    [np.asarray(codes[lo + i], dtype=np.int64) for i in rv]
+                )
+                R = np.empty((rv.size, Q.shape[1]), dtype=np.float64)
+                for j in range(m):
+                    R[:, j * sub : (j + 1) * sub] = B[j][C[:, j]]
+                if residual:
+                    R += np.vstack(
+                        [np.asarray(ccv[lo + i], dtype=np.float64) for i in rv]
+                    )
+                rn = np.sqrt((R * R).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    # one query row at a time: every pair's dot is the same
+                    # per-row pairwise sum as the per-pair _score's, so the
+                    # adc doubles are independent of the chunking
+                    for t in range(Q.shape[0]):
+                        adc[qi[t], rv] = (Q[t] * R).sum(axis=1) / (qn[t] * rn)
+            bi, ali = np.nonzero(qids[:, None] != nids[lo:hi][None, :])
+            if bi.size == 0:
+                continue
+            ai = ali + lo
+            key = adc[bi, ali]
+            if bi.size > 4096:
+                isnull = np.isnan(key)
+                sk = np.where(isnull, 0.0, key)
+                order = np.lexsort((nids[ai], -sk, isnull, qids[bi]))
+                grp = qids[bi][order]
+                starts = np.r_[0, np.flatnonzero(np.diff(grp)) + 1]
+                sizes = np.diff(np.r_[starts, order.size])
+                pos = np.arange(order.size) - np.repeat(starts, sizes)
+                keep = order[pos < rr]
+                bi, ai, key = bi[keep], ai[keep], key[keep]
+            out_q.append(qids[bi])
+            out_n.append(nids[ai])
+            out_adc.append(key)
+        if not out_q:
             return empty
-        key = adc[bi, ai]
-        if bi.size > 4096:
-            isnull = np.isnan(key)
-            sk = np.where(isnull, 0.0, key)
-            order = np.lexsort((nids[ai], -sk, isnull, qids[bi]))
-            grp = qids[bi][order]
-            starts = np.r_[0, np.flatnonzero(np.diff(grp)) + 1]
-            sizes = np.diff(np.r_[starts, order.size])
-            pos = np.arange(order.size) - np.repeat(starts, sizes)
-            keep = order[pos < rr]
-            bi, ai, key = bi[keep], ai[keep], key[keep]
         return pd.DataFrame(
-            {"query_id": qids[bi], "neighbor_id": nids[ai], "adc": key}
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "adc": np.concatenate(out_adc),
+            }
         )
 
     return (
@@ -1037,12 +1207,7 @@ def ivf_topk(
       estimate, same ``SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES`` floor as
       ``lsh_topk`` (guide §3 pick-by-size; core-count-independent).
       Unknown size chooses blocked (scale-safe)."""
-    if blocked is None:
-        floor = int(
-            os.environ.get("SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES", str(4 * 1024 * 1024))
-        )
-        est = _plan_size_bytes(df)
-        blocked = est is None or est >= floor
+    blocked = _resolve_blocked(df, id_col, blocked)
     assigned = ivf_assign(
         df, id_col, vec_col, centroid_stride, centroids=centroids, blocked=blocked
     )
@@ -1067,11 +1232,14 @@ def ivf_topk(
             "query_id", "neighbor_id", cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine")
         )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+    if blocked:
+        out = _id_cast_back(out, df, id_col, ("query_id", "neighbor_id"))
+    return out
 
 
 # moved to ext.util (shared with the dedup vocab-hash knobs); the module-
@@ -1121,14 +1289,10 @@ def lsh_topk(
       input-size estimate reaches ``SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES``
       (default 4 MiB — above every driver SF, below sf1's ~8 MiB; the
       guide §3 "pick the strategy by size" rule, data-dependent and
-      core-count-independent). Unknown size chooses blocked (scale-safe).
+      core-count-independent). Unknown size chooses blocked (scale-safe;
+      ``_resolve_blocked`` — non-integral ids keep the per-pair form).
     """
-    if blocked is None:
-        floor = int(
-            os.environ.get("SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES", str(4 * 1024 * 1024))
-        )
-        est = _plan_size_bytes(df)
-        blocked = est is None or est >= floor
+    blocked = _resolve_blocked(df, id_col, blocked)
     if blocked:
         pairs = _banded_pairs_scored_blocked(
             df, id_col, vec_col, bands, planes_per_band, dim,
@@ -1152,11 +1316,14 @@ def lsh_topk(
             cosine_similarity(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
         )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+    if blocked:
+        out = _id_cast_back(out, df, id_col, ("query_id", "neighbor_id"))
+    return out
 
 
 def _semantic_flags_blocked(
@@ -1179,6 +1346,7 @@ def _semantic_flags_blocked(
     reference prefix is the same lowest-id member set (ids are unique by
     contract, so sorting ids equals the per-pair form's struct sort)."""
     thr = float(threshold)
+    chunk_cells = _blocked_chunk_cells()
     cap = None if max_cluster_width is None else int(max_cluster_width)
 
     def _flags(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1194,12 +1362,19 @@ def _semantic_flags_blocked(
         cidx = np.nonzero(valid & ref_mask)[0]
         vidx = np.nonzero(valid)[0]
         if vidx.size and cidx.size:
-            M = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in vidx])
             Q = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in cidx])
-            cos = _dim_order_cosine_block(M, Q)
-            ge = (cos >= thr) | np.isnan(cos)  # Spark sorts/compares NaN greatest
-            lower = ids[cidx][None, :] < ids[vidx][:, None]
-            dup[vidx] = (ge & lower).any(axis=1)
+            ref_ids = ids[cidx]
+            # member-row-chunked flags (r12): peak memory is chunk x refs
+            # cells, not members x refs — a degenerate cell can no longer
+            # OOM the worker; per-pair cosine bits are chunk-independent
+            step = max(1, chunk_cells // max(1, cidx.size))
+            for lo in range(0, vidx.size, step):
+                sel = vidx[lo : lo + step]
+                M = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in sel])
+                cos = _dim_order_cosine_block(M, Q)
+                ge = (cos >= thr) | np.isnan(cos)  # Spark compares NaN greatest
+                lower = ref_ids[None, :] < ids[sel][:, None]
+                dup[sel] = (ge & lower).any(axis=1)
         return pd.DataFrame(
             {
                 "vec_id": ids,
@@ -1260,18 +1435,17 @@ def semantic_dedup(
     (member, reference) pair — and swaps the centroid assignment to the
     matmul path; ``False`` keeps the per-pair explode (cheaper while
     cells are small); ``None`` (default) is size-adaptive on the
-    optimizer's input estimate, same floor as ``lsh_topk``."""
-    if blocked is None:
-        floor = int(
-            os.environ.get("SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES", str(4 * 1024 * 1024))
-        )
-        est = _plan_size_bytes(df)
-        blocked = est is None or est >= floor
+    optimizer's input estimate, same floor as ``lsh_topk``
+    (``_resolve_blocked`` — non-integral ids keep the per-pair form)."""
+    blocked = _resolve_blocked(df, id_col, blocked)
     assigned = ivf_assign(
         df, id_col, vec_col, centroid_stride, centroids=centroids, blocked=blocked
     )
     if blocked:
-        return _semantic_flags_blocked(assigned, threshold, max_cluster_width)
+        return _id_cast_back(
+            _semantic_flags_blocked(assigned, threshold, max_cluster_width),
+            df, id_col, ("vec_id", "cluster_id"),
+        )
     mem = F.collect_list(F.struct(F.col("vec_id"), F.col("v")))
     if max_cluster_width is not None:
         ref = F.slice(F.sort_array(mem), 1, int(max_cluster_width))
@@ -1519,13 +1693,9 @@ def ivf_pq_topk(
       ``lsh_topk``'s).
     * ``None`` (default) — size-adaptive on the optimizer's input-size
       estimate, same ``SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES`` floor as the
-      other ANN paths. Unknown size chooses blocked (scale-safe)."""
-    if blocked is None:
-        floor = int(
-            os.environ.get("SPARK_GRAFT_LSH_BLOCKED_MIN_BYTES", str(4 * 1024 * 1024))
-        )
-        est = _plan_size_bytes(df)
-        blocked = est is None or est >= floor
+      other ANN paths. Unknown size chooses blocked (scale-safe;
+      ``_resolve_blocked`` — non-integral ids keep the per-pair form)."""
+    blocked = _resolve_blocked(df, id_col, blocked)
     v_all = ensure_compute_parallelism(df).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -1605,11 +1775,14 @@ def ivf_pq_topk(
         "query_id", "neighbor_id", cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine")
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    out = (
         exact.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+    if blocked:
+        out = _id_cast_back(out, df, id_col, ("query_id", "neighbor_id"))
+    return out
 
 
 # ------------------------------------------------------------ embedding prep

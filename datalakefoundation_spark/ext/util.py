@@ -37,12 +37,20 @@ def ensure_compute_parallelism(df: DataFrame, min_partitions: int | None = None)
 def plan_size_bytes(df: DataFrame) -> int | None:
     """Optimizer-estimated input size (file-length-derived for parquet
     scans, scaled by column pruning; available at plan-build time with
-    zero jobs); None when the estimate is unavailable (e.g. a
-    non-JVM-backed DataFrame)."""
+    zero jobs); None when the estimate is unavailable.
+
+    "Unavailable" includes Catalyst's sizeInBytes SENTINEL: plans with no
+    real statistics (``LogicalRDD``, ``createDataFrame`` LocalRelations
+    above the eager-size threshold) report ``spark.sql.defaultSizeInBytes``
+    = Long.MaxValue, not a measurement (verified empirically, r12). Mapping
+    the sentinel to None keeps every size-adaptive knob's documented
+    "unknown -> scale-safe branch" semantics while never presenting 2^63-1
+    as a real estimate to logs or floors."""
     try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         return None
+    return None if est >= (1 << 62) else est
 
 
 def size_adaptive_flag(

@@ -903,6 +903,11 @@ class Processing:
             with_action_column=True,
             extra_columns=evolved,
             target_rows=hint_rows or None,
+            # slice size from the fused bookkeeping count (no extra job):
+            # gates the full-outer form's SHUFFLE_HASH build side — an
+            # oversized bootstrap slice must not become an unspillable
+            # hash-map build (r12, ADVICE r11)
+            source_rows=self._slice_count,
         )
         # Per-action counts are collected DURING the write via df.observe —
         # the merged state is computed exactly once and never cached. (The

@@ -31,17 +31,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Let the planner pick shuffled-hash join where its size conditions
-        # hold instead of always sort-merge (guide §3.1/§9). The planner
-        # still falls back to SMJ when the build side's stats don't fit a
-        # per-partition hash map, and AQE skew handling stays on. Main win
-        # here: the merge/SCD2 small-target full-outer join loses its two
-        # Sort nodes (full-outer SHJ is supported since Spark 3.1).
-        # Override with SPARK_GRAFT_PREFER_SMJ=true for clusters that want
-        # the always-spillable behavior.
+        # Shuffled-hash joins are taken ONLY where this engine places an
+        # explicit, size-gated SHUFFLE_HASH hint (strategies._shj_build_side
+        # — the merge/SCD2 small-target full-outer, whose build side is
+        # provably bounded); hints are honored regardless of this conf. The
+        # r11 session-global preferSortMergeJoin=false bought nothing beyond
+        # those hinted joins in any of the 117 audited plans, while exposing
+        # EVERY join in the session to an unspillable hash-map build when
+        # post-filter/UDF size estimates run low (ADVICE r11) — so the
+        # default is back to Spark's always-spillable sort-merge preference.
+        # Clusters that want planner-chosen SHJ can set
+        # SPARK_GRAFT_PREFER_SMJ=false; the plan audit
+        # (tools/explain_audit.py) flags any un-hinted ShuffledHashJoin.
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -117,6 +117,34 @@ def _pick_full_outer(join_form: str, target_rows: int | None) -> bool:
     return target_rows is not None and target_rows <= SMALL_TARGET_ROWS
 
 
+def _shj_build_side(
+    target: DataFrame, source: DataFrame,
+    target_rows: int | None, source_rows: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Pick the SHUFFLE_HASH build side for the small-target full-outer
+    join (guide §3.1) — the build side must be PROVABLY bounded, because a
+    shuffled-hash build map cannot spill (r12, ADVICE r11: the r11 form
+    unconditionally hinted the SOURCE, whose size this path never checks —
+    a bulk bootstrap load of a huge slice into a small/new table would
+    build the unbounded side and OOM where sort-merge degraded gracefully).
+
+    Preference order:
+    * source known small (the steady-state incremental slice) -> build
+      source: the r11-measured plan, bounded by ``source_rows``;
+    * else target known small (guaranteed when ``join_form='auto'`` chose
+      this path) -> build target: bounded by the SMALL_TARGET_ROWS gate;
+    * else (both unknown — only reachable by forcing
+      ``join_form='full_outer'`` with no size hints) -> no hint: the
+      planner keeps its own size conditions and the always-spillable SMJ
+      fallback.
+    """
+    if source_rows is not None and source_rows <= SMALL_TARGET_ROWS:
+        return target, source.hint("shuffle_hash")
+    if target_rows is not None and target_rows <= SMALL_TARGET_ROWS:
+        return target.hint("shuffle_hash"), source
+    return target, source
+
+
 def merge_state(
     target: DataFrame,
     source: DataFrame,
@@ -129,6 +157,7 @@ def merge_state(
     extra_columns=(),
     target_rows: int | None = None,
     join_form: str = "auto",
+    source_rows: int | None = None,
 ) -> DataFrame:
     """Post-merge state of the 4-clause Delta merge J1-J5 (Merge.scala:96-125).
 
@@ -145,12 +174,16 @@ def merge_state(
     inference (watermark window + partition IN-list, ProcessStrategy.scala:86-153).
 
     ``target_rows``/``join_form`` select the physical join form (see module
-    docstring); every form is row-identical.
+    docstring); ``source_rows`` (when the caller knows the slice size, e.g.
+    from the load path's fused bookkeeping count) gates which side the
+    full-outer form's SHUFFLE_HASH hint builds — see ``_shj_build_side``.
+    Every form is row-identical.
     """
     if _pick_full_outer(join_form, target_rows):
         return _merge_state_full_outer(
             target, source, pk, prefix, processing_time, delete_window,
             delete_missing, with_action_column, extra_columns,
+            target_rows, source_rows,
         )
     return _merge_state_decomposed(
         target, source, pk, prefix, processing_time, delete_window,
@@ -277,6 +310,8 @@ def _merge_state_full_outer(
     delete_missing: bool,
     with_action_column: bool,
     extra_columns,
+    target_rows: int | None = None,
+    source_rows: int | None = None,
 ) -> DataFrame:
     """Single full-outer-join form: each side scanned exactly once. The
     small-target path — a full outer can never broadcast, but below
@@ -287,15 +322,15 @@ def _merge_state_full_outer(
     hash_c = f"{prefix}SourceHash"
     out_cols = _output_columns(target, source, extra_columns)
 
-    t = target.alias("t")
-    # SHUFFLE_HASH hint on the source side (r11, guide §3.1): both sides of
-    # the small-target full-outer are similar-sized, so the planner's
-    # "much smaller" rule never picks shuffled-hash on its own and the join
-    # pays a Sort on BOTH sides of the exchange. This path is only chosen
-    # below SMALL_TARGET_ROWS, so the per-partition source hash map is
-    # bounded by construction (~target_rows/shuffle_partitions rows); full
+    # SHUFFLE_HASH hint (r11, guide §3.1): both sides of the small-target
+    # full-outer are similar-sized, so the planner's "much smaller" rule
+    # never picks shuffled-hash on its own and the join pays a Sort on BOTH
+    # sides of the exchange. The hint goes on a PROVABLY bounded side only
+    # (r12, _shj_build_side) — a shuffled-hash build map cannot spill. Full
     # outer SHJ is supported since Spark 3.1. Row content is unaffected.
-    s = source.hint("shuffle_hash").alias("s")
+    t_h, s_h = _shj_build_side(target, source, target_rows, source_rows)
+    t = t_h.alias("t")
+    s = s_h.alias("s")
     joined = t.join(s, F.col(f"t.{pk}") == F.col(f"s.{pk}"), "full_outer")
 
     matched = F.col(f"t.{pk}").isNotNull() & F.col(f"s.{pk}").isNotNull()
@@ -381,6 +416,7 @@ def scd2_state(
     extra_columns=(),
     target_rows: int | None = None,
     join_form: str = "auto",
+    source_rows: int | None = None,
 ) -> DataFrame:
     """Post-run SCD Type 2 state (Historic.scala:14-168, clauses J6-J8).
 
@@ -397,12 +433,14 @@ def scd2_state(
     pipeline step P4 (ValidFrom=pt, ValidTo=sentinel, IsCurrent=true).
 
     ``target_rows``/``join_form`` select the physical join form (see module
-    docstring); every form is row-identical.
+    docstring); ``source_rows`` gates the full-outer form's SHUFFLE_HASH
+    build side (``_shj_build_side``). Every form is row-identical.
     """
     if _pick_full_outer(join_form, target_rows):
         return _scd2_state_full_outer(
             target, source, pk, prefix, processing_time, delete_window,
             delete_missing, with_action_column, extra_columns,
+            target_rows, source_rows,
         )
     return _scd2_state_decomposed(
         target, source, pk, prefix, processing_time, delete_window,
@@ -546,6 +584,8 @@ def _scd2_state_full_outer(
     delete_missing: bool,
     with_action_column: bool,
     extra_columns,
+    target_rows: int | None = None,
+    source_rows: int | None = None,
 ) -> DataFrame:
     """Single full-outer-join form over current versions: each side scanned
     exactly once (the small-target path; see _merge_state_full_outer).
@@ -562,10 +602,11 @@ def _scd2_state_full_outer(
     historical = target.where(~is_current)
     current = target.where(is_current)
 
-    t = current.alias("t")
-    # same SHUFFLE_HASH rationale as _merge_state_full_outer: small-target
-    # path only, bounded build side, removes the SMJ's two Sorts
-    s = source.hint("shuffle_hash").alias("s")
+    # same SHUFFLE_HASH rationale as _merge_state_full_outer: hint only a
+    # provably bounded build side (r12, _shj_build_side)
+    t_h, s_h = _shj_build_side(current, source, target_rows, source_rows)
+    t = t_h.alias("t")
+    s = s_h.alias("s")
     joined = t.join(s, F.col(f"t.{pk}") == F.col(f"s.{pk}"), "full_outer")
 
     matched = F.col(f"t.{pk}").isNotNull() & F.col(f"s.{pk}").isNotNull()

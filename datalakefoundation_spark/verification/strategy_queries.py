@@ -217,7 +217,8 @@ def q_merge_upsert(spark, sf_dir):
     target = _pipe(_slice1(spark, sf_dir), T0)
     source = _pipe(_slice2(spark, sf_dir, with_deleted=False), T1)
     return merge_state(target, source, "PK_orders", processing_time=T1,
-                       target_rows=_orders_rows(sf_dir))
+                       target_rows=_orders_rows(sf_dir),
+                       source_rows=_orders_rows(sf_dir))
 
 
 def q_merge_soft_delete(spark, sf_dir):
@@ -226,7 +227,8 @@ def q_merge_soft_delete(spark, sf_dir):
     target = _pipe(_slice1(spark, sf_dir), T0)
     source = _pipe(_slice2(spark, sf_dir, with_deleted=True), T1)
     return merge_state(target, source, "PK_orders", processing_time=T1,
-                       target_rows=_orders_rows(sf_dir))
+                       target_rows=_orders_rows(sf_dir),
+                       source_rows=_orders_rows(sf_dir))
 
 
 def q_delete_inference(spark, sf_dir):
@@ -241,6 +243,7 @@ def q_delete_inference(spark, sf_dir):
         delete_window=_delete_window(),
         delete_missing=True,
         target_rows=_orders_rows(sf_dir),
+        source_rows=_orders_rows(sf_dir),
     )
 
 
@@ -272,7 +275,8 @@ def q_scd2_versions(spark, sf_dir):
     target = _pipe(_slice1(spark, sf_dir), T0, historic=True)
     source = _pipe(_slice2(spark, sf_dir, with_deleted=False), T1, historic=True)
     return _fmt_ts(scd2_state(target, source, "PK_orders", processing_time=T1,
-                              target_rows=_orders_rows(sf_dir)))
+                              target_rows=_orders_rows(sf_dir),
+                              source_rows=_orders_rows(sf_dir)))
 
 
 def q_scd2_delete_inference(spark, sf_dir):
@@ -288,6 +292,7 @@ def q_scd2_delete_inference(spark, sf_dir):
             delete_window=_delete_window(),
             delete_missing=True,
             target_rows=_orders_rows(sf_dir),
+            source_rows=_orders_rows(sf_dir),
         )
     )
 
@@ -395,6 +400,7 @@ def q_change_feed(spark, sf_dir):
     after = merge_state(
         before, _pipe(_slice2(spark, sf_dir, with_deleted=False), T1),
         "PK_orders", processing_time=T1, target_rows=_orders_rows(sf_dir),
+        source_rows=_orders_rows(sf_dir),
     )
     return compute_changes(before, after, "PK_orders")
 
