@@ -79,6 +79,7 @@ def _summary_dicts(summaries):
     return out
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 @pytest.mark.parametrize("partitioned", [False, True])
 @pytest.mark.parametrize("processtype", ["merge", "historic"])
 def test_backends_agree_on_history(spark, tmp_path, processtype, partitioned):

@@ -97,6 +97,7 @@ def test_trained_ivf_recall_floor(spark, cert_vectors):
     assert recall_at_k(truth, got) >= 0.8
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_text_near_dup_recall_floor(spark):
     """Scaled text_near_dup_cert: 5k base docs (20k with variants), same
     floor as the tool at 60k — bands=8 default keeps recall >= 0.9 for
@@ -188,6 +189,7 @@ def test_lsh_plan_closed_form():
         lsh_plan(0.5, 0.999, max_bands=4)
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_stream_ingest_identities_floor(spark):
     """Scaled stream_ingest_probe (VERDICT r7 #5 / X54): 20k docs in 4
     batches instead of 1M in 20 — same generator, same pipeline, SAME
@@ -203,6 +205,7 @@ def test_stream_ingest_identities_floor(spark):
     assert_identities(rec)
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_sf_scaling_ratio_ceilings(spark):
     """Standing scale-regression gate (VERDICT r8 directive #4): the
     sf0.1→sf1 curve is recorded per-round in BASELINE.md, but a recorded
@@ -252,6 +255,7 @@ def test_sf_scaling_ratio_ceilings(spark):
     )
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_frontier_reconcile_equality_floor(spark):
     """Scaled frontier_reconcile_probe (VERDICT r8 directive #2): 150k docs
     (30 replicas in 10-replica waves, 50k churn) instead of 1M — same
@@ -267,6 +271,7 @@ def test_frontier_reconcile_equality_floor(spark):
     assert rec["assign_extra"] == 0 == rec["assign_missing"], rec
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_banded_layout_equality_floor(spark):
     """CI-scale run of the r10 banded-layout probe (tools/
     frontier_reconcile_probe.py banded): the band-key-clustered companion

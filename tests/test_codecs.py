@@ -739,6 +739,7 @@ def test_jpeg_decode_never_leaks_parse_errors():
             pass
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 @pytest.mark.parametrize("kind", ["png", "ppm", "wav", "gif"])
 def test_decoders_never_leak_parse_errors(kind):
     """Same fuzz contract as JPEG for every built-in decoder: garbage after

@@ -35,6 +35,7 @@ def _data_dirs(path):
     return sorted(os.listdir(d)) if os.path.isdir(d) else []
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_crash_between_write_and_commit_append(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "t")
     t = LakeTable(spark, path, stats_columns=["seq"])
@@ -125,6 +126,7 @@ def test_gc_noop_is_listdir_only(spark, tmp_path, monkeypatch):
     assert t.gc_orphans(older_than_seconds=0) == []
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_processing_run_sweeps_orphans(spark, lake_root, prefix):
     md = make_metadata(lake_root, prefix)
     write_slice(spark, md, "s1.parquet", rows_v1(10))

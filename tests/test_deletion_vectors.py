@@ -233,6 +233,7 @@ def test_dynamic_overwrite_preserves_dv(spark, tmp_path):
     assert rows == {"b": 2, "d": 9}
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_compaction_coalesces_surviving_dv_refs(spark, tmp_path):
     """A big base segment (not folded) accumulates one dv ref per patch;
     compaction must coalesce them into ONE merged ref while the folded

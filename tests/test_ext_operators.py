@@ -1131,6 +1131,7 @@ def test_ivf_pq_shortlist_recall(spark, embs):
     assert hits / total >= 0.6, f"recall {hits}/{total}"
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_clean_corpus_incremental_index_matches_from_scratch(spark):
     """near_dedup_index: cleaning base then batch-against-index must land
     the same survivor set as one from-scratch run over the union (ids are
@@ -1185,6 +1186,7 @@ def test_clean_corpus_incremental_index_matches_from_scratch(spark):
 
 
 # ---------------------------------------------------------------- recipes
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_clean_corpus_end_to_end(spark, docs):
     """Full cleanup recipe over the fixture + planted junk: the quality
     gate drops the short doc, exact dedup drops the verbatim copy, near
@@ -1518,6 +1520,7 @@ def test_check_expectations_all_green_and_single_pass(spark, docs):
     assert plan.count("Scan parquet") <= 1
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_clean_corpus_bit_reproducible_across_partitionings(spark, docs):
     """The whole composed pipeline is a pure function of the data: same
     input under a different physical partitioning produces the identical
@@ -2087,6 +2090,7 @@ def test_text_near_dup_scaled_vs_baseline(spark, docs):
     assert recall >= 0.5, (len(scaled), len(base_pairs))
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_incremental_dedup_prefix_consistency_bridge(spark):
     """Pins the ONLINE dedup semantic found at 1M scale by
     tools/stream_ingest_probe.py: a later doc can BRIDGE two clusters the
@@ -2191,6 +2195,7 @@ def test_incremental_dedup_prefix_consistency_bridge(spark):
     assert got_assign == want_assign
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_frontier_reconcile_matches_full_over_rounds(spark):
     """Multi-round equality: ingest a randomized near-dup corpus in waves,
     frontier-reconcile after each wave, and require the survivor set AND
@@ -2262,6 +2267,7 @@ def test_frontier_reconcile_matches_full_over_rounds(spark):
         survivors = fr.df.localCheckpoint(eager=True)
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_frontier_reconcile_idempotent_on_covered_frontier(spark):
     """Degraded mode (a lost reconcile ledger re-frontiers batches the
     assignment already covers): re-deriving edges whose endpoints all

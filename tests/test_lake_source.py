@@ -31,6 +31,7 @@ def _patch(spark, rows):
     return spark.createDataFrame(rows, f"pk string, val long, {MASK_COL} boolean")
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_batch_backfill_tags_versions(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "t"))
     t.merge_patch(_patch(spark, [("new", 99, False)]), keys=["pk"], mask_col=MASK_COL)

@@ -20,6 +20,8 @@ import subprocess
 import sys
 import time
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = """
@@ -84,6 +86,7 @@ def _seed_rows():
     ]
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_concurrent_same_entity_merge_race(spark, tmp_path):
     from datalakefoundation_spark.tables.lake_table import LakeTable
 

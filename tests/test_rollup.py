@@ -659,6 +659,7 @@ def test_replay_key_folded_walkback(spark, tmp_path):
     assert replay_key_folded(t, "s:1", max_back=10) is True
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_refresh_rollup_lake_multi_round_then_compact(spark, tmp_path):
     """Five sequential churn rounds against the same ladder (patches and
     DVs stack across commits), then optimize() on every level: contents

@@ -66,6 +66,7 @@ def test_windowed_counts(spark, tmp_path):
     assert rows[(3, "click")] == 1
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_sessionize(spark, tmp_path):
     src = str(tmp_path / "events2")
     _write_events(
@@ -271,6 +272,7 @@ def test_stream_merge_restart_replays_batch_exactly_once(spark, tmp_path):
     assert n_slices_after == n_slices_before + 1
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_sessionize_stream_matches_batch_model(spark, tmp_path):
     """Equivalence: the stateful streaming sessionizer must produce exactly
     the session boundaries a batch gap-split over the same events produces
@@ -476,6 +478,7 @@ def test_stream_stream_join(spark, tmp_path):
     } == got
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_stream_clean_corpus_matches_batch(spark, tmp_path):
     """Streamed full-recipe cleaning == the from-scratch clean_corpus over
     the concatenated corpus: per-doc gates are stateless, within-batch
@@ -570,6 +573,7 @@ def test_stream_clean_corpus_matches_batch(spark, tmp_path):
     assert idx.select("doc_id").distinct().count() == n_docs - 2
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_stream_clean_corpus_seeds_from_batch_built_index(spark, tmp_path):
     """A standing index bootstrapped by a BATCH clean_corpus run (the X50
     cold-build flow: CleanResult.index_updates appended to a LakeTable,
@@ -1064,6 +1068,7 @@ def test_session_overlap_join_matches_batch(spark, tmp_path):
     assert not any(k == 3 or k == 4 for k, _a, _b in got)
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_reconcile_clean_corpus_state_maintenance(spark, tmp_path):
     """X55 wired to the streaming pipeline: reconcile_clean_corpus
     bootstraps the assignment LakeTable from the standing index, converges
@@ -1186,6 +1191,7 @@ def test_reconcile_clean_corpus_state_maintenance(spark, tmp_path):
     assert (41, 40) in assign_rows
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_finalize_corpus_matches_batch_postpass(spark, tmp_path):
     """finalize_corpus (the batch post-pass companion): reconcile + span
     dedup over the streamed output must equal the from-scratch clean_corpus
@@ -1551,6 +1557,7 @@ def test_stream_hot_key_calibration_rolling_detector(spark, tmp_path):
     assert len(plain) > 0
 
 
+@pytest.mark.slow  # multi-minute certification/equivalence run: builder gate only (r12, VERDICT r11 #1)
 def test_reconcile_clean_corpus_banded_index(spark, tmp_path):
     """r10 directive #1 end-to-end: reconcile_clean_corpus with a
     band-key-clustered companion index returns EXACTLY what the

@@ -156,10 +156,30 @@ def main() -> None:
             _top_customers(bl, bo, cust, nation)
         )
 
-        # row identity of the probe twins
-        a = sorted(map(tuple, _shipping_priority(li, orders, cust).collect()))
-        b = sorted(map(tuple, _shipping_priority(bl, bo, cust).collect()))
-        out["rows_identical_shipping"] = a == b
+        # row identity of the probe twins. The shipping shape sums PLAIN
+        # DOUBLES (the declared query's form), whose accumulation order —
+        # and therefore last-ulp value — legitimately differs between
+        # partitionings; compare at 1e-6 relative so the check tests the
+        # JOIN/AGG logic, not IEEE reassociation. top_customers sums
+        # exact decimals, so it compares strictly.
+        import math
+
+        def _approx_eq(xs, ys):
+            xs, ys = sorted(xs), sorted(ys)
+            if len(xs) != len(ys):
+                return False
+            for x, y in zip(xs, ys):
+                for u, v in zip(x, y):
+                    if isinstance(u, float):
+                        if not math.isclose(u, v, rel_tol=1e-6):
+                            return False
+                    elif u != v:
+                        return False
+            return True
+
+        a = [tuple(r) for r in _shipping_priority(li, orders, cust).collect()]
+        b = [tuple(r) for r in _shipping_priority(bl, bo, cust).collect()]
+        out["rows_identical_shipping"] = _approx_eq(a, b)
         a = sorted(map(tuple, _top_customers(li, orders, cust, nation).collect()))
         b = sorted(map(tuple, _top_customers(bl, bo, cust, nation).collect()))
         out["rows_identical_topcust"] = a == b
